@@ -1,0 +1,321 @@
+"""Lightweight HTML DOM on stdlib ``html.parser`` with source char offsets.
+
+The sandbox has no lxml/bs4, and the extraction contract needs character
+spans ``(start, end)`` into the *original* payload for every kept text run
+— something neither library exposes. So the engine carries its own small
+DOM: elements + text nodes, mutation (decompose/unwrap/rename/move) for
+the preprocessors (reference behaviors: artexin/preprocessors.py,
+artexin/extract.py:294-310), and a deterministic serializer shared by the
+golden generator and the Spark UDF path so text equality is structural.
+
+Parsing is tolerant: mismatched end tags are dropped, unclosed tags are
+closed at EOF — one poison row must never throw (the pipeline's in-band
+``error`` column handles genuine parser explosions).
+"""
+
+from __future__ import annotations
+
+import html as _html
+from html.parser import HTMLParser
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_ESCAPE = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+
+
+class Node:
+    """Element or text node. ``tag is None`` marks a text node."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text", "start", "end")
+
+    def __init__(self, tag=None, attrs=None, text="", start=-1, end=-1):
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+        self.text = text
+        self.start = start
+        self.end = end
+
+    # -- tree access ---------------------------------------------------
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def iter(self):
+        """Depth-first pre-order over self and all descendants."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    def find_all(self, tag=None, cls=None, id_=None):
+        """All descendant elements matching tag name / class / id.
+
+        ``tag`` may be a string or a tuple of strings. ``cls`` matches if
+        present in the (whitespace-split) class list — get_cls semantics
+        from the reference (artexin/htmlutils.py:19-37).
+        """
+        if isinstance(tag, str):
+            tag = (tag,)
+        out = []
+        for node in self.iter():
+            if node is self or node.is_text:
+                continue
+            if tag is not None and node.tag not in tag:
+                continue
+            if cls is not None and cls not in node.classes():
+                continue
+            if id_ is not None and node.attrs.get("id") != id_:
+                continue
+            out.append(node)
+        return out
+
+    def find(self, tag=None, cls=None, id_=None):
+        found = self.find_all(tag, cls, id_)
+        return found[0] if found else None
+
+    def get(self, name, default=None):
+        return self.attrs.get(name, default)
+
+    def classes(self) -> list[str]:
+        val = self.attrs.get("class")
+        return val.split() if val else []
+
+    def text_nodes(self):
+        for node in self.iter():
+            if node.is_text:
+                yield node
+
+    def text_content(self) -> str:
+        """Raw concatenation of descendant text (no normalization)."""
+        return "".join(t.text for t in self.text_nodes())
+
+    def string(self) -> str | None:
+        """BeautifulSoup-``.string``-like: the single text child, recursing
+        through single-element wrappers; None when ambiguous."""
+        node = self
+        while True:
+            kids = node.children
+            if len(kids) == 1 and kids[0].is_text:
+                return kids[0].text
+            elems = [k for k in kids if not k.is_text or k.text.strip()]
+            if len(elems) == 1 and not elems[0].is_text:
+                node = elems[0]
+                continue
+            return None
+
+    # -- mutation -------------------------------------------------------
+    def append(self, node: Node):
+        node.detach()
+        node.parent = self
+        self.children.append(node)
+
+    def insert(self, index: int, node: Node):
+        node.detach()
+        node.parent = self
+        self.children.insert(index, node)
+
+    def detach(self):
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def decompose(self):
+        """Remove self (and subtree) from the document."""
+        self.detach()
+
+    def unwrap(self):
+        """Replace self with own children (keep content, drop the tag)."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        kids = list(self.children)
+        parent.children[idx : idx + 1] = kids
+        for kid in kids:
+            kid.parent = parent
+        self.parent = None
+        self.children = []
+
+    def clear(self):
+        for kid in self.children:
+            kid.parent = None
+        self.children = []
+
+    # -- serialization ---------------------------------------------------
+    def to_html(self) -> str:
+        parts: list[str] = []
+        self._render(parts)
+        return "".join(parts)
+
+    def _render(self, parts: list[str]):
+        if self.is_text:
+            text = self.text
+            for src, dst in _ESCAPE.items():
+                text = text.replace(src, dst)
+            parts.append(text)
+            return
+        if self.tag == "[document]":
+            for kid in self.children:
+                kid._render(parts)
+            return
+        parts.append("<" + self.tag)
+        for key, val in self.attrs.items():
+            if val is None:
+                parts.append(" " + key)
+            else:
+                parts.append(' %s="%s"' % (key, val.replace("&", "&amp;").replace('"', "&quot;")))
+        parts.append(">")
+        if self.tag in VOID_TAGS:
+            return
+        for kid in self.children:
+            kid._render(parts)
+        parts.append("</%s>" % self.tag)
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        if self.is_text:
+            return "Text(%r)" % self.text[:40]
+        return "<%s %r kids=%d>" % (self.tag, self.attrs, len(self.children))
+
+
+class Document(Node):
+    __slots__ = ("source",)
+
+    def __init__(self, source: str):
+        super().__init__(tag="[document]")
+        self.source = source
+
+    @property
+    def body(self) -> Node:
+        return self.find("body") or self
+
+    @property
+    def html(self) -> Node:
+        return self.find("html") or self
+
+
+class _Parser(HTMLParser):
+    # RCDATA handling: html.parser already treats script/style as CDATA.
+
+    def __init__(self, source: str):
+        super().__init__(convert_charrefs=False)
+        self.source = source
+        self.doc = Document(source)
+        self.stack: list[Node] = [self.doc]
+        # line start offsets for abs position math
+        self.line_starts = [0]
+        for i, ch in enumerate(source):
+            if ch == "\n":
+                self.line_starts.append(i + 1)
+        self._text_parts: list[str] = []
+        self._text_start = -1
+
+    # -- position helpers ---------------------------------------------
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self.line_starts[line - 1] + col
+
+    def _flush_text(self, end: int | None = None):
+        if not self._text_parts:
+            return
+        text = "".join(self._text_parts)
+        node = Node(
+            text=text,
+            start=self._text_start,
+            end=end if end is not None else self._abs(),
+        )
+        self._append(node)
+        self._text_parts = []
+        self._text_start = -1
+
+    def _append(self, node: Node):
+        top = self.stack[-1]
+        node.parent = top
+        top.children.append(node)
+
+    def _add_text(self, decoded: str):
+        if not self._text_parts:
+            self._text_start = self._abs()
+        self._text_parts.append(decoded)
+
+    # -- HTMLParser hooks ------------------------------------------------
+    def handle_data(self, data):
+        self._add_text(data)
+
+    def handle_entityref(self, name):
+        self._add_text(_html.unescape("&%s;" % name))
+
+    def handle_charref(self, name):
+        try:
+            cp = int(name[1:], 16) if name.startswith(("x", "X")) else int(name)
+            self._add_text(chr(cp))
+        except (ValueError, OverflowError):
+            self._add_text("&#%s;" % name)
+
+    def handle_starttag(self, tag, attrs):
+        self._flush_text(self._abs())
+        node = Node(tag=tag, attrs=dict(attrs), start=self._abs())
+        self._append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._flush_text(self._abs())
+        node = Node(tag=tag, attrs=dict(attrs), start=self._abs())
+        self._append(node)
+
+    def handle_endtag(self, tag):
+        self._flush_text(self._abs())
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                for node in self.stack[i:]:
+                    node.end = self._abs()
+                del self.stack[i:]
+                return
+        # stray end tag: ignore (tolerant parse)
+
+    def handle_comment(self, data):
+        self._flush_text(self._abs())
+
+    def handle_decl(self, decl):
+        self._flush_text(self._abs())
+
+    def handle_pi(self, data):
+        self._flush_text(self._abs())
+
+    def finish(self) -> Document:
+        self.close()
+        self._flush_text(len(self.source))
+        for node in self.stack[1:]:
+            node.end = len(self.source)
+        return self.doc
+
+
+def parse(source: str) -> Document:
+    """Parse HTML (or plain text) into a Document; never raises on
+    malformed markup."""
+    parser = _Parser(source or "")
+    try:
+        parser.feed(source or "")
+    except Exception:
+        # html.parser is robust, but guarantee tolerance anyway: whatever
+        # tree was built so far is the tree.
+        pass
+    return parser.finish()
+
+
+def new_element(tag: str, attrs: dict | None = None) -> Node:
+    return Node(tag=tag, attrs=dict(attrs or {}))
+
+
+def new_text(text: str) -> Node:
+    return Node(text=text)
+
+
+def get_cls(node: Node) -> list[str]:
+    """Class attribute as list, [] default (artexin/htmlutils.py:19-37)."""
+    return node.classes()

@@ -1,0 +1,184 @@
+"""HTML preprocessors + URL-pattern dispatch.
+
+Re-expresses artexin/preprocessors.py (pp_noop:19-25, pp_fixheaders:28-56,
+pp_wikipedia:59-153, pp_dwelle:156-186) and
+artexin/preprocessor_mappings.py (MAPPINGS:29-33, get_preps:36-54) over our
+own DOM. Our preprocessors mutate a parsed ``dom.Document`` in place
+(string→string wrappers provided for doctest-parity tests) so the whole
+preprocess→extract chain runs on ONE parse per document inside the Arrow
+pandas_udf batch — the reference reparses between every stage, we don't.
+
+Dispatch semantics preserved exactly: every matching pattern's
+preprocessor tuple concatenates in declaration order, the catch-all
+``.*``→fixheaders always appends, empty→[noop].
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import dom
+
+HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def pp_noop(doc: dom.Document) -> None:
+    """Identity (preprocessors.py:19-25)."""
+
+
+def pp_fixheaders(doc: dom.Document) -> None:
+    """Promote headings so the top-most level present becomes h1; lower
+    levels shift by the same amount. No-op when h1 already exists.
+    Reference: preprocessors.py:28-56 (doctest-pinned).
+    """
+    adjust = None
+    for level, h in enumerate(HEADING_TAGS, start=1):
+        headings = doc.find_all(h)
+        if headings and adjust is None:
+            adjust = level - 1
+        if adjust:
+            for elem in headings:
+                elem.tag = "h%d" % (level - adjust)
+
+
+def pp_wikipedia(doc: dom.Document) -> None:
+    """Wikipedia layout fix (preprocessors.py:59-153): copy the h1 title
+    into div#mw-content-text and make that div the body's sole content;
+    strip [edit] spans / magnify / navbox / metadata / plainlinks tables /
+    hatnotes; unwrap image links, internal /wiki/ links, and red
+    'create page' links; div.thumbcaption → p."""
+    h1 = doc.find("h1")
+    artbody = doc.find("div", id_="mw-content-text")
+    if artbody is not None:
+        title = dom.new_element("h1")
+        if h1 is not None:
+            s = h1.string()
+            if s is not None:
+                tnode = dom.new_text(s)
+                # preserve the source char span when the h1 has exactly one
+                # non-blank text run, so `spans` stays loss-free
+                runs = [t for t in h1.text_nodes() if t.text.strip()]
+                if len(runs) == 1:
+                    tnode.start, tnode.end = runs[0].start, runs[0].end
+                title.append(tnode)
+        artbody.insert(0, title)
+        artbody.detach()
+        body = doc.find("body")
+        if body is not None:
+            body.clear()
+            body.append(artbody)
+
+    for tag in doc.find_all("span", cls="mw-editsection"):
+        tag.decompose()
+    for tag in doc.find_all("a", cls="image"):
+        tag.unwrap()
+    for tag in doc.find_all("div", cls="magnify"):
+        tag.decompose()
+    for tag in doc.find_all("div", cls="thumbcaption"):
+        tag.tag = "p"
+    for tag in doc.find_all("a"):
+        if (tag.attrs.get("href") or "").startswith("/wiki/"):
+            tag.unwrap()
+    for tag in doc.find_all("a", cls="new"):
+        if (tag.attrs.get("href") or "").startswith("/w/index.php"):
+            tag.unwrap()
+    for cls in ("navbox", "metadata", "plainlinks"):
+        for tag in doc.find_all("table", cls=cls):
+            tag.decompose()
+    for tag in doc.find_all("div", cls="hatnote"):
+        tag.decompose()
+
+
+def pp_dwelle(doc: dom.Document) -> None:
+    """Deutsche Welle layout fix (preprocessors.py:156-186): move intro,
+    picture, date and h1 into div.longText and make it the body; byline
+    becomes 'Deutsche Welle'. Best-effort — missing pieces are skipped
+    (the reference prints and continues on IndexError/AttributeError)."""
+    long_text = doc.find("div", cls="longText")
+    if long_text is None:
+        return
+    intro = doc.find("p", cls="intro")
+    ppicture = dom.new_element("p")
+    pic_box = doc.find("div", cls="picBox")
+    if pic_box is not None:
+        a = pic_box.find("a")
+        img = a.find("img") if a is not None else None
+        if img is not None:
+            ppicture.append(img)
+    pdate = None
+    small_lists = doc.find_all("ul", cls="smallList")
+    if len(small_lists) > 1:
+        li = small_lists[1].find("li")
+        if li is not None:
+            pdate = dom.new_element("p")
+            for kid in list(li.children):
+                pdate.append(kid)
+            li.decompose()
+            strong = pdate.find("strong")
+            if strong is not None:
+                strong.clear()
+                strong.append(dom.new_text("Deutsche Welle"))
+    h1 = doc.find("h1")
+    for elem in (ppicture, intro, pdate, h1):
+        if elem is not None:
+            long_text.insert(0, elem)
+    body = doc.find("body")
+    if body is not None and body.parent is not None:
+        parent = body.parent
+        idx = parent.children.index(body)
+        body.detach()
+        long_text.detach()
+        long_text.tag = "body"
+        parent.insert(idx, long_text)
+
+
+DEFAULT_PREPROCESSORS = (pp_noop,)
+
+# (regex, preprocessor tuple); ALL matching sets concatenate in order and
+# the catch-all always appends fixheaders (preprocessor_mappings.py:29-33).
+MAPPINGS = (
+    (r"^https?://..\.wikipedia\.org", (pp_wikipedia,)),
+    (r"^http://www\.dw\.de/", (pp_dwelle,)),
+    (r".*", (pp_fixheaders,)),
+)
+
+PREP_NAMES = {
+    pp_noop: "noop",
+    pp_fixheaders: "fixheaders",
+    pp_wikipedia: "wikipedia",
+    pp_dwelle: "dwelle",
+}
+PREPS_BY_NAME = {v: k for k, v in PREP_NAMES.items()}
+
+
+def get_preps(url: str):
+    """Preprocessor tuple for a source URL — concat of every matching
+    mapping, [noop] when nothing matches (preprocessor_mappings.py:36-54).
+    """
+    using: tuple = ()
+    for pattern, preps in MAPPINGS:
+        if re.match(pattern, url or "", re.IGNORECASE):
+            using += preps
+    return using or DEFAULT_PREPROCESSORS
+
+
+def get_prep_names(url: str) -> list[str]:
+    """Name form of get_preps — serializable across the Arrow boundary so
+    the dispatch decision can be computed once, driver- or JVM-side."""
+    return [PREP_NAMES[p] for p in get_preps(url)]
+
+
+# -- string→string wrappers for doctest-parity tests ------------------------
+
+
+def apply_preps_html(html: str, url: str = "") -> str:
+    doc = dom.parse(html)
+    for prep in get_preps(url):
+        prep(doc)
+    return doc.to_html()
+
+
+def fixheaders_html(html: str) -> str:
+    doc = dom.parse(html)
+    pp_fixheaders(doc)
+    return doc.to_html()

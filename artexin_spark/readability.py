@@ -1,0 +1,423 @@
+"""From-scratch readability-style main-content extraction.
+
+Replaces the reference's dependency on the third-party ``breadability``
+library (artexin/extract.py:113 ``Article(html, return_fragment=False)``)
+with our own implementation of the public Arc90-Readability family
+algorithm (SURVEY.md §7.3): unlikely-candidate stripping, text-density +
+comma scoring with parent/grandparent propagation, class/id hints,
+link-density damping, best-candidate sibling merge.
+
+Contracts carried over from the reference and pinned in tests:
+- ``get_title`` precedence title→h1→h2→h3, '' on miss (extract.py:35-87)
+- ``extract`` keeps article text, drops nav/footer/script boilerplate
+  (doctest at extract.py:95-103), returns (title, full html document with
+  rebuilt <head>) (extract.py:115-130)
+- ``no_extract`` passthrough (extract.py:134-137)
+- ``strip_links`` unwraps <a> unless href starts with '#'
+  (extract.py:294-310)
+- ``process_images`` first-appearance ``imageNNNN`` indexing, dupes share
+  the index, src-less <img> dropped, failed resolution decomposes the tag
+  (extract.py:204-291) — offline variant: "fetch success" is deterministic
+  (absolute http(s) URL with a known image extension), no network.
+
+Beyond the reference, every kept text run also yields a character span
+``(start, end)`` into the ORIGINAL payload (north-rule output column
+``spans``), which our own DOM tracks natively.
+
+All functions are pure Python; the Arrow pandas_udf wrappers live in
+udfs.py. One poison row must never raise — extract_turn() traps all
+exceptions into the in-band ``error`` field (pack.py:205-213 semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from . import dom
+from .tokenize import fix_ws
+from .urlx import IEXTENSIONS, prepare_url, url_split
+
+# --- heuristics tables (Arc90-family, public algorithm) -----------------
+
+UNLIKELY_RE = re.compile(
+    r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|"
+    r"shoutbox|sidebar|sponsor|ad-break|agegate|pagination|pager|popup|"
+    r"banner|masthead|nav|widget|social|share|breadcrumb",
+    re.I,
+)
+MAYBE_RE = re.compile(r"and|article|body|column|main|shadow", re.I)
+POSITIVE_RE = re.compile(
+    r"article|body|content|entry|hentry|main|page|post|text|blog|story", re.I
+)
+NEGATIVE_RE = re.compile(
+    r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
+    r"outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|"
+    r"tool|widget|nav|menu",
+    re.I,
+)
+
+# Removed wholesale before scoring (boilerplate by construction).
+STRIP_TAGS = frozenset(
+    "script style noscript iframe form nav footer aside button select "
+    "textarea link meta title object embed applet".split()
+)
+
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol table thead tbody tr td th "
+    "blockquote pre section article header footer br hr dl dt dd figure "
+    "figcaption main aside nav body html head".split()
+)
+
+_IMG_EXT_TO_FMT = {ext: fmt for fmt, ext in IEXTENSIONS.items()}
+
+MIN_TEXT_LEN = 25  # chars before a block contributes score
+
+
+@dataclass
+class ExtractResult:
+    """Per-turn extraction output (SURVEY.md §1.2 output schema)."""
+
+    title: str = ""
+    html: str = ""
+    text: str = ""
+    spans: list[tuple[int, int]] = field(default_factory=list)
+    images: list[str] = field(default_factory=list)
+    n_images: int = 0
+    error: str | None = None
+
+
+# --- title ----------------------------------------------------------------
+
+
+def get_title(doc: dom.Node) -> str:
+    """First non-None of <title>, h1, h2, h3 → stripped .string; '' when
+    the winning tag has no unambiguous string. Reference: extract.py:35-87.
+    """
+    for tag in ("title", "h1", "h2", "h3"):
+        node = doc.find(tag)
+        if node is not None:
+            s = node.string()
+            if s is None:
+                return ""
+            return str(s).strip()
+    return ""
+
+
+# --- scoring helpers -------------------------------------------------------
+
+
+def _norm_text(node: dom.Node) -> str:
+    return fix_ws(node.text_content())
+
+
+def link_density(node: dom.Node) -> float:
+    total = len(_norm_text(node))
+    if total == 0:
+        return 0.0
+    link_chars = sum(len(_norm_text(a)) for a in node.find_all("a"))
+    return min(1.0, link_chars / total)
+
+
+def class_weight(node: dom.Node) -> float:
+    w = 0.0
+    for val in (node.attrs.get("class") or "", node.attrs.get("id") or ""):
+        if not val:
+            continue
+        if NEGATIVE_RE.search(val):
+            w -= 25.0
+        if POSITIVE_RE.search(val):
+            w += 25.0
+    return w
+
+
+def _base_score(tag: str) -> float:
+    if tag in ("div", "article", "section", "main"):
+        return 5.0
+    if tag in ("pre", "td", "blockquote"):
+        return 3.0
+    if tag in ("address", "ol", "ul", "dl", "dd", "dt", "li", "form"):
+        return -3.0
+    if tag in ("h1", "h2", "h3", "h4", "h5", "h6", "th"):
+        return -5.0
+    return 0.0
+
+
+def strip_unlikely(doc: dom.Document) -> None:
+    """Drop STRIP_TAGS subtrees and unlikely-candidate class/id elements
+    (unless body-like). Mutates the tree."""
+    for node in list(doc.iter()):
+        if node.is_text or node is doc:
+            continue
+        if node.tag in STRIP_TAGS:
+            node.decompose()
+            continue
+        hint = "%s %s" % (node.attrs.get("class") or "", node.attrs.get("id") or "")
+        if hint.strip() and node.tag not in ("html", "body"):
+            if UNLIKELY_RE.search(hint) and not MAYBE_RE.search(hint):
+                node.decompose()
+
+
+def _is_div_as_paragraph(node: dom.Node) -> bool:
+    """A div with no block-level element children behaves like a <p>."""
+    if node.tag != "div":
+        return False
+    return not any(
+        (not kid.is_text) and kid.tag in BLOCK_TAGS for kid in node.children
+    )
+
+
+def score_candidates(doc: dom.Document) -> dict[int, tuple[dom.Node, float]]:
+    """Comma/length scoring of text blocks, propagated to parent (×1) and
+    grandparent (×0.5). Returns {id(node): (node, raw_score)}."""
+    scores: dict[int, list] = {}
+
+    def ensure(node):
+        key = id(node)
+        if key not in scores:
+            scores[key] = [node, _base_score(node.tag) + class_weight(node)]
+        return scores[key]
+
+    for node in doc.iter():
+        if node.is_text:
+            continue
+        if node.tag in ("p", "td", "pre") or _is_div_as_paragraph(node):
+            text = _norm_text(node)
+            if len(text) < MIN_TEXT_LEN:
+                continue
+            content = 1.0 + text.count(",") + min(len(text) / 100.0, 3.0)
+            parent = node.parent
+            if parent is not None and parent.tag is not None:
+                ensure(parent)[1] += content
+                grand = parent.parent
+                if grand is not None and grand.tag is not None:
+                    ensure(grand)[1] += content / 2.0
+    return {k: (n, s) for k, (n, s) in scores.items()}
+
+
+def select_best(doc: dom.Document):
+    """Best candidate after link-density damping; None when no candidate
+    scored (caller falls back to <body>)."""
+    scored = score_candidates(doc)
+    best, best_score = None, float("-inf")
+    for node, raw in scored.values():
+        final = raw * (1.0 - link_density(node))
+        if final > best_score:
+            best, best_score = node, final
+    if best is None:
+        return None, {}
+    finals = {k: (n, s * (1.0 - link_density(n))) for k, (n, s) in scored.items()}
+    return best, finals
+
+
+def build_article(doc: dom.Document) -> dom.Node:
+    """Winner + qualifying siblings merged in document order
+    (SURVEY.md §7.3). Returns the article container node."""
+    best, finals = select_best(doc)
+    if best is None:
+        return doc.body
+    best_final = finals[id(best)][1]
+    parent = best.parent
+    if parent is None:
+        return best
+    threshold = max(10.0, best_final * 0.2)
+    article = dom.new_element("div", {"id": "article"})
+    for sib in list(parent.children):
+        if sib.is_text:
+            if sib.text.strip():
+                article.append(sib)
+            continue
+        keep = False
+        if sib is best:
+            keep = True
+        elif id(sib) in finals and finals[id(sib)][1] >= threshold:
+            keep = True
+        elif sib.tag == "p":
+            text = _norm_text(sib)
+            ld = link_density(sib)
+            if len(text) >= 80 and ld < 0.25:
+                keep = True
+            elif 0 < len(text) < 80 and ld == 0.0 and text.endswith("."):
+                keep = True
+        if keep:
+            article.append(sib)
+    return article
+
+
+# --- text + spans ----------------------------------------------------------
+
+
+def collect_text_spans(node: dom.Node) -> tuple[str, list[tuple[int, int]]]:
+    """Normalized visible text of ``node`` plus (start,end) source spans of
+    every contributing text run. Block boundaries inject whitespace so
+    ``</p><p>`` never glues words; inline tags don't split them."""
+    parts: list[str] = []
+    spans: list[tuple[int, int]] = []
+
+    def walk(n: dom.Node):
+        if n.is_text:
+            parts.append(n.text)
+            if n.text.strip() and n.start >= 0 and n.end > n.start:
+                spans.append((n.start, n.end))
+            return
+        block = n.tag in BLOCK_TAGS
+        if block:
+            parts.append("\n")
+        for kid in n.children:
+            walk(kid)
+        if block:
+            parts.append("\n")
+
+    walk(node)
+    return fix_ws("".join(parts)), spans
+
+
+# --- link stripping ---------------------------------------------------------
+
+
+def strip_links(doc: dom.Node) -> None:
+    """Unwrap every <a> whose href doesn't start with '#' (keep text, drop
+    tag). Reference: extract.py:294-310. Mutates the tree."""
+    for tag in doc.find_all("a"):
+        if not (tag.attrs.get("href") or "").startswith("#"):
+            tag.unwrap()
+
+
+# --- image processing (offline-deterministic) -------------------------------
+
+
+def _resolve_image(url: str) -> tuple[str, str] | None:
+    """Offline stand-in for fetch_image (fetch.py:118-172): succeed iff the
+    absolute URL looks http(s) and carries a known image extension; the
+    'format sniff' is the extension→format table. Returns (format, ext) or
+    None (→ tag decomposed, like a network failure)."""
+    low = url.lower().split("?")[0].split("#")[0]
+    if not (low.startswith("http://") or low.startswith("https://")):
+        return None
+    idx = low.rfind(".")
+    if idx < 0:
+        return None
+    ext = low[idx:]
+    if ext == ".jpeg":
+        ext = ".jpg"
+    fmt = _IMG_EXT_TO_FMT.get(ext)
+    if fmt is None:
+        return None
+    return fmt, ext
+
+
+def process_images(doc: dom.Node, base_url: str) -> list[str]:
+    """Dedup <img> by src keeping first-appearance order; absolutize srcs
+    against the doc URL; rewrite kept srcs to './imageNNNN.<ext>' (NNNN =
+    index of first appearance); drop src-less imgs and failed resolutions
+    (dupes follow their unique's fate). Returns resolved absolute URLs.
+
+    Reference semantics: extract.py:204-291. Relational skeleton (kept
+    in-UDF because it is per-document and order-sensitive):
+    explode(img) → row_number over first occurrence → dropDuplicates →
+    left join assets → join back.
+    """
+    seen: list[str] = []
+    tags: list[dom.Node] = []
+    dupes: list[tuple[dom.Node, int]] = []
+    for img in doc.find_all("img"):
+        src = img.attrs.get("src")
+        if src is None:
+            img.decompose()
+            continue
+        if src in seen:
+            dupes.append((img, seen.index(src)))
+        else:
+            seen.append(src)
+            tags.append(img)
+
+    base, docpath = url_split(base_url)
+    resolved = [prepare_url(src, base, docpath) for src in seen]
+    results: list[tuple[str, str] | None] = [_resolve_image(u) for u in resolved]
+
+    images: list[str] = []
+    names: list[str | None] = []
+    for idx, (tag, res) in enumerate(zip(tags, results)):
+        if res is None:
+            names.append(None)
+            tag.decompose()
+        else:
+            _fmt, ext = res
+            name = "./image%04d%s" % (idx, ext)
+            names.append(name)
+            tag.attrs["src"] = name
+            images.append(resolved[idx])
+    for tag, idx in dupes:
+        if names[idx] is None:
+            tag.decompose()
+        else:
+            tag.attrs["src"] = names[idx]
+    return images
+
+
+# --- document assembly -------------------------------------------------------
+
+
+def _document_html(title: str, article: dom.Node) -> str:
+    """Rebuild a full document: doctype + <head> with charset metas and
+    <title> + article body. Reference: extract.py:115-130."""
+    esc = title.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (
+        "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
+        "<meta content=\"text/html; charset='utf-8'\" name=\"http-equiv\">"
+        "<title>%s</title></head><body>%s</body></html>"
+        % (esc, article.to_html())
+    )
+
+
+def extract(html: str) -> tuple[str, str]:
+    """(title, full-document html) — the reference's core operator shape
+    (extract.py:90-131), our scorer underneath."""
+    res = extract_turn(html)
+    return res.title, res.html
+
+
+def no_extract(html: str) -> tuple[str, str]:
+    """Passthrough: title + original html (extract.py:134-137)."""
+    doc = dom.parse(html)
+    return get_title(doc), html
+
+
+def extract_turn(
+    html: str,
+    base_url: str = "",
+    do_extract: bool = True,
+    preprocessors=(),
+    with_images: bool = True,
+    do_strip_links: bool = True,
+) -> ExtractResult:
+    """Full per-turn pipeline (the collect() shape, pack.py:157-251, minus
+    network/zip): parse → preprocess → extract/no_extract → strip_links →
+    process_images → text+spans. Never raises: any exception lands in
+    ``.error`` (pack.py:205-213 semantics)."""
+    result = ExtractResult()
+    try:
+        if html is None or not html.strip():
+            result.error = "empty_payload"
+            return result
+        doc = dom.parse(html)
+        for prep in preprocessors:
+            prep(doc)
+        result.title = get_title(doc)
+        if do_extract:
+            strip_unlikely(doc)
+            article = build_article(doc)
+        else:
+            article = doc.body
+        if do_strip_links:
+            strip_links(article)
+        if with_images and base_url:
+            result.images = process_images(article, base_url)
+        result.n_images = len(result.images)
+        result.text, spans = collect_text_spans(article)
+        result.spans = spans
+        result.html = _document_html(result.title, article)
+        return result
+    except Exception as err:  # noqa: BLE001 — in-band error channel
+        result.error = "%s: %s" % (type(err).__name__, err)
+        return result

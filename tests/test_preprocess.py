@@ -1,0 +1,97 @@
+"""Preprocessor contracts from artexin/preprocessors.py doctests +
+dispatch semantics from artexin/preprocessor_mappings.py."""
+
+from artexin_spark import dom
+from artexin_spark.preprocess import (
+    apply_preps_html,
+    fixheaders_html,
+    get_prep_names,
+    get_preps,
+    pp_dwelle,
+    pp_fixheaders,
+    pp_wikipedia,
+)
+
+
+def test_fixheaders_promotes():  # preprocessors.py:33-36
+    out = fixheaders_html("<h2>This should be h1</h2><h3>Should be h2</h3>")
+    assert out == "<h1>This should be h1</h1><h2>Should be h2</h2>"
+
+
+def test_fixheaders_noop_when_h1_present():  # preprocessors.py:38-41
+    out = fixheaders_html("<h1>This should be h1</h1><h3>But this is not h2</h3>")
+    assert out == "<h1>This should be h1</h1><h3>But this is not h2</h3>"
+
+
+def test_get_preps_dispatch():  # preprocessor_mappings.py:41-44
+    assert get_prep_names("http://www.example.com") == ["fixheaders"]
+    assert get_prep_names("http://en.wikipedia.org/") == ["wikipedia", "fixheaders"]
+    assert get_prep_names("http://www.dw.de/x") == ["dwelle", "fixheaders"]
+    # concat semantics: every match appends, catch-all always last
+    assert get_preps("https://de.wikipedia.org/wiki/X")[0] is pp_wikipedia
+    assert get_preps("anything")[-1] is pp_fixheaders
+
+
+def test_pp_wikipedia():  # preprocessors.py:59-153
+    wiki = (
+        "<html><body>"
+        '<h1 id="firstHeading" class="firstHeading">Helianthus</h1>'
+        '<div id="bodyContent"><div id="mw-content-text">'
+        "<p>The sunflower is a large annual forb of the genus Helianthus.</p>"
+        '<span class="mw-editsection"><a href="/w/index.php?title=X">edit</a></span>'
+        '<table class="navbox"><tr><td>navbox junk</td></tr></table>'
+        '<table class="metadata"><tr><td>meta junk</td></tr></table>'
+        '<div class="hatnote">For other uses, see X.</div>'
+        '<a href="/wiki/Plant">Plant</a>'
+        '<a class="image" href="/wiki/File:X.jpg"><img src="/x.jpg"></a>'
+        '<div class="thumbcaption">A caption<div class="magnify">zoom</div></div>'
+        "</div></div>"
+        '<div id="mw-navigation">site navigation</div>'
+        "</body></html>"
+    )
+    doc = dom.parse(wiki)
+    pp_wikipedia(doc)
+    out = doc.to_html()
+    assert "<h1>Helianthus</h1>" in out
+    assert "firstHeading" not in out  # original h1 left outside the new body
+    assert "edit" not in out
+    assert "navbox junk" not in out and "meta junk" not in out
+    assert "For other uses" not in out
+    assert '<a href="/wiki/Plant">' not in out and "Plant" in out
+    assert '<a class="image"' not in out and '<img src="/x.jpg">' in out
+    assert '<p class="thumbcaption">' in out and "zoom" not in out
+    assert "site navigation" not in out  # body replaced by content div
+    # h1's parent is the mw-content-text div (doctest: soup.h1.parent)
+    h1 = doc.find("h1")
+    assert h1.parent.attrs.get("id") == "mw-content-text"
+
+
+def test_pp_dwelle():  # preprocessors.py:156-186
+    dw = (
+        "<html><body>"
+        '<h1>Headline</h1>'
+        '<p class="intro">The intro text.</p>'
+        '<div class="picBox"><a href="/img"><img src="/pic.jpg"></a></div>'
+        '<ul class="smallList"><li>first list</li></ul>'
+        '<ul class="smallList"><li>Date <strong>Author Name</strong></li></ul>'
+        '<div class="longText"><p>Body paragraph one.</p></div>'
+        "<div>other page furniture</div>"
+        "</body></html>"
+    )
+    doc = dom.parse(dw)
+    pp_dwelle(doc)
+    out = doc.to_html()
+    assert "Deutsche Welle" in out and "Author Name" not in out
+    assert "other page furniture" not in out  # body replaced by longText
+    body = doc.find("body")
+    assert body is not None
+    text = body.text_content()
+    assert "Headline" in text and "The intro text." in text
+    assert "Body paragraph one." in text
+
+
+def test_apply_preps_html_chain():
+    # wikipedia URL: pp_wikipedia then pp_fixheaders both run
+    html = "<body><h2>Only heading</h2><p>text</p></body>"
+    out = apply_preps_html(html, "http://www.example.com/a")
+    assert "<h1>Only heading</h1>" in out

@@ -1,0 +1,136 @@
+"""Extraction contracts from the reference's doctests + span guarantees."""
+
+import pytest
+
+from artexin_spark import dom
+from artexin_spark.readability import (
+    extract,
+    extract_turn,
+    get_title,
+    no_extract,
+    process_images,
+    strip_links,
+)
+from artexin_spark.tokenize import fix_ws
+
+BOILERPLATE_PAGE = """<html><head><title>Instant Hacking</title>
+<style>.nav{color:red}</style></head>
+<body>
+<div id="navigation"><ul>
+<li><a href="/home">Home</a></li>
+<li><a href="./../research">Research</a></li>
+</ul></div>
+<div id="content">
+<p>What is Programming? This is a long paragraph about programming, with
+several clauses, commas, and enough length to count as body text for the
+scorer to pick up reliably in every run.</p>
+<p>Another decent paragraph follows here, discussing hacking, languages,
+and the joy of writing programs that write programs, which is also long
+enough to contribute scoring weight.</p>
+<p>Short closing remark.</p>
+</div>
+<div class="footer"><a href="/contact">Contact us</a> | copyright 2014</div>
+<script>var tracker = 1;</script>
+</body></html>"""
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        ("<html><head><title>Foo bar</title></head><body></body></html>", "Foo bar"),
+        ("<html><head></head><body><h1>Foo bar baz</h1></body></html>", "Foo bar baz"),
+        (
+            "<html><head></head><body><h2>Foo bar baz 1</h2><h2>Foo bar baz 2</h2>"
+            "</body></html>",
+            "Foo bar baz 1",
+        ),
+        ("<html><head></head><body><p>Foo bar baz</p></body></html>", ""),
+    ],
+)
+def test_get_title(html, want):  # artexin/extract.py:41-77
+    assert get_title(dom.parse(html)) == want
+
+
+def test_extract_keeps_article_drops_boilerplate():  # artexin/extract.py:95-103
+    title, html = extract(BOILERPLATE_PAGE)
+    assert title == "Instant Hacking"
+    assert "What is Programming?" in html
+    assert '<a href="./../research">Research</a>' not in html
+    assert '<div id="navigation">' not in html
+    assert "tracker" not in html
+    assert html.startswith("<!DOCTYPE html>\n")
+    assert "<title>Instant Hacking</title>" in html
+
+
+def test_no_extract_passthrough():  # artexin/extract.py:134-137
+    title, html = no_extract(BOILERPLATE_PAGE)
+    assert title == "Instant Hacking"
+    assert html == BOILERPLATE_PAGE
+
+
+def test_strip_links():  # artexin/extract.py:297-301
+    doc = dom.parse('<html><body><a href="/foo">foo</a></body></html>')
+    strip_links(doc)
+    assert doc.body.to_html() == "<body>foo</body>"
+    doc = dom.parse('<body><a href="#frag">kept</a><a>bare</a></body>')
+    strip_links(doc)
+    out = doc.body.to_html()
+    assert '<a href="#frag">kept</a>' in out  # fragment links survive
+    assert "<a>bare</a>" not in out  # href-less unwrapped
+
+
+def test_extract_turn_spans_recover_text():
+    res = extract_turn(BOILERPLATE_PAGE)
+    assert res.error is None
+    assert res.spans, "expected at least one span"
+    recovered = fix_ws(
+        " ".join(BOILERPLATE_PAGE[s:e] for s, e in res.spans)
+    )
+    assert recovered == res.text
+    assert "What is Programming?" in res.text
+    assert "Home" not in res.text
+
+
+def test_extract_turn_error_channel():
+    assert extract_turn("").error == "empty_payload"
+    assert extract_turn(None).error == "empty_payload"
+    assert extract_turn("   \n ").error == "empty_payload"
+    # malformed html must not raise, and not error either (tolerant parse)
+    res = extract_turn("<p>unclosed <b>bold")
+    assert res.error is None
+
+
+def test_extract_plain_text_payload():
+    res = extract_turn("just some plain words with no markup at all")
+    assert res.error is None
+    assert res.text == "just some plain words with no markup at all"
+
+
+def test_process_images_first_appearance_indexing():
+    # artexin/extract.py:204-291: NNNN = first-appearance index; dupes share;
+    # src-less dropped; unresolvable (bad ext) decomposed.
+    page = (
+        '<body>'
+        '<img src="/static/a.png">'
+        '<img src="//cdn.example.com/b.jpg">'
+        '<img>'
+        '<img src="/static/a.png">'
+        '<img src="/weird.xyz">'
+        "</body>"
+    )
+    doc = dom.parse(page)
+    images = process_images(doc, "https://www.example.com/test.html")
+    assert images == [
+        "https://www.example.com/static/a.png",
+        "https://cdn.example.com/b.jpg",
+    ]
+    out = doc.to_html()
+    assert out.count('src="./image0000.png"') == 2  # unique + its dupe
+    assert 'src="./image0001.jpg"' in out
+    assert out.count("<img") == 3  # src-less and bad-ext dropped
+
+
+def test_extract_full_document_shape():  # head rebuild, extract.py:115-130
+    _, html = extract(BOILERPLATE_PAGE)
+    assert '<meta charset="utf-8">' in html
+    assert "name=\"http-equiv\"" in html

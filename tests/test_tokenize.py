@@ -1,0 +1,107 @@
+"""Tokenization golden vectors from artexin/index.py doctests."""
+
+import pytest
+
+from artexin_spark.tokenize import (
+    count_text,
+    fix_ws,
+    get_counts,
+    is_word,
+    split_sentences,
+    split_words,
+    strip_period,
+)
+
+EVERHARD = """
+It cannot be said that the Everhard Manuscript is an important
+historical document. To the historian it bristles with errors--not
+errors of fact, but errors of interpretation. Looking back across
+the seven centuries that have lapsed since Avis Everhard completed
+her manuscript, events, and the bearings of events, that were
+confused and veiled to her, are clear to us. She lacked
+perspective. She was too close to the events she writes about. Nay,
+she was merged in the events she has described.
+
+Nevertheless, as a personal document, the Everhard Manuscript is of
+inestimable value. But here again enter error of perspective, and
+vitiation due to the bias of love. Yet we smile, indeed, and
+forgive Avis Everhard for the heroic lines upon which she modelled
+her husband. We know today that he was not so colossal, and that he
+loomed among the events of his times less largely than the
+Manuscript would lead us to believe.
+
+We know that Ernest Everhard was an exceptionally strong man, but
+not so exceptional as his wife thought him to be. He was, after
+all, but one of a large number of heroes who, throughout the world,
+devoted their lives to the Revolution; though it must be conceded
+that he did unusual work, especially in his elaboration and
+interpretation of working-class philosophy. "Proletarian science"
+and "proletarian philosophy" were his phrases for it, and therein
+he shows the provincialism of his mind--a defect, however, that was
+due to the times and that none in that day could escape.
+"""
+
+
+def test_fix_ws():  # artexin/index.py:33-35
+    assert fix_ws("This text contains a tab\t and two newlines\n\n") == (
+        "This text contains a tab and two newlines"
+    )
+
+
+def test_strip_period():  # artexin/index.py:48-51
+    assert strip_period("sentences.") == "sentences"
+    assert strip_period("two") == "two"
+
+
+@pytest.mark.parametrize(
+    "token,want",
+    [
+        ("abracadabra", True),
+        ("abr'acadabra", True),
+        ("foo:bar", True),
+        (",", False),
+        ("...", False),
+    ],
+)
+def test_is_word(token, want):  # artexin/index.py:68-78
+    assert is_word(token) is want
+
+
+def test_split_sentences():  # artexin/index.py:94-96
+    assert list(split_sentences("This is a paragraph. It has two sentences.")) == [
+        "This is a paragraph.",
+        "It has two sentences.",
+    ]
+
+
+def test_split_words():  # artexin/index.py:111-113
+    assert list(split_words("This is a sample sentence, so to speak.")) == [
+        "This",
+        "is",
+        "a",
+        "sample",
+        "sentence",
+        "so",
+        "to",
+        "speak",
+    ]
+
+
+def test_everhard_counts():  # artexin/index.py:127-182 — the full fixture
+    tc, pc, wc = count_text(EVERHARD)
+    assert tc["and"] == 9
+    assert tc["vitiation"] == 1
+    assert pc["the events"] == 3
+    assert pc["of working-class"] == 1
+    assert wc == 256
+    ordered = sorted(tc.items(), key=lambda x: (x[1], x[0]), reverse=True)
+    assert [t for t, c in ordered if c > 5] == [
+        "the", "of", "that", "to", "and", "was", "she",
+    ]
+    assert pc.get("the events", 0) == 3
+
+
+def test_pairs_reset_at_sentence_boundary():  # artexin/index.py:193
+    tc, pc, wc = get_counts(["one two.", "two one."])
+    assert pc == {"one two": 1, "two one": 1}
+    assert wc == 4
