@@ -1,0 +1,79 @@
+"""Iceberg-shaped source/sink + lineage/checkpoint manifests.
+
+The sandbox has no Iceberg runtime jar (SURVEY.md §7.0), so the sink is an
+Iceberg-shaped layout we manage explicitly:
+
+    <sink>/data/part_key=NNN/*.parquet     bucket-partitioned output
+    <sink>/_lineage/*.parquet              one row per (run_id, part_key)
+
+``_lineage`` doubles as the checkpoint manifest (the reference's
+per-package ``info.json``, artexin/pack.py:120-122, lifted to partition
+granularity): a bucket with a ``status='ok'`` row is done and is skipped
+on resume; re-running a bucket overwrites its directory idempotently —
+the same semantics as the reference's rmtree-if-exists + rewrite
+(artexin/pack.py:113-116), via Spark dynamic partition overwrite.
+
+Swap point: replace write_data/read_data with
+``df.writeTo(tbl).overwritePartitions()`` / ``spark.read.format('iceberg')``
+when a catalog is configured — the pipeline code doesn't change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, part_key int, n_rows long, n_errors long, "
+    "n_chars_in long, n_chars_out long, wall_ms double, status string, "
+    "finished_at timestamp"
+)
+
+
+def data_path(sink: str) -> str:
+    return os.path.join(sink, "data")
+
+
+def lineage_path(sink: str) -> str:
+    return os.path.join(sink, "_lineage")
+
+
+def write_data(df: DataFrame, sink: str) -> None:
+    """Dynamic-partition-overwrite write: only the part_key directories
+    present in ``df`` are replaced — idempotent bucket re-runs."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_key")
+        .parquet(data_path(sink))
+    )
+
+
+def read_data(spark: SparkSession, sink: str) -> DataFrame:
+    return spark.read.parquet(data_path(sink))
+
+
+def append_lineage(df: DataFrame, sink: str) -> None:
+    df.write.mode("append").parquet(lineage_path(sink))
+
+
+def read_lineage(spark: SparkSession, sink: str) -> DataFrame | None:
+    path = lineage_path(sink)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # first run: no manifest yet
+
+
+def completed_buckets(spark: SparkSession, sink: str) -> DataFrame | None:
+    """part_keys whose LATEST lineage row is ok — the resume anti-join
+    side (SURVEY.md §4 item 4)."""
+    lin = read_lineage(spark, sink)
+    if lin is None:
+        return None
+    latest = lin.groupBy("part_key").agg(
+        F.max_by("status", "finished_at").alias("status")
+    )
+    return latest.filter(F.col("status") == "ok").select("part_key")

@@ -249,14 +249,22 @@ def build_article(doc: dom.Document) -> dom.Node:
 
 def collect_text_spans(node: dom.Node) -> tuple[str, list[tuple[int, int]]]:
     """Normalized visible text of ``node`` plus (start,end) source spans of
-    every contributing text run. Block boundaries inject whitespace so
-    ``</p><p>`` never glues words; inline tags don't split them."""
+    every contributing text run.
+
+    Canonical assembly rule (used identically by the golden generator, the
+    Spark UDF, and the recovery invariant): text runs join with a single
+    space, then whitespace is normalized — so for entity-free sources
+    ``fix_ws(' '.join(src[s:e] for s,e in spans)) == text`` holds exactly,
+    and is SQL-expressible (transform + array_join + regexp_replace) for
+    distributed verification. Entity-bearing runs keep raw-source spans
+    (byte-faithful) while ``text`` carries the decoded form."""
     parts: list[str] = []
     spans: list[tuple[int, int]] = []
 
     def walk(n: dom.Node):
         if n.is_text:
             parts.append(n.text)
+            parts.append(" ")
             if n.text.strip() and n.start >= 0 and n.end > n.start:
                 spans.append((n.start, n.end))
             return

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the extraction workload.
+
+One place owns the session config so tests, bench.py, the driver entry and
+spark-submit jobs all get identical physical behavior:
+
+- Arrow pandas_udf path on, with a bounded records-per-batch because HTML
+  payload rows are fat (multi-KB..MB) — an unbounded 10k-row default batch
+  would balloon executor-python memory (SURVEY.md §4.2).
+- AQE on (coalescing + skew-join splitting as backstop behind our explicit
+  conv_id salting).
+- shuffle partitions sized to the local core budget; on a real cluster
+  pass --conf spark.sql.shuffle.partitions=<2-3× total cores> instead.
+- session timezone UTC — the reference serializes timestamps as UTC
+  strings (artexin/pack.py:39), we keep all ts math in UTC.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "artexin-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = "local[%s]" % (cpus if cpus else "*")
+    shuffle = os.environ.get("SPARK_SHUFFLE_PARTITIONS") or str(max(32, (cpus or 32)))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,146 @@
+"""Arrow pandas_udf wrappers around the pure extraction core.
+
+Design center (BASELINE.json north rule): the executor crosses the
+JVM↔Python boundary ONCE per Arrow batch, never per row. Each UDF here is
+a scalar ``pandas_udf`` over pd.Series batches; per-document Python runs
+*inside* the batch loop, which is exactly the vectorized shape — there are
+NO row-at-a-time ``F.udf`` calls anywhere in this engine.
+
+The whole preprocess→extract→strip_links→images chain is fused into ONE
+UDF (one parse per document, one boundary crossing), unlike the reference
+which reparses the DOM between every stage (artexin/pack.py:217-230).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .preprocess import PREPS_BY_NAME, get_prep_names
+from .readability import extract_turn, get_title
+from . import dom
+from .tokenize import count_text, split_sentences, split_words
+
+# Output schema of the fused extraction UDF (SURVEY.md §1.2 column map).
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.IntegerType()),
+                        T.StructField("end", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("images", T.ArrayType(T.StringType())),
+        T.StructField("n_images", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_counts", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField("pair_counts", T.MapType(T.StringType(), T.IntegerType())),
+        T.StructField("word_count", T.IntegerType()),
+    ]
+)
+
+
+def _run_extract_batch(
+    texts: pd.Series, sources: pd.Series, do_extract: pd.Series
+) -> pd.DataFrame:
+    rows = []
+    for html, src, do_ext in zip(texts, sources, do_extract):
+        src = src if isinstance(src, str) else ""
+        preps = [PREPS_BY_NAME[n] for n in get_prep_names(src)] if src else ()
+        res = extract_turn(
+            html,
+            base_url=src,
+            do_extract=bool(do_ext) if do_ext is not None else True,
+            preprocessors=preps,
+        )
+        rows.append(
+            (
+                res.title,
+                res.text,
+                [{"start": s, "end": e} for s, e in res.spans],
+                res.images,
+                res.n_images,
+                res.error,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["title", "extracted_text", "spans", "images", "n_images", "error"],
+    )
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(texts: pd.Series, sources: pd.Series, do_extract: pd.Series) -> pd.DataFrame:
+    """The flagship operator (artexin/pack.py:157-251 collect() semantics,
+    fused): preprocess dispatch by source URL → readability extraction →
+    link strip → image resolution → text+spans, errors in-band."""
+    return _run_extract_batch(texts, sources, do_extract)
+
+
+@pandas_udf(T.StringType())
+def title_udf(texts: pd.Series) -> pd.Series:
+    """get_title only (artexin/extract.py:35-87) — cheap path when callers
+    need titles without full extraction."""
+    return texts.map(lambda h: get_title(dom.parse(h or "")))
+
+
+@pandas_udf(COUNTS_SCHEMA)
+def counts_udf(texts: pd.Series) -> pd.DataFrame:
+    """Per-document term/pair/word counts (artexin/index.py:124-204).
+
+    Note: for corpus-level term statistics prefer the native formulation
+    (split → explode → groupBy) in __spark_entry__.py — this UDF is for
+    the per-turn MapType output column the reference's index shape needs.
+    """
+    rows = []
+    for text in texts:
+        tc, pc, wc = count_text(text or "")
+        rows.append((tc, pc, wc))
+    return pd.DataFrame(rows, columns=["term_counts", "pair_counts", "word_count"])
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def sentences_udf(texts: pd.Series) -> pd.Series:
+    """Sentence split (regex punkt replacement, artexin/index.py:86-104)."""
+    return texts.map(lambda t: list(split_sentences(t or "")))
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def words_udf(texts: pd.Series) -> pd.Series:
+    """Word tokens per document (artexin/index.py:107-121) — feeds native
+    explode/groupBy aggregation for corpus term counts."""
+    return texts.map(lambda t: [w.lower() for w in split_words(t or "")])
+
+
+def with_extraction(df, text_col="text", source_col=None, do_extract_col=None):
+    """Attach the extraction struct + flattened output columns to ``df``.
+
+    Column-pruning friendly: only text/source/do_extract feed the UDF, so
+    Catalyst prunes everything else from the scan when downstream allows.
+    """
+    source = F.col(source_col) if source_col else F.lit("")
+    do_ext = F.col(do_extract_col) if do_extract_col else F.lit(True)
+    out = df.withColumn("_ex", extract_udf(F.col(text_col), source, do_ext))
+    return (
+        out.withColumn("title", F.col("_ex.title"))
+        .withColumn("extracted_text", F.col("_ex.extracted_text"))
+        .withColumn("spans", F.col("_ex.spans"))
+        .withColumn("images", F.col("_ex.images"))
+        .withColumn("n_images", F.col("_ex.n_images"))
+        .withColumn("error", F.col("_ex.error"))
+        .drop("_ex")
+    )

@@ -1,0 +1,17 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    os.environ.setdefault("SPARK_SHUFFLE_PARTITIONS", "8")
+    from artexin_spark.session import get_spark
+
+    spark = get_spark("artexin-tests")
+    yield spark
+    spark.stop()

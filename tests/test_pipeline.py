@@ -1,0 +1,164 @@
+"""End-to-end Spark pipeline: golden per-turn equality, resume, lineage,
+salting, and physical-plan shape (vectorized Arrow path only)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from artexin_spark import io as sink_io
+from artexin_spark.corpus import gen_transcripts, golden_extract, synth_transcripts
+from artexin_spark.pipeline import extract_df, run_extract
+from artexin_spark.udfs import with_extraction
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return gen_transcripts(n_convs=40, seed=42, with_source=True)
+
+
+@pytest.fixture(scope="module")
+def golden(corpus_pdf):
+    return golden_extract(corpus_pdf)
+
+
+def _spark_result(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    out = extract_df(spark, df, n_buckets=16)
+    return (
+        out.select("conv_id", "turn_idx", "title", "extracted_text", "n_images", "error")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+
+
+def test_golden_per_turn_text_equality(spark, corpus_pdf, golden):
+    """The north-rule correctness gate: Spark (vectorized, shuffled,
+    salted) output == single-node golden, exact per-turn text equality
+    under stable (conv_id, turn_idx) ordering."""
+    got = _spark_result(spark, corpus_pdf)
+    want = golden[["conv_id", "turn_idx", "title", "extracted_text", "n_images", "error"]]
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_corpus_has_dirty_rows_and_skew(corpus_pdf):
+    # the corpus actually exercises the error channel and skew
+    n = len(corpus_pdf)
+    empties = (corpus_pdf["text"].str.strip() == "").sum()
+    assert empties > 0
+    per_conv = corpus_pdf.groupby("conv_id").size()
+    assert per_conv.max() > 20 * per_conv.median()  # hot convs present
+
+
+def test_salting_flattens_buckets(spark, corpus_pdf):
+    """xxhash64(conv_id, turn_idx) bucketing: max/median bucket size must
+    be near 1 even with 100x-hot conversations (SURVEY.md §4 item 1)."""
+    df = spark.createDataFrame(corpus_pdf)
+    from artexin_spark.pipeline import prepare_input
+
+    sizes = (
+        prepare_input(df, 16, "source")
+        .groupBy("part_key")
+        .count()
+        .toPandas()["count"]
+    )
+    assert len(sizes) == 16
+    assert sizes.max() / sizes.median() < 1.5
+
+
+def test_sink_lineage_and_resume(spark, corpus_pdf, tmp_path):
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(corpus_pdf)
+
+    # first run: only buckets 0..7 (simulated partial failure)
+    from artexin_spark.pipeline import prepare_input
+
+    partial = prepare_input(df, 8, "source").filter(F.col("part_key") < 4).drop("part_key", "source")
+    stats1 = run_extract(spark, partial, sink, n_buckets=8, source_col=None)
+    assert stats1["rows"] > 0
+
+    done = sink_io.completed_buckets(spark, sink).toPandas()
+    n_done_before = len(done)
+    assert n_done_before > 0
+
+    # resume over the FULL input: already-ok buckets skipped
+    stats2 = run_extract(spark, df, sink, n_buckets=8, resume=True)
+    lin = sink_io.read_lineage(spark, sink).toPandas()
+    run2 = lin[lin.run_id == stats2["run_id"]]
+    assert set(run2.part_key).isdisjoint(set(done.part_key))
+
+    # after resume the sink holds each (conv_id, turn_idx) exactly once
+    data = sink_io.read_data(spark, sink)
+    total = data.count()
+    dedup = data.select("conv_id", "turn_idx").distinct().count()
+    assert total == dedup
+    # lineage wall times are real measurements
+    assert (lin["wall_ms"] > 0).all()
+    assert (lin["n_chars_in"] >= 0).all()
+
+
+def test_rerun_is_idempotent(spark, corpus_pdf, tmp_path):
+    sink = str(tmp_path / "sink2")
+    df = spark.createDataFrame(corpus_pdf.head(200))
+    run_extract(spark, df, sink, n_buckets=4)
+    count1 = sink_io.read_data(spark, sink).count()
+    run_extract(spark, df, sink, n_buckets=4)  # full re-run, dynamic overwrite
+    count2 = sink_io.read_data(spark, sink).count()
+    assert count1 == count2 == 200
+
+
+def test_physical_plan_is_vectorized(spark, corpus_pdf):
+    """No row-at-a-time Python: the plan must contain Arrow nodes
+    (MapInPandas / ArrowEvalPython) and no BatchEvalPython."""
+    df = spark.createDataFrame(corpus_pdf.head(50))
+    plan = extract_df(spark, df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert ("MapInPandas" in plan) or ("ArrowEvalPython" in plan)
+
+    plan2 = (
+        with_extraction(spark.createDataFrame(corpus_pdf.head(50)), source_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan2
+    assert "ArrowEvalPython" in plan2
+
+
+def test_content_hash_and_schema(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf.head(30))
+    out = extract_df(spark, df, n_buckets=4)
+    row = out.filter(F.col("error").isNull()).first()
+    assert len(row["content_hash"]) == 32
+    fields = dict(out.dtypes)
+    assert fields["spans"] == "array<struct<start:int,end:int>>"
+    assert fields["turn_idx"] == "int"
+    assert fields["extracted_at"] == "timestamp"
+
+
+def test_spans_recoverable_via_spark(spark, corpus_pdf):
+    """Join extracted spans back to the original text and re-derive the
+    extracted_text — exact equality, computed distributed."""
+    pdf = corpus_pdf.head(300)
+    df = spark.createDataFrame(pdf)
+    out = extract_df(spark, df, n_buckets=4).filter(
+        F.col("error").isNull() & (F.size("spans") > 0)
+    )
+    orig = spark.createDataFrame(pdf[["conv_id", "turn_idx", "text"]])
+    joined = out.join(orig, ["conv_id", "turn_idx"])
+    # rebuild text from spans natively (substring each span, join, fix_ws)
+    joined.createOrReplaceTempView("joined_spans")
+    rebuilt = spark.sql(
+        """
+        SELECT conv_id, turn_idx, extracted_text,
+               trim(regexp_replace(
+                 array_join(transform(spans,
+                   s -> substring(text, s.start + 1, s.end - s.start)), ' '),
+                 '\\\\s+', ' ')) AS rebuilt
+        FROM joined_spans
+        """
+    ).toPandas()
+    mismatches = rebuilt[rebuilt.extracted_text != rebuilt.rebuilt]
+    assert len(mismatches) == 0, mismatches.head()
