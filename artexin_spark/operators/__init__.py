@@ -1,0 +1,16 @@
+"""Training-data-pipeline operators beyond the reference's own surface.
+
+The reference is an article-extraction pipeline; a 100 TB training-data
+engine additionally needs corpus-level ops. All Spark-first: native
+column expressions where possible, Arrow pandas_udfs only where vector
+math genuinely wants numpy.
+
+    dedup.py       exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+                   embedding-cosine near-duplicate detection
+    similarity.py  brute-force cosine top-k + LSH-bucketed ANN
+    textstats.py   language id, quality scoring, token counting,
+                   document fingerprinting
+    multimodal.py  binary image/audio/video columns: schema, batching,
+                   decode/feature plumbing (decoders stubbed — no codec
+                   libs in env; Spark-side shape is real and tested)
+"""

@@ -1,0 +1,334 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Cross-engine determinism: every hash is md5-based (Spark and DuckDB md5
+agree byte-for-byte), so each operator has an exact ANSI-SQL oracle in
+__spark_entry__.py. No xxhash/murmur in any semantic (they differ across
+engines); xxhash64 appears only in physical salting where values don't
+reach results.
+
+Scale notes (100 TB):
+- exact_dedup: one hash-aggregate shuffle on a 32-char key; partial
+  aggregation map-side; no window sort.
+- minhash: signatures are one explode + one hash-agg per doc (k mins
+  computed in a single groupBy with k agg exprs — ONE shuffle, not k).
+  LSH banding self-joins on (band_idx, band_key): bucket sizes are the
+  quadratic risk, so ``max_bucket`` caps pathological buckets (boilerplate
+  shingle storms) exactly like stop-shingle removal in production dedup.
+- ngram_jaccard: inverted-index self-join; ``max_df`` drops stop-shingles
+  (doc-frequency cap) BEFORE the join — without it a shingle appearing in
+  1M docs creates 10^12 pairs. This is the difference between "works on
+  60k rows" and "works on 100 TB".
+- simhash: 32-bit signature from md5 nibble high-bits; near-dup via
+  banded hamming join (4 bands of 8 bits → hamming≤3 candidates within
+  band collisions), verify with bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tokenization used by all text dedup ops — MUST stay in lockstep with the
+# SQL oracle: lower → split on non-alphanumerics → drop empties.
+def tokens_col(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"), lambda t: t != ""
+    )
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Word n-gram shingles as strings ('a b c'). Native: transform over
+    an index sequence — no UDF, no explode until the caller asks."""
+    toks = tokens_col(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def norm_md5(text_col: str):
+    """Content key of the whitespace-normalized lowercased text — the
+    engine's exact-dup identity (reference: md5 content addressing,
+    artexin/pack.py:59-65,107)."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact content group.
+    One hash-agg shuffle (partial+final), no window sort."""
+    return (
+        df.withColumn("content_key", norm_md5(text_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def exact_dedup_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full surviving rows (min_by keeps the whole representative row
+    without a second join)."""
+    keyed = df.withColumn("content_key", norm_md5(text_col))
+    others = [c for c in keyed.columns if c != "content_key"]
+    agg = keyed.groupBy("content_key").agg(
+        F.min_by(F.struct(*others), F.col(id_col)).alias("_row")
+    )
+    return agg.select("content_key", "_row.*")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>[k]): sig[i] = min over shingles of
+    md5(i || ':' || shingle). String-min of md5 hex is a valid min-hash
+    (uniform over a total order) and is engine-portable. Single shuffle:
+    explode → groupBy(id) with k min() aggregates."""
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit("%d:" % i), F.col("sh")))).alias("h%d" % i)
+        for i in range(k)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col), F.array(*[F.col("h%d" % i) for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and self-join on band buckets → candidate pairs
+    (a < b). ``max_bucket`` drops degenerate buckets (boilerplate storms)
+    before the quadratic step."""
+    k = bands  # rows per band derived from sig length at runtime
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    # cap pathological buckets before pairing
+    sizes = banded.groupBy("band_idx", "band_key").count()
+    banded = banded.join(
+        sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["band_idx", "band_key"],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a." + id_col) < F.col("b." + id_col)),
+        )
+        .select(
+            F.col("a." + id_col).alias("id_a"), F.col("b." + id_col).alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated jaccard = fraction of agreeing signature slots."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return j.select(
+        "id_a", "id_b", (eq / F.size("sig_a")).alias("jaccard_est")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Docs flagged as near-duplicates of a lower-id doc (standard
+    keep-first LSH dedup; clustering is per-pair, not transitive-closure —
+    iterate or connected-components for full clustering)."""
+    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    est = minhash_jaccard_estimate(sigs, pairs, id_col)
+    return est.filter(F.col("jaccard_est") >= threshold)
+
+
+# --- n-gram Jaccard (exact) --------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 10000,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets via inverted-index
+    self-join. ``max_df`` removes stop-shingles before pairing (the scale
+    guard); sizes use the UNfiltered sets so jaccard stays exact for pairs
+    whose overlap survives filtering."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(text_col, n)).alias("shs"),
+    )
+    sizes = sh.select("id", F.size("shs").alias("n_sh"))
+    ex = sh.select("id", F.explode("shs").alias("sh"))
+    if max_df is not None:
+        dfreq = ex.groupBy("sh").count().filter(F.col("count") <= max_df).drop("count")
+        ex = ex.join(dfreq, "sh")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ja = inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a").join(
+        sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b"
+    )
+    return ja.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_col(text_col: str, bits: int = SIMHASH_BITS):
+    """32-bit SimHash, engine-portable: bit p of a token's hash = high bit
+    of md5-hex nibble p (hexdigit in '89abcdef'). Document bit p = sign of
+    sum over tokens of (2*bit-1). Pure native expressions."""
+    toks = tokens_col(text_col)
+    def bit_sum(p):
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.instr(F.lit("89abcdef"), F.substring(F.md5(t), p + 1, 1)) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    return F.concat(
+        *[F.when(bit_sum(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Banded join:
+    two docs within hamming d < bands must agree exactly on ≥1 of the
+    ``bands`` bit-blocks (pigeonhole) → self-join per band, verify true
+    hamming natively."""
+    bits = SIMHASH_BITS
+    width = bits // bands
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.substring("sh", b * width + 1, width),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --- embedding near-dup ------------------------------------------------------
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. Brute-force pairwise (for the exact
+    baseline / oracle); at scale use similarity.lsh_ann buckets as the
+    candidate generator instead of the full cross join."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_expr("v_a", "v_b").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,178 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is REAL and tested — schema, Arrow batching,
+mapInPandas signatures, partition shape. The codec step is STUBBED
+(no PIL/ffmpeg in this container): ``decode_image`` parses a tiny
+deterministic fake header; calling it on real image bytes raises
+NotImplementedError with a clear message. Swapping in PIL later touches
+exactly one function.
+
+Asset table shape (SURVEY.md §2.1 fetch_image mapping):
+    assets(asset_id long, kind string, payload binary,
+           meta struct<format string, width int, height int,
+                       n_frames int, sample_rate int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FAKE_MAGIC = b"FAKEIMG1"
+
+
+def make_fake_image(width: int, height: int, fmt: str = "PNG") -> bytes:
+    """Deterministic fake payload: magic + fmt + dims + md5 body."""
+    body = hashlib.md5(b"%d:%d:%s" % (width, height, fmt.encode())).digest()
+    return FAKE_MAGIC + fmt.encode().ljust(4) + _struct.pack("<II", width, height) + body
+
+
+def decode_image(payload: bytes) -> dict:
+    """Parse the fake header → {format,width,height}. Real image bytes →
+    NotImplementedError (no codec libs in this environment)."""
+    if payload is None or len(payload) < 20:
+        raise ValueError("truncated payload")
+    if not payload.startswith(FAKE_MAGIC):
+        raise NotImplementedError(
+            "real image decoding requires PIL/libvips — not available in "
+            "this environment; wire it in here (single function swap)"
+        )
+    fmt = payload[8:12].decode().strip()
+    width, height = _struct.unpack("<II", payload[12:20])
+    return {"format": fmt, "width": width, "height": height}
+
+
+def _feature_vec(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a CNN feature extractor: md5-seeded
+    pseudo-features. Batch shape/UDF signature identical to the real one."""
+    h = hashlib.md5(payload or b"").digest()
+    rng = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (rng.astype(np.float64) / 2**32).tolist()
+
+
+_DECODE_OUT = (
+    "asset_id long, format string, width int, height int, ok boolean, "
+    "error string, features array<double>"
+)
+
+
+def decode_assets(df: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas decode+featurize: Arrow batches of binary in, typed
+    metadata + feature vectors out, errors in-band (poison-asset safe)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    meta = decode_image(bytes(payload) if payload is not None else None)
+                    rows.append(
+                        (
+                            aid,
+                            meta["format"],
+                            meta["width"],
+                            meta["height"],
+                            True,
+                            None,
+                            _feature_vec(bytes(payload), dim),
+                        )
+                    )
+                except Exception as err:  # noqa: BLE001 — in-band channel
+                    rows.append((aid, None, None, None, False, str(err)[:200], None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "format", "width", "height", "ok", "error", "features",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(run, _DECODE_OUT)
+
+
+def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize is pure arithmetic on metadata → native expressions; the
+    pixel op itself would live in the decode UDF. Emits target dims
+    preserving aspect ratio."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("meta.width"), F.col("meta.height")).cast("double"),
+    )
+    return df.select(
+        "asset_id",
+        F.round(F.col("meta.width") * scale).cast("int").alias("target_w"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("target_h"),
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling as a relational op: explode the frame index
+    sequence (decode of each sampled frame happens in the decode UDF)."""
+    return df.filter(F.col("kind") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )
+
+
+def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table for tests/bench."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = rng.choice(["image", "image", "image", "video"])
+        w, h = rng.choice([(64, 48), (640, 480), (1920, 1080), (300, 300)])
+        fmt = rng.choice(["PNG", "JPG", "GIF"])
+        payload = make_fake_image(w, h, fmt)
+        if rng.random() < 0.05:
+            payload = payload[:10]  # truncated → error channel
+        elif rng.random() < 0.05:
+            payload = b"\x89PNG\r\n" + payload  # "real" bytes → NotImplemented
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
+                    "n_frames": 300 if kind == "video" else 1,
+                    "sample_rate": None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -1,0 +1,171 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all native Catalyst expressions (zero Python in
+the hot path), each with an exact DuckDB oracle in __spark_entry__.py.
+
+These run over the ``documents`` table shape (doc_id, text, lang, source,
+n_chars) and over extracted transcript text alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_col
+
+# Marker stopwords per language — the classic cheap language-ID heuristic:
+# score = |tokens ∩ markers|, normalized by token count. CJK handled by
+# codepoint-range density since it doesn't tokenize on whitespace.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "den", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "las", "de", "que", "es", "en", "un", "por"],
+}
+CJK_RE = r"[一-鿿]"
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "on", "with"]
+
+
+def lang_scores(text_col: str = "text"):
+    """Struct of per-language marker-hit ratios + cjk density."""
+    toks = tokens_col(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    fields = [
+        (
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            / n
+        ).alias(lang)
+        for lang, words in LANG_MARKERS.items()
+    ]
+    cjk = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    ).alias("zh")
+    return F.struct(*fields, cjk)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """argmax over language scores via greatest-of-structs: Spark compares
+    structs lexicographically, so max(struct(score, lang)) picks the
+    best-scoring language with a deterministic lang tie-break."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_MARKERS.keys()) + ["zh"]
+    best = F.greatest(
+        *[
+            F.struct(
+                F.round(scores.getField(l), 6).alias("score"), F.lit(l).alias("lang")
+            )
+            for l in langs
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        best.getField("lang").alias("pred_lang"),
+        best.getField("score").alias("lang_score"),
+    )
+
+
+def quality_features(text_col: str = "text"):
+    """The standard cheap quality signals (C4/Gopher-style rules):
+    length, word stats, punctuation/uppercase/digit ratios, stopword
+    ratio, mean word length — every one a native expression."""
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / safe_words
+    punct_ratio = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")) / safe_chars
+    upper_ratio = F.length(F.regexp_replace(text, r"[^A-Z]", "")) / safe_chars
+    digit_ratio = F.length(F.regexp_replace(text, r"[^0-9]", "")) / safe_chars
+    stop_ratio = (
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+        / safe_words
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": upper_ratio,
+        "digit_ratio": digit_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite [0,1] quality score: length sweet-spot, word-length
+    plausibility, punctuation presence, not-all-caps, low digit noise."""
+    f = quality_features(text_col)
+    score = (
+        F.when(f["n_words"] >= 10, F.lit(0.25)).otherwise(f["n_words"] / 40.0)
+        + F.when(
+            (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+        + F.least(f["punct_ratio"] * 5, F.lit(0.25))
+        + F.when(
+            (f["upper_ratio"] < 0.3) & (f["digit_ratio"] < 0.3), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+    cols = [F.col(id_col)] + [v.alias(k) for k, v in f.items()]
+    return df.select(*cols, F.round(score, 6).alias("quality"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace word count + BPE-ish subword count (regex: letter runs /
+    digits / single non-space symbols — a deterministic proxy for BPE
+    token budgeting)."""
+    text = F.col(text_col)
+    ws_count = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    bpe_count = F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    )
+    return df.select(
+        F.col(id_col),
+        ws_count.alias("n_words_ws"),
+        bpe_count.alias("n_tokens_bpe"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Two fingerprints per doc:
+    - content_md5: md5 of ws-normalized lowercase text (exact identity)
+    - winnow_fp:   min md5 over rolling 8-token windows (robust rolling-
+      hash fingerprint — equal docs with small local edits still collide
+      with high probability on some window)."""
+    toks = tokens_col(text_col)
+    win = 8
+    windows = F.when(
+        F.size(toks) >= win,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - win),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, win), " ")),
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))).alias(
+            "content_md5"
+        ),
+        F.array_min(windows).alias("winnow_fp"),
+    )
+
+
+def top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 20, min_len: int = 1
+) -> DataFrame:
+    """Corpus-level term frequencies, native explode → hash-agg → top-k
+    (partial aggregation map-side; the reference's index.py:188-204 at
+    corpus scale)."""
+    terms = df.select(F.explode(tokens_col(text_col)).alias("term")).filter(
+        F.length("term") >= min_len
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

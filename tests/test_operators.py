@@ -1,0 +1,181 @@
+"""Operator correctness on the driver testdata tables (sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from artexin_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    # add a known duplicate then dedup
+    dup = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    d = dedup.exact_dedup(docs.unionByName(dup))
+    base = docs.count()
+    assert d.count() <= base  # dup collapsed (and any natural dups)
+    assert d.filter(F.col("group_size") >= 2).count() >= 1
+    # representative is the min id
+    rows = dedup.exact_dedup_rows(docs.unionByName(dup))
+    assert rows.filter(F.col("doc_id") == 999999).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant: copy of doc 0 with one word changed
+    base = docs.filter("doc_id = 0").collect()[0]
+    mutated = base.text.replace(base.text.split()[0], "zzz", 1)
+    planted = spark.createDataFrame(
+        [(777777, mutated, base.lang, base.source, len(mutated))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = dedup.minhash_dedup(
+        docs.unionByName(planted), k=32, bands=8, threshold=0.5
+    )
+    pairs = {(r.id_a, r.id_b) for r in d.collect()}
+    assert (0, 777777) in pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    sample = docs.filter("doc_id < 30")
+    base = sample.filter("doc_id = 3").collect()[0]
+    planted = spark.createDataFrame(
+        [(888888, base.text, base.lang, base.source, base.n_chars)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = dedup.ngram_jaccard_pairs(
+        sample.unionByName(planted), threshold=0.99, max_df=None
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in d.collect()}
+    assert pairs.get((3, 888888)) == pytest.approx(1.0)
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    sample = docs.filter("doc_id < 20")
+    base = sample.filter("doc_id = 5").collect()[0]
+    planted = spark.createDataFrame(
+        [(555555, base.text, base.lang, base.source, base.n_chars)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = dedup.simhash_dedup(sample.unionByName(planted), max_hamming=0)
+    pairs = {(r.id_a, r.id_b) for r in d.collect()}
+    assert (5, 555555) in pairs
+
+
+def test_cosine_topk_self_excluded_and_exact(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    out = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 5).all()
+    assert not ((out.query_id == out.neighbor_id).any())
+    assert (out.cosine <= 1.000001).all()
+
+
+def test_lsh_ann_near_dup_regime(spark, emb):
+    """The production semantic: queries are small perturbations of corpus
+    vectors (cosine ≈ 0.99); the ANN must retrieve the source vector as
+    the top neighbor for nearly all queries."""
+    import numpy as np
+
+    base = emb.filter("vec_id < 20").toPandas()
+    rng = np.random.default_rng(7)
+    rows = []
+    for r in base.itertuples():
+        v = np.array(r.embedding)
+        v = v + rng.normal(0, 0.02, size=len(v))
+        v = v / np.linalg.norm(v)
+        rows.append((int(r.vec_id) + 100000, [float(x) for x in v], int(r.label)))
+    queries = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    approx = similarity.lsh_ann(
+        emb, queries, k=1, planes=8, tables=4, dim=64
+    ).toPandas()
+    hits = (approx.neighbor_id == approx.query_id - 100000).sum()
+    assert hits >= 18, f"only {hits}/20 perturbed clones retrieved"
+
+
+def test_lsh_ann_agrees_with_exact_on_candidates(spark, emb):
+    """Within its candidate set the ANN scoring is exact cosine — spot
+    check against brute force for overlap sanity."""
+    queries = emb.filter("vec_id < 5")
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.lsh_ann(emb, queries, k=5, planes=6, tables=8, dim=64)
+    rec = similarity.ann_recall(exact, approx)
+    # uniform-random far-neighbor regime: recall is bounded by candidate
+    # coverage; assert it clearly beats the random-5-of-500 baseline (~1%)
+    assert rec >= 0.2, f"ANN recall {rec} not above chance"
+
+
+def test_embedding_near_dup_finds_self_clone(spark, emb):
+    clone = emb.filter("vec_id = 7").withColumn("vec_id", F.lit(444444))
+    d = dedup.embedding_near_dup(emb.filter("vec_id < 50").unionByName(clone))
+    pairs = {(r.id_a, r.id_b) for r in d.collect()}
+    assert (7, 444444) in pairs
+
+
+def test_lang_id_and_quality(spark, docs):
+    out = textstats.lang_id(docs).toPandas()
+    assert set(out.columns) == {"doc_id", "pred_lang", "lang_score"}
+    assert len(out) == docs.count()
+    q = textstats.quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1.000001)).all()
+    assert (q.n_words > 0).all()
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    t = textstats.token_counts(docs.limit(50)).toPandas()
+    assert (t.n_tokens_bpe >= t.n_words_ws).all()
+    fp = textstats.fingerprint(docs.limit(50)).toPandas()
+    assert fp.content_md5.str.len().eq(32).all()
+    assert fp.winnow_fp.str.len().eq(32).all()
+
+
+def test_top_terms(spark, docs):
+    top = textstats.top_terms(docs, k=5).toPandas()
+    assert len(top) == 5
+    assert top.n.is_monotonic_decreasing
+
+
+def test_multimodal_decode_plumbing(spark):
+    assets = multimodal.synth_assets(spark, n=60)
+    out = multimodal.decode_assets(assets).toPandas()
+    assert len(out) == 60
+    ok = out[out.ok]
+    bad = out[~out.ok]
+    assert len(ok) > 40 and len(bad) > 0  # error channel exercised
+    assert ok.features.map(len).eq(16).all()
+    assert (ok.width > 0).all()
+    # real-image bytes routed to NotImplementedError in-band
+    assert bad.error.str.contains("PIL|truncated|payload", regex=True).all()
+
+
+def test_multimodal_resize_and_frames(spark):
+    assets = multimodal.synth_assets(spark, n=40)
+    rp = multimodal.resize_plan(assets, max_side=512).toPandas()
+    assert (rp[["target_w", "target_h"]].max(axis=1) <= 512).all()
+    fs = multimodal.frame_sample_plan(assets, every_n=30).toPandas()
+    if len(fs):
+        assert (fs.frame_idx % 30 == 0).all()
+
+
+def test_dedup_plans_have_no_python(spark, docs):
+    """Dedup/textstats must be pure native plans (no Python nodes)."""
+    for frame in (
+        dedup.exact_dedup(docs),
+        dedup.minhash_signatures(docs, k=4),
+        textstats.lang_id(docs),
+        textstats.quality_score(docs),
+        textstats.fingerprint(docs),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
