@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark-first implementation of an operator
+from SURVEY.md §2 (plus the training-data ops), and ``oracle_sql()`` holds
+the exact ANSI-SQL equivalent DuckDB runs on the same parquet views.
+
+Cross-engine determinism rules used throughout:
+- hashing is md5-only (Spark and DuckDB md5 agree); no xxhash in results
+- doubles that pass through aggregation are summed as DECIMAL then cast
+  back to double (order-independent), per-row doubles are rounded
+- every computed column is aliased identically on both sides
+- thresholds sit in verified gaps of the (deterministic) data so float
+  noise can't flip membership
 """
 
 from __future__ import annotations
@@ -12,27 +18,649 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from artexin_spark.operators import dedup as dd
+from artexin_spark.operators import similarity as sim
+from artexin_spark.operators import textstats as ts
+from artexin_spark.udfs import with_extraction
+
+# ---------------------------------------------------------------------------
+# shared builders
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# The deterministic HTML wrapping shared (string-identically) by the Spark
+# transcript builder and the SQL oracle: known boilerplate around the doc
+# text, so correct extraction output is constructible in pure SQL.
+_WRAP_PRE_TITLE = "<html><head><title>Doc "
+_WRAP_POST_TITLE = (
+    '</title></head><body><div id="navigation"><ul>'
+    '<li><a href="/home">Home</a></li><li><a href="/about">About</a></li>'
+    '</ul></div><div id="content"><p>'
+)
+_WRAP_TAIL = (
+    '</p></div><div class="footer"><a href="/contact">Contact</a>'
+    " | copyright</div></body></html>"
+)
+
+
+def _transcripts_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → transcript-shaped rows with HTML payloads (the north
+    rule's input table synthesized deterministically from driver data)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit(_WRAP_PRE_TITLE),
+            F.col("doc_id").cast("string"),
+            F.lit(_WRAP_POST_TITLE),
+            F.col("text"),
+            F.lit(_WRAP_TAIL),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+# Tokenization (lockstep with dd.tokens_col): lower → split non-[a-z0-9'] →
+# drop empties. DuckDB fragment:
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+
+def _url_expr():
+    """Deterministic URL with every escape-table char, built from doc_id."""
+    return F.concat(
+        F.lit("http://ex.com/("),
+        F.col("doc_id").cast("string"),
+        F.lit(")[a]%"),
+        F.col("lang"),
+    )
+
+
+_SQL_URL = "'http://ex.com/(' || doc_id || ')[a]%' || lang"
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_extract_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the full vectorized extraction UDF over transcript HTML;
+    the oracle derives the expected text/title from the known template."""
+    tr = _transcripts_from_docs(spark, sf_dir)
+    out = with_extraction(tr, text_col="text")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "title",
+        "extracted_text",
+        "n_images",
+        F.col("error").cast("string").alias("error"),
+    )
+
+
+def q_title_fastpath(spark, sf_dir):
+    tr = _transcripts_from_docs(spark, sf_dir)
+    return tr.select(
+        "conv_id",
+        F.regexp_extract("text", r"<title[^>]*>(.*?)</title>", 1).alias("title"),
+    )
+
+
+def q_md5_hash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+
+
+def q_content_key(spark, sf_dir):
+    """percent_escape chain + md5 content addressing (pack.py:49-65,107)."""
+    url = _url_expr()
+    esc = url
+    for src, dst in (("%", "%25"), ("(", "%2528"), (")", "%2529"), ("[", "%255B"), ("]", "%255D")):
+        esc = F.replace(esc, F.lit(src), F.lit(dst))
+    return _docs(spark, sf_dir).select(
+        "doc_id", esc.alias("escaped_url"), F.md5(esc).alias("zip_key")
+    )
+
+
+def q_url_predicates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    url = F.when(F.col("doc_id") % 3 == 0, _url_expr()).when(
+        F.col("doc_id") % 3 == 1, F.concat(F.lit("//cdn.ex.com/"), F.col("source"))
+    ).otherwise(F.concat(F.lit("/rel/"), F.col("source")))
+    is_http = (
+        url.startswith("http://") | url.startswith("https://") | url.startswith("//")
+    )
+    return docs.select("doc_id", url.alias("url"), is_http.alias("is_http_url"))
+
+
+def q_date_serialize(spark, sf_dir):
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss 'UTC'").alias("ts_str"),
+    )
+
+
+def q_token_unigrams(spark, sf_dir):
+    return ts.top_terms(_docs(spark, sf_dir), k=50)
+
+
+def q_token_bigrams(spark, sf_dir):
+    toks = dd.tokens_col("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = _docs(spark, sf_dir).select(F.explode(pairs).alias("pair"))
+    return (
+        ex.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+def q_word_counts(spark, sf_dir):
+    return ts.token_counts(_docs(spark, sf_dir))
+
+
+def q_term_df_idf(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(dd.tokens_col("text"))).alias("term")
+    )
+    return (
+        ex.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir)).orderBy("content_key")
+
+
+def q_dedup_first(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_size"))
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = dd.minhash_signatures(
+        _docs(spark, sf_dir).filter("doc_id < 200"), k=8, n=3
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter("doc_id < 200")
+        .select("doc_id", dd.simhash_col("text").alias("simhash"))
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir).filter("doc_id < 60"),
+        n=3,
+        threshold=0.02,
+        max_df=None,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = sim.cosine_topk(emb, emb.filter("vec_id < 5"), k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    out = dd.embedding_near_dup(
+        _emb(spark, sf_dir).filter("vec_id < 120"), threshold=0.3289
+    )
+    return out.select("id_a", "id_b")
+
+
+def q_lang_id(spark, sf_dir):
+    return ts.lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q_quality_score(spark, sf_dir):
+    q = ts.quality_score(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return ts.fingerprint(_docs(spark, sf_dir))
+
+
+def q_events_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 4
+        ).alias("cum_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+
+
+def q_rollup_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_image_index(spark, sf_dir):
+    """First-appearance imageNNNN indexing (extract.py:240-273) as a
+    relational plan: dedup by src keeping min position, number by it."""
+    toks = dd.tokens_col("text")
+    srcs = F.slice(toks, 1, 12)
+    ex = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(srcs).alias("pos", "src")
+    )
+    firsts = ex.groupBy("doc_id", "src").agg(F.min("pos").alias("first_pos"))
+    w = Window.partitionBy("doc_id").orderBy("first_pos")
+    return firsts.select(
+        "doc_id", "src", (F.row_number().over(w) - 1).alias("img_idx")
+    )
+
+
+def q_strip_links(spark, sf_dir):
+    toks = dd.tokens_col("text")
+    html = F.concat(
+        F.lit('<p>see <a href="/w">'),
+        F.element_at(toks, 1),
+        F.lit('</a> and <a href="#f">'),
+        F.element_at(toks, 2),
+        F.lit("</a></p>"),
+    )
+    stripped = F.regexp_replace(html, r'<a href="/[^"]*">([^<]*)</a>', r"$1")
+    return _docs(spark, sf_dir).select("doc_id", stripped.alias("stripped"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full vectorized
+    readability extraction over transcript-shaped HTML payloads."""
+    return q_extract_transcript(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_transcript": q_extract_transcript,
+        "title_fastpath": q_title_fastpath,
+        "md5_hash": q_md5_hash,
+        "content_key": q_content_key,
+        "url_predicates": q_url_predicates,
+        "date_serialize": q_date_serialize,
+        "token_unigrams": q_token_unigrams,
+        "token_bigrams": q_token_bigrams,
+        "word_counts": q_word_counts,
+        "term_df_idf": q_term_df_idf,
+        "exact_dedup": q_exact_dedup,
+        "dedup_first": q_dedup_first,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "rollup_events": q_rollup_events,
+        "image_index": q_image_index,
+        "strip_links": q_strip_links,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["extract_transcript"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       0 AS turn_idx,
+       'Doc ' || doc_id AS title,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
+       0 AS n_images,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+_ORACLES["title_fastpath"] = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id, 'Doc ' || doc_id AS title
+FROM documents
+"""
+
+_ORACLES["md5_hash"] = "SELECT doc_id, md5(text) AS content_hash FROM documents"
+
+_ORACLES["content_key"] = f"""
+WITH u AS (SELECT doc_id, {_SQL_URL} AS url FROM documents),
+e AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(url,
+          '%','%25'), '(','%2528'), ')','%2529'), '[','%255B'), ']','%255D')
+        AS escaped_url FROM u)
+SELECT doc_id, escaped_url, md5(escaped_url) AS zip_key FROM e
+"""
+
+_ORACLES["url_predicates"] = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN {_SQL_URL}
+         WHEN doc_id % 3 = 1 THEN '//cdn.ex.com/' || source
+         ELSE '/rel/' || source END AS url
+  FROM documents)
+SELECT doc_id, url,
+  (url LIKE 'http://%' OR url LIKE 'https://%' OR url LIKE '//%') AS is_http_url
+FROM u
+"""
+
+_ORACLES["date_serialize"] = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S UTC') AS ts_str FROM events
+"""
+
+_ORACLES["token_unigrams"] = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+e AS (SELECT unnest(toks) AS term FROM t)
+SELECT term, count(*) AS n FROM e GROUP BY term
+ORDER BY n DESC, term ASC LIMIT 50
+"""
+
+_ORACLES["token_bigrams"] = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+p AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(generate_series(1, len(toks)-1),
+                            i -> toks[i] || ' ' || toks[i+1])
+        ELSE [] END) AS pair FROM t)
+SELECT pair, count(*) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+_ORACLES["word_counts"] = """
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe
+FROM documents
+"""
+
+_ORACLES["term_df_idf"] = f"""
+WITH t AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+d AS (SELECT term, count(*) AS df FROM e GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, df, round(ln(n_docs / df), 6) AS idf FROM d, n
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+_ORACLES["exact_dedup"] = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+       min(doc_id) AS doc_id, count(*) AS group_size
+FROM documents GROUP BY 1 ORDER BY content_key
+"""
+
+_ORACLES["dedup_first"] = """
+SELECT lang, source, min(doc_id) AS doc_id, count(*) AS group_size
+FROM documents GROUP BY lang, source
+"""
+
+_ORACLES["minhash_signatures"] = f"""
+WITH t AS (SELECT doc_id,
+  (CASE WHEN len({_SQL_TOKS}) >= 3
+    THEN list_distinct(list_transform(
+           generate_series(1, len({_SQL_TOKS}) - 2),
+           i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
+    ELSE [array_to_string({_SQL_TOKS}, ' ')] END) AS shs
+  FROM documents WHERE doc_id < 200),
+e AS (SELECT doc_id, unnest(shs) AS sh FROM t),
+s AS (SELECT unnest(generate_series(0, 7)) AS seed)
+SELECT e.doc_id, s.seed, min(md5(s.seed || ':' || e.sh)) AS minhash
+FROM e, s GROUP BY e.doc_id, s.seed
+"""
+
+_ORACLES["simhash"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 200),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+bits AS (
+  SELECT doc_id, g.p,
+    CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(tok), g.p, 1)) > 0
+                       THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+  FROM tok, generate_series(1, 32) g(p)
+  GROUP BY doc_id, g.p)
+SELECT doc_id, string_agg(b, '' ORDER BY p) AS simhash FROM bits GROUP BY doc_id
+"""
+
+_ORACLES["ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id AS id,
+  (CASE WHEN len({_SQL_TOKS}) >= 3
+    THEN list_distinct(list_transform(
+           generate_series(1, len({_SQL_TOKS}) - 2),
+           i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
+    ELSE [array_to_string({_SQL_TOKS}, ' ')] END) AS shs
+  FROM documents WHERE doc_id < 60),
+sizes AS (SELECT id, len(shs) AS n_sh FROM t),
+e AS (SELECT id, unnest(shs) AS sh FROM t),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+
+_ORACLES["cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        list_cosine_similarity(qv, cv) AS cosine
+      FROM q JOIN c ON query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+_ORACLES["embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3289
+"""
+
+_LANG_SQL_MARKERS = {
+    "en": "['the','and','of','to','in','is','that','it','was','for']",
+    "de": "['der','die','das','und','ist','nicht','von','mit','den','zu']",
+    "fr": "['le','la','les','et','de','des','est','une','dans','que']",
+    "es": "['el','la','los','las','de','que','es','en','un','por']",
+}
+_ORACLES["lang_id"] = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['en']})) / greatest(len(toks),1), 6) AS s_en,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['de']})) / greatest(len(toks),1), 6) AS s_de,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['fr']})) / greatest(len(toks),1), 6) AS s_fr,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['es']})) / greatest(len(toks),1), 6) AS s_es,
+  round(length(regexp_replace(text, '[^一-鿿]', '', 'g')) / greatest(length(text),1), 6) AS s_zh
+  FROM t),
+u AS (
+  SELECT doc_id, 'en' AS lang, s_en AS score FROM s
+  UNION ALL SELECT doc_id, 'de', s_de FROM s
+  UNION ALL SELECT doc_id, 'fr', s_fr FROM s
+  UNION ALL SELECT doc_id, 'es', s_es FROM s
+  UNION ALL SELECT doc_id, 'zh', s_zh FROM s),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      FROM u)
+SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1
+"""
+
+_ORACLES["quality_score"] = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_words,
+  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks),1)::DOUBLE AS mean_word_len,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text),1)::DOUBLE AS punct_ratio,
+  length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text),1)::DOUBLE AS upper_ratio,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text),1)::DOUBLE AS digit_ratio,
+  len(list_intersect(toks,
+    ['the','and','of','to','in','is','that','it','was','for','a','an','as','at','by','on','with']))
+    / greatest(len(toks),1)::DOUBLE AS stopword_ratio
+  FROM t)
+SELECT doc_id, n_chars, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(
+    (CASE WHEN n_words >= 10 THEN 0.25 ELSE n_words / 40.0 END)
+    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END)
+    + least(punct_ratio * 5, 0.25)
+    + (CASE WHEN upper_ratio < 0.3 AND digit_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+  , 6) AS quality
+FROM f
+"""
+
+_ORACLES["fingerprint"] = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, text,
+  (CASE WHEN len(toks) >= 8
+    THEN list_transform(generate_series(1, len(toks) - 7),
+           i -> md5(array_to_string(toks[i:i+7], ' ')))
+    ELSE [md5(array_to_string(toks, ' '))] END) AS wins
+  FROM t)
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_md5,
+  list_min(wins) AS winnow_fp
+FROM w
+"""
+
+_ORACLES["events_window"] = """
+SELECT event_id, user_id,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 4) AS cum_value
+FROM events
+"""
+
+_ORACLES["sessionize"] = """
+WITH g AS (SELECT event_id, user_id, ts,
+  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+       THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT event_id, user_id,
+  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM g
+"""
+
+_ORACLES["rollup_events"] = """
+SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+_ORACLES["image_index"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS}[1:12] AS srcs FROM documents),
+e AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(srcs)),
+                              i -> {{'pos': i - 1, 'src': srcs[i]}})) AS u
+      FROM t),
+x AS (SELECT doc_id, u.pos AS pos, u.src AS src FROM e),
+firsts AS (SELECT doc_id, src, min(pos) AS first_pos FROM x GROUP BY doc_id, src)
+SELECT doc_id, src,
+  row_number() OVER (PARTITION BY doc_id ORDER BY first_pos) - 1 AS img_idx
+FROM firsts
+"""
+
+_ORACLES["strip_links"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    '<p>see <a href="/w">' || toks[1] || '</a> and <a href="#f">' || toks[2] || '</a></p>',
+    '<a href="/[^"]*">([^<]*)</a>', '\\1', 'g') AS stripped
+FROM t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__.queries() entry at sf0.01 and diff against its DuckDB
+oracle (row count + column names + order-insensitive values)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        # normalize ints (spark int32 vs duckdb int64 etc.)
+        elif "int" in str(df[c].dtype).lower():
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main(only: list[str] | None = None) -> int:
+    import __spark_entry__ as entry
+    from artexin_spark.session import get_spark
+
+    spark = get_spark("check-entry")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as err:
+            print(f"FAIL {name}: spark error: {err}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as err:
+            print(f"FAIL {name}: oracle error: {err}")
+            failures.append(name)
+            continue
+        s, o = canon(sdf), canon(odf)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            failures.append(name)
+            continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            failures.append(name)
+            continue
+        try:
+            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            print(f"OK   {name}: {len(s)} rows")
+        except AssertionError as err:
+            print(f"FAIL {name}: value mismatch\n{str(err)[:600]}")
+            # show first differing rows
+            neq = (s != o).any(axis=1)
+            if neq.any():
+                idx = neq[neq].index[:3]
+                for i in idx:
+                    print("  spark :", s.loc[i].to_dict())
+                    print("  oracle:", o.loc[i].to_dict())
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
