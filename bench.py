@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "extract_turns": N, "extract_turns_per_sec": X, "cpus": C}
+
+The headline is extraction throughput (the north-rule metric): transcripts
+are synthesized deterministically from the sf documents table (each doc →
+BENCH_TURNS_PER_DOC turns of HTML payload) and run through the full
+vectorized extraction stage. Supporting queries cover the operator
+families: minhash dedup, simhash, term stats, knn, quality+langid.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TURNS_PER_DOC = int(os.environ.get("BENCH_TURNS_PER_DOC", "16"))
+
+
+def build_transcripts(spark, sf_dir: str, turns_per_doc: int):
+    """documents → turns_per_doc transcript turns each, HTML-wrapped.
+    Native explode keeps generation JVM-side and scan-parallel."""
+    from __spark_entry__ import _WRAP_POST_TITLE, _WRAP_PRE_TITLE, _WRAP_TAIL
+
+    # repartition BEFORE the explode: the documents parquet is a single
+    # file (1 scan task) — without this the payload generation runs
+    # serially and caps scaling at any core count
+    npart = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "64"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(npart)
+    return docs.select(
+        F.col("doc_id"),
+        F.col("text").alias("doc_text"),
+        F.explode(F.sequence(F.lit(0), F.lit(turns_per_doc - 1))).alias("turn_idx"),
+    ).select(
+        F.concat(F.lit("conv-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("turn_idx").cast("int"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit(_WRAP_PRE_TITLE),
+            F.col("doc_id").cast("string"),
+            F.lit("-"),
+            F.col("turn_idx").cast("string"),
+            F.lit(_WRAP_POST_TITLE),
+            F.col("doc_text"),
+            F.lit(" turn marker "),
+            F.col("turn_idx").cast("string"),
+            F.lit(_WRAP_TAIL),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    from artexin_spark.session import get_spark
+    from artexin_spark.operators import dedup as dd
+    from artexin_spark.operators import similarity as sim
+    from artexin_spark.operators import textstats as ts
+    from artexin_spark.pipeline import extract_df
+
+    spark = get_spark("artexin-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # headline: full extraction pipeline over synthesized transcripts
+    transcripts = build_transcripts(spark, SF_DIR, TURNS_PER_DOC)
+    n_turns = transcripts.count()  # materialize input size outside timing
+
+    # warm-up: boot one Python worker per core on a small slice so the
+    # timed run measures steady-state throughput (a production job at
+    # 10^12 turns amortizes worker startup to zero; ~5 s of interpreter
+    # boot at 32 workers would otherwise be billed to the workload)
+    extract_df(
+        spark,
+        transcripts.sample(False, 0.02, seed=1),  # touches every partition
+        source_col=None,
+        repartition=False,
+    ).agg(F.count("*")).collect()
+
+    def run_extract():
+        # input is generated pre-distributed across npart balanced
+        # partitions → no payload shuffle before extraction (the 100 TB
+        # design: bucket at the SOURCE — Iceberg write-distribution — and
+        # never repartition multi-KB text rows mid-pipeline; a local-mode
+        # shuffle of fat rows is disk-bound and caps thread scaling)
+        out = extract_df(spark, transcripts, source_col=None, repartition=False)
+        # force full extraction of every column that costs anything
+        return out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+        ).collect()[0]
+
+    row = timed("q_extract", run_extract)
+    extras["extract_turns"] = n_turns
+    extras["extract_turns_per_sec"] = round(n_turns / timings["q_extract"], 1)
+    extras["extract_error_rows"] = int(row["errs"])
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    timed("q_minhash_dedup", lambda: dd.minhash_dedup(docs, k=16, bands=4, threshold=0.8).count())
+    timed("q_simhash", lambda: docs.select(dd.simhash_col("text").alias("s")).agg(F.count("s")).collect())
+    timed("q_unigrams", lambda: ts.top_terms(docs, k=50).collect())
+    timed(
+        "q_knn",
+        lambda: sim.cosine_topk(emb, emb.limit(50), k=10).count(),
+    )
+    timed(
+        "q_quality_langid",
+        lambda: ts.quality_score(docs).join(ts.lang_id(docs), "doc_id").count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+operator bench wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so per the driver's protocol the
+same extraction job runs at two parallelism levels — local[8] (N) and
+local[32] (4N) — on identical input, each in a FRESH JVM (subprocess), and
+efficiency = (T_8 / T_32) / 4. Also measures post-salting skew from the
+pipeline's lineage wall-times on a hot-conversation corpus.
+
+Writes BENCH/scaling.json and regenerates the results table in
+BENCH/BASELINE.md. Run: python bench/scaling.py [turns_per_doc]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_bench(cpus: int, turns_per_doc: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        BENCH_TURNS_PER_DOC=str(turns_per_doc),
+        SPARK_SHUFFLE_PARTITIONS="64",  # fixed across levels: same plan
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def measure_skew() -> dict:
+    """Hot-conv corpus through the pipeline; skew = max/median lineage
+    wall_ms across buckets (after turn-level salting)."""
+    code = r"""
+import json, os, shutil, tempfile
+os.environ["SPARK_GRAFT_CPUS"] = "8"
+from artexin_spark.session import get_spark
+from artexin_spark.corpus import synth_transcripts
+from artexin_spark.pipeline import run_extract
+from artexin_spark import io as sink_io
+spark = get_spark("skew"); spark.sparkContext.setLogLevel("ERROR")
+sink = tempfile.mkdtemp(prefix="skew_sink_")
+df = synth_transcripts(spark, n_convs=100, seed=42, hot_frac=0.02, hot_mult=100)
+run_extract(spark, df, sink, n_buckets=32, source_col=None)
+lin = sink_io.read_lineage(spark, sink).toPandas()
+print(json.dumps({
+    "n_buckets": len(lin),
+    "rows_max_over_median": float(lin.n_rows.max() / lin.n_rows.median()),
+    "wall_ms_max_over_median": float(lin.wall_ms.max() / lin.wall_ms.median()),
+    "conv_skew_in_input": "2% of convs carry 100x turns",
+}))
+shutil.rmtree(sink); spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True, cwd=REPO
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    turns_per_doc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    r8 = run_bench(8, turns_per_doc)
+    r32 = run_bench(32, turns_per_doc)
+    t8, t32 = r8["queries"]["q_extract"], r32["queries"]["q_extract"]
+    eff = (t8 / t32) / 4.0
+    skew = measure_skew()
+    result = {
+        "input": {"sf_dir": SF_DIR, "turns": r8["extract_turns"]},
+        "local8": {"wall_s": t8, "turns_per_sec": r8["extract_turns_per_sec"]},
+        "local32": {"wall_s": t32, "turns_per_sec": r32["extract_turns_per_sec"]},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "skew": skew,
+        "full_bench_local32": r32,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

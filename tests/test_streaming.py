@@ -1,0 +1,53 @@
+"""Incremental extraction: exactly-once over arriving files, output
+identical to the batch path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from artexin_spark.corpus import gen_transcripts
+from artexin_spark.streaming import incremental_extract
+
+
+def test_incremental_extract_exactly_once(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    pdf = gen_transcripts(n_convs=12, seed=42)
+    first, second = pdf.iloc[:60], pdf.iloc[60:120]
+
+    # chunk 1 arrives
+    spark.createDataFrame(first).coalesce(1).write.mode("append").parquet(input_dir)
+    incremental_extract(spark, input_dir, out_dir, ckpt, n_buckets=4)
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 60
+
+    # chunk 2 arrives; re-run drains ONLY the delta
+    spark.createDataFrame(second).coalesce(1).write.mode("append").parquet(input_dir)
+    incremental_extract(spark, input_dir, out_dir, ckpt, n_buckets=4)
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 120
+    # exactly once: no duplicated (conv_id, turn_idx)
+    assert out2.select("conv_id", "turn_idx").distinct().count() == 120
+
+    # third run with nothing new: no growth
+    incremental_extract(spark, input_dir, out_dir, ckpt, n_buckets=4)
+    assert spark.read.parquet(out_dir).count() == 120
+
+    # streaming output == batch path output (same code, same results)
+    from artexin_spark.pipeline import extract_df
+
+    batch = (
+        extract_df(spark, spark.createDataFrame(pdf.iloc[:120]), n_buckets=4, source_col=None)
+        .select("conv_id", "turn_idx", "extracted_text", "error")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    stream = (
+        out2.select("conv_id", "turn_idx", "extracted_text", "error")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert batch.equals(stream)
