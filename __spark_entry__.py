@@ -350,6 +350,55 @@ def q_strip_links(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", stripped.alias("stripped"))
 
 
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+filter+agg over lineitem: predicate pushdown
+    to the parquet scan, map-side partial aggregation (SURVEY.md §2.9
+    projection/filter/aggregation coverage on the fat fact table).
+    DECIMAL sums keep the doubles order-independent across engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).cast("double"), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """Join breadth: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region with
+    the small dims broadcast (plan: one shuffle join on the fact keys,
+    BroadcastHashJoin for nation/region — the 100 TB join shape)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return rev
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full vectorized
     readability extraction over transcript-shaped HTML payloads."""
@@ -382,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rollup_events": q_rollup_events,
         "image_index": q_image_index,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
     }
 
@@ -664,6 +715,35 @@ SELECT doc_id,
     '<p>see <a href="/w">' || toks[1] || '</a> and <a href="#f">' || toks[2] || '</a></p>',
     '<a href="/[^"]*">([^<]*)</a>', '\\1', 'g') AS stripped
 FROM t
+"""
+
+
+
+_ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+              (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4)
+    AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["region_revenue"] = """
+SELECT r_name, n_name,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+              (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4)
+    AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
 """
 
 

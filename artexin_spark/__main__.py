@@ -1,0 +1,49 @@
+"""spark-submit entry point: the production job shape.
+
+    spark-submit --py-files artexin_spark.zip -m artexin_spark \
+        python -m artexin_spark --input <transcripts> --sink <dir> [--resume]
+
+Runs the full extraction pipeline (salted buckets, lineage, checkpoint
+resume) over a parquet/Iceberg transcript table. The same artifact runs
+unchanged on a real multi-executor cluster — parallelism comes from
+--master / executor conf, never from code changes (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="artexin_spark")
+    ap.add_argument("--input", required=True, help="transcript table path")
+    ap.add_argument("--sink", required=True, help="output sink directory")
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--source-col", default=None)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    # absolute imports: spark-submit executes this file as a plain script
+    # with the --py-files zip on sys.path
+    from artexin_spark.pipeline import run_extract
+    from artexin_spark.session import get_spark
+
+    spark = get_spark("artexin-extract")
+    df = spark.read.parquet(args.input)
+    stats = run_extract(
+        spark,
+        df,
+        args.sink,
+        n_buckets=args.buckets,
+        source_col=args.source_col,
+        resume=args.resume,
+        run_id=args.run_id,
+    )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

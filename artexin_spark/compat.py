@@ -1,0 +1,152 @@
+"""Reference-shaped API facade: every public function a user of
+Othernet-Project/artexin calls, with the same name and contract, backed by
+this engine — the "switch without rewriting" surface. Network, PhantomJS,
+GPG and zipball packaging are transport-layer non-goals (SURVEY.md §7.4):
+the payload comes in as a string instead of a URL fetch, and the package
+becomes the sink row.
+
+Mapping (reference file:line → here):
+    extract.get_title:35-87        → get_title(html_or_doc)
+    extract.extract:90-131         → extract(html) -> (title, html)
+    extract.no_extract:134-137     → no_extract(html)
+    extract.strip_links:294-310    → strip_links(html) -> html
+    extract.process_images:204-291 → process_images(html, base_url)
+    extract.prepare_url:140-170    → prepare_url
+    index.fix_ws/strip_period/is_word/split_sentences/split_words/
+      get_counts:27-204            → same names
+    urlutils.split/normalize/base_path/absolute_path/is_http_url/
+      full_url/normalize_scheme:61-257 → same names (split→url split tuple)
+    pack.percent_escape:49-52      → percent_escape
+    pack.hash_data:59-65           → hash_data
+    pack.serialize_datetime:55-56  → serialize_datetime
+    pack.collect:157-251           → collect(html, url=..., ...) -> meta
+    batch.batch:36-58              → batch(pairs, ...) -> [meta]
+    preprocessor_mappings.get_preps:36-54 → get_preps (name list variant
+                                     get_prep_names for serialization)
+    htmlutils.get_cls:19-37        → get_cls
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from . import dom
+from .dom import get_cls
+from .preprocess import get_prep_names, get_preps
+from .readability import extract_turn, get_title as _get_title
+from .readability import no_extract as _no_extract
+from .readability import process_images as _process_images
+from .readability import strip_links as _strip_links
+from .tokenizer import (
+    fix_ws,
+    get_counts,
+    is_word,
+    split_sentences,
+    split_words,
+    strip_period,
+)
+from .urlx import (
+    absolute_path,
+    base_path,
+    domain_of,
+    full_url,
+    hash_data,
+    is_http_url,
+    normalize_path as normalize,
+    normalize_scheme,
+    percent_escape,
+    prepare_url,
+    url_split as split,
+)
+from .urlx import serialize_ts as serialize_datetime
+
+__all__ = [
+    "get_title", "extract", "no_extract", "strip_links", "process_images",
+    "prepare_url", "fix_ws", "strip_period", "is_word", "split_sentences",
+    "split_words", "get_counts", "split", "normalize", "base_path",
+    "absolute_path", "is_http_url", "full_url", "normalize_scheme",
+    "percent_escape", "hash_data", "serialize_datetime", "collect", "batch",
+    "get_preps", "get_prep_names", "get_cls",
+]
+
+
+def get_title(html_or_doc):
+    """Title precedence title→h1→h2→h3 (extract.py:35-87). Accepts raw
+    HTML or a parsed Document (the reference takes a soup)."""
+    doc = dom.parse(html_or_doc) if isinstance(html_or_doc, str) else html_or_doc
+    return _get_title(doc)
+
+
+def extract(html: str, **kwargs) -> tuple[str, str]:
+    """(title, full readable document) — extract.py:90-131."""
+    res = extract_turn(html, **kwargs)
+    return res.title, res.html
+
+
+def no_extract(html: str) -> tuple[str, str]:
+    return _no_extract(html)
+
+
+def strip_links(html: str) -> str:
+    """Unwrap non-fragment <a> (extract.py:294-310); str→str like the
+    reference (ours also runs in-DOM inside the fused UDF)."""
+    doc = dom.parse(html)
+    _strip_links(doc)
+    return doc.to_html()
+
+
+def process_images(html: str, base_url: str) -> tuple[str, list[str]]:
+    """(processed html, resolved asset urls) — extract.py:204-291 with the
+    offline-deterministic resolver (no network in this engine)."""
+    doc = dom.parse(html)
+    images = _process_images(doc, base_url)
+    return doc.to_html(), images
+
+
+def collect(
+    html: str,
+    url: str = "",
+    prep: list = (),  # reference default: no preprocessors (pack.py:157);
+    #                   batch() dispatches get_preps per URL (batch.py:52)
+    meta: dict | None = None,
+    javascript: bool = True,  # signature parity; payload is pre-rendered
+    do_extract: bool = True,
+) -> dict:
+    """The per-record pipeline (pack.py:157-251) minus network/zip: returns
+    the reference's meta-dict contract
+    {url, domain, timestamp, title, images[, error]} — title override from
+    ``meta`` wins (pack.py:238), any failure is trapped in-band into
+    meta['error'] with a timestamp (pack.py:205-213)."""
+    meta = dict(meta or {})
+    meta["url"] = url
+    meta["domain"] = domain_of(url)
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    if html is None or not str(html).strip():
+        meta["error"] = "empty_payload"
+        meta["timestamp"] = now
+        return meta
+    res = extract_turn(
+        html, base_url=url, do_extract=do_extract, preprocessors=prep or ()
+    )
+    if res.error:
+        meta["error"] = res.error
+        meta["timestamp"] = now
+        return meta
+    meta["timestamp"] = now
+    meta["title"] = meta.get("title") or res.title  # override wins (pack.py:238)
+    meta["images"] = res.images
+    meta["text"] = res.text
+    meta["spans"] = res.spans
+    meta["hash"] = hash_data(url or res.text)
+    return meta
+
+
+def batch(pairs, max_procs: int | None = None, **collect_kwargs) -> list[dict]:
+    """Ordered batch over (html, url) pairs (batch.py:36-58): per-URL
+    preprocessor dispatch via get_preps (batch.py:52-53), ordered results.
+    The reference used multiprocessing.Pool; the engine's real distribution
+    is the Spark pipeline — this facade keeps the call shape."""
+    return [
+        collect(html, url=url, prep=list(get_preps(url)), **collect_kwargs)
+        for html, url in pairs
+    ]

@@ -169,6 +169,9 @@ def synth_transcripts(spark, n_convs: int = 100, seed: int = 42, **kw):
 
 
 def write_corpus(path: str, n_convs: int, seed: int = 42, **kw) -> str:
-    """Materialize a corpus parquet for bench runs; returns the path."""
-    gen_transcripts(n_convs, seed, **kw).to_parquet(path, index=False)
+    """Materialize a corpus parquet for bench runs; returns the path.
+    Timestamps coerced to micros — Spark rejects pandas' nanos parquet."""
+    gen_transcripts(n_convs, seed, **kw).to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
     return path

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import io as sink_io
+from . import storage as sink_io
 from .udfs import _run_extract_batch
 
 INPUT_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")

@@ -35,7 +35,7 @@ import re
 from dataclasses import dataclass, field
 
 from . import dom
-from .tokenize import fix_ws
+from .tokenizer import fix_ws
 from .urlx import IEXTENSIONS, prepare_url, url_split
 
 # --- heuristics tables (Arc90-family, public algorithm) -----------------

@@ -21,7 +21,7 @@ from pyspark.sql.functions import pandas_udf
 from .preprocess import PREPS_BY_NAME, get_prep_names
 from .readability import extract_turn, get_title
 from . import dom
-from .tokenize import count_text, split_sentences, split_words
+from .tokenizer import count_text, split_sentences, split_words
 
 # Output schema of the fused extraction UDF (SURVEY.md §1.2 column map).
 EXTRACT_SCHEMA = T.StructType(
@@ -57,29 +57,40 @@ COUNTS_SCHEMA = T.StructType(
 def _run_extract_batch(
     texts: pd.Series, sources: pd.Series, do_extract: pd.Series
 ) -> pd.DataFrame:
-    rows = []
+    # columnar accumulation: building row tuples then transposing through
+    # pd.DataFrame(rows) costs ~10% of batch wall at this cell size
+    titles, out_texts, spans, images, n_images, errors = [], [], [], [], [], []
+    prep_cache: dict[str, list] = {}
     for html, src, do_ext in zip(texts, sources, do_extract):
         src = src if isinstance(src, str) else ""
-        preps = [PREPS_BY_NAME[n] for n in get_prep_names(src)] if src else ()
+        if src:
+            preps = prep_cache.get(src)
+            if preps is None:
+                preps = [PREPS_BY_NAME[n] for n in get_prep_names(src)]
+                prep_cache[src] = preps
+        else:
+            preps = ()
         res = extract_turn(
             html,
             base_url=src,
             do_extract=bool(do_ext) if do_ext is not None else True,
             preprocessors=preps,
         )
-        rows.append(
-            (
-                res.title,
-                res.text,
-                [{"start": s, "end": e} for s, e in res.spans],
-                res.images,
-                res.n_images,
-                res.error,
-            )
-        )
+        titles.append(res.title)
+        out_texts.append(res.text)
+        spans.append([{"start": s, "end": e} for s, e in res.spans])
+        images.append(res.images)
+        n_images.append(res.n_images)
+        errors.append(res.error)
     return pd.DataFrame(
-        rows,
-        columns=["title", "extracted_text", "spans", "images", "n_images", "error"],
+        {
+            "title": titles,
+            "extracted_text": out_texts,
+            "spans": spans,
+            "images": images,
+            "n_images": n_images,
+            "error": errors,
+        }
     )
 
 

@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Cluster-shaped invocation (BASELINE.md protocol): the identical artifact a
+# real deployment would spark-submit. Local sandbox: master=local[N]; on a
+# cluster swap --master/--num-executors and nothing else changes.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+INPUT="${1:?usage: run.sh <input-parquet> <sink-dir> [extra spark-submit args]}"
+SINK="${2:?usage: run.sh <input-parquet> <sink-dir>}"
+shift 2
+
+cd "$REPO"
+rm -f /tmp/artexin_spark.zip
+python -c "
+import shutil
+shutil.make_archive('/tmp/artexin_spark', 'zip', '$REPO', 'artexin_spark')
+"
+exec spark-submit \
+  --master "local[$CPUS]" \
+  --py-files /tmp/artexin_spark.zip \
+  --conf spark.sql.shuffle.partitions="${SPARK_SHUFFLE_PARTITIONS:-64}" \
+  --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
+  --driver-memory "${SPARK_DRIVER_MEM:-32g}" \
+  "$@" \
+  "$REPO/artexin_spark/__main__.py" --input "$INPUT" --sink "$SINK"

@@ -1,0 +1,62 @@
+"""Reference-API facade: the meta-dict orchestration contract from
+artexin/tests/test_pack.py (keys, title override, error path) and the
+str→str operator shapes."""
+
+from artexin_spark import compat
+
+
+PAGE = (
+    "<html><head><title>Page Title</title></head><body>"
+    '<div id="content"><p>Long enough body text, with commas, for the '
+    "scorer to keep this paragraph in the extracted article output.</p></div>"
+    '<img src="/static/x.png"></body></html>'
+)
+
+
+def test_collect_meta_contract():
+    # tests/test_pack.py:269-280 pins {url, domain, timestamp, title, images}
+    meta = compat.collect(PAGE, url="http://www.example.com/a/b.html")
+    assert set(meta) >= {"url", "domain", "timestamp", "title", "images"}
+    assert meta["url"] == "http://www.example.com/a/b.html"
+    assert meta["domain"] == "www.example.com"
+    assert meta["title"] == "Page Title"
+    assert "error" not in meta
+
+
+def test_collect_title_override_wins():
+    # pack.py:238 — caller-supplied title beats the extracted one
+    meta = compat.collect(PAGE, url="http://x.com/", meta={"title": "Custom"})
+    assert meta["title"] == "Custom"
+
+
+def test_collect_error_path():
+    # pack.py:205-213 — failure lands in-band with url/domain/timestamp only
+    meta = compat.collect("", url="http://x.com/")
+    assert meta["error"] == "empty_payload"
+    assert "title" not in meta and "images" not in meta
+    assert {"url", "domain", "timestamp"} <= set(meta)
+
+
+def test_batch_ordered():
+    metas = compat.batch([(PAGE, "http://a.com/1"), ("", "http://a.com/2")])
+    assert [m["url"] for m in metas] == ["http://a.com/1", "http://a.com/2"]
+    assert "error" in metas[1]
+
+
+def test_str_to_str_operator_shapes():
+    assert compat.strip_links('<body><a href="/f">foo</a></body>') == "<body>foo</body>"
+    html, images = compat.process_images(PAGE, "https://www.example.com/t.html")
+    assert images == ["https://www.example.com/static/x.png"]
+    assert './image0000.png' in html
+    title, out = compat.extract(PAGE)
+    assert title == "Page Title" and out.startswith("<!DOCTYPE html>")
+    assert compat.get_title(PAGE) == "Page Title"
+    tc, pc, wc = compat.get_counts(compat.split_sentences("One two. Two one."))
+    assert wc == 4
+
+
+def test_url_algebra_reexports():
+    assert compat.split("http://localhost?foo=bar") == ("http://localhost", "/?foo=bar")
+    assert compat.normalize("a/../b") == "b"
+    assert compat.percent_escape("a(b)") == "a%2528b%2529"
+    assert compat.is_http_url("//cdn.x.com")

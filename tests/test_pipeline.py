@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from artexin_spark import io as sink_io
+from artexin_spark import storage as sink_io
 from artexin_spark.corpus import gen_transcripts, golden_extract, synth_transcripts
 from artexin_spark.pipeline import extract_df, run_extract
 from artexin_spark.udfs import with_extraction

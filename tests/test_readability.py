@@ -11,7 +11,7 @@ from artexin_spark.readability import (
     process_images,
     strip_links,
 )
-from artexin_spark.tokenize import fix_ws
+from artexin_spark.tokenizer import fix_ws
 
 BOILERPLATE_PAGE = """<html><head><title>Instant Hacking</title>
 <style>.nav{color:red}</style></head>

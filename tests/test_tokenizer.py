@@ -2,7 +2,7 @@
 
 import pytest
 
-from artexin_spark.tokenize import (
+from artexin_spark.tokenizer import (
     count_text,
     fix_ws,
     get_counts,
