@@ -399,6 +399,134 @@ def q_region_revenue(spark, sf_dir):
     return rev
 
 
+def q_extract_spans(spark, sf_dir):
+    """Character-span fidelity gate: the extraction UDF's (start,end)
+    offsets into the ORIGINAL payload, checked against offsets derived
+    from the known template lengths (SURVEY.md §1.2 spans column)."""
+    tr = _transcripts_from_docs(spark, sf_dir)
+    out = with_extraction(tr, text_col="text")
+    first = F.element_at("spans", 1)
+    return out.select(
+        "conv_id",
+        F.size("spans").alias("n_spans"),
+        first.getField("start").alias("span_start"),
+        first.getField("end").alias("span_end"),
+    )
+
+
+def _mutated_union(docs: DataFrame, limit: int = 150, shift: int = 10000) -> DataFrame:
+    """docs[:limit] ∪ near-duplicate copies (id+shift, 4 tokens appended):
+    deterministic ground-truth near-dups for the LSH/simhash gates."""
+    base = docs.filter(F.col("doc_id") < limit).select("doc_id", "text")
+    mut = base.select(
+        (F.col("doc_id") + shift).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq near dup tail")).alias("text"),
+    )
+    return base.unionByName(mut)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """The LSH scale path end-to-end: minhash signatures → band buckets →
+    self-join → signature-agreement jaccard estimate ≥ threshold."""
+    both = _mutated_union(_docs(spark, sf_dir))
+    sigs = dd.minhash_signatures(both, k=8, n=3)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4)
+    est = dd.minhash_jaccard_estimate(sigs, pairs)
+    return est.filter(F.col("jaccard_est") >= 0.4).select(
+        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded-hamming simhash dedup (pigeonhole candidate join + exact
+    hamming verify) over the same ground-truth near-dup corpus."""
+    both = _mutated_union(_docs(spark, sf_dir))
+    return dd.simhash_dedup(both, max_hamming=3, bands=4)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: broadcast centroid assign → inverted-list join →
+    windowed top-k within the probed list (the 10^9-vector plan shape)."""
+    emb = _emb(spark, sf_dir)
+    out = sim.ivf_topk(emb, emb.filter("vec_id < 5"), n_centroids=8, k=5)
+    return out.select("query_id", "centroid_id", "neighbor_id", "rank")
+
+
+def q_prep_dispatch(spark, sf_dir):
+    """Preprocessor dispatch (preprocessor_mappings.py:29-54 semantics):
+    every matching pattern concatenates in order, catch-all fixheaders
+    always appends — expressed natively (rlike cascade, no UDF)."""
+    docs = _docs(spark, sf_dir)
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://en.wikipedia.org/wiki/"), F.col("source")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://www.dw.de/"), F.col("source")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://example.com/"), F.col("source")))
+        .otherwise(F.concat(F.lit("ftp://files.example.com/"), F.col("source")))
+    )
+    lw = F.lower(url)
+    preps = F.concat(
+        F.when(lw.rlike(r"^https?://..\.wikipedia\.org"), F.lit("wikipedia,")).otherwise(F.lit("")),
+        F.when(lw.rlike(r"^http://www\.dw\.de/"), F.lit("dwelle,")).otherwise(F.lit("")),
+        F.lit("fixheaders"),
+    )
+    return docs.select("doc_id", url.alias("url"), preps.alias("preps"))
+
+
+def q_returned_orders(spark, sf_dir):
+    """Left-semi join coverage: orders having ≥1 returned lineitem,
+    counted by priority (EXISTS shape; lineitem side aggregated map-side
+    before the shuffle at scale via the distinct projection)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_never_returned(spark, sf_dir):
+    """Left-anti join coverage: the complement set, same grouping."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_stream_extract(spark, sf_dir):
+    """Structured Streaming incremental extraction (availableNow drain,
+    file-source checkpoint): same fused Arrow stage as the batch path, so
+    per-turn output is byte-identical — gated by the same SQL oracle."""
+    import tempfile
+
+    from artexin_spark.streaming import incremental_extract
+
+    tr = _transcripts_from_docs(spark, sf_dir).filter(
+        F.col("conv_id").cast("int") < 200
+    )
+    base = tempfile.mkdtemp(prefix="artexin_stream_")
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    tr.write.mode("overwrite").parquet(inp)
+    incremental_extract(spark, inp, outp, ckpt, n_buckets=8)
+    out = spark.read.parquet(outp)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "title",
+        "extracted_text",
+        "n_images",
+        F.col("error").cast("string").alias("error"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full vectorized
     readability extraction over transcript-shaped HTML payloads."""
@@ -434,6 +562,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
+        "extract_spans": q_extract_spans,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf": q_ann_ivf,
+        "prep_dispatch": q_prep_dispatch,
+        "returned_orders": q_returned_orders,
+        "never_returned": q_never_returned,
+        "stream_extract": q_stream_extract,
     }
 
 
@@ -744,6 +880,150 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+"""
+
+
+_ORACLES["extract_spans"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       1 AS n_spans,
+       {len(_WRAP_PRE_TITLE)} + length(CAST(doc_id AS VARCHAR)) + {len(_WRAP_POST_TITLE)}
+         AS span_start,
+       {len(_WRAP_PRE_TITLE)} + length(CAST(doc_id AS VARCHAR)) + {len(_WRAP_POST_TITLE)}
+         + length(text) AS span_end
+FROM documents
+"""
+
+# near-dup ground-truth union shared by the lsh/simhash pair oracles
+_SQL_MUT_UNION = """
+d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' zq near dup tail' AS text
+  FROM documents WHERE doc_id < 150
+)
+"""
+
+_SQL_SHINGLES = f"""(CASE WHEN len({_SQL_TOKS}) >= 3
+    THEN list_distinct(list_transform(
+           generate_series(1, len({_SQL_TOKS}) - 2),
+           i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
+    ELSE [array_to_string({_SQL_TOKS}, ' ')] END)"""
+
+_ORACLES["lsh_pairs"] = f"""
+WITH {_SQL_MUT_UNION},
+t AS (SELECT doc_id, {_SQL_SHINGLES} AS shs FROM d),
+e AS (SELECT doc_id,
+        CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) % 2147483647 AS hb
+      FROM t),
+p(seed, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+sig AS (SELECT e.doc_id, p.seed, min((p.a * e.hb + p.b) % 2147483647) AS mh
+        FROM e, p GROUP BY e.doc_id, p.seed),
+banded AS (SELECT doc_id, seed // 2 AS band_idx,
+                  string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+           FROM sig GROUP BY doc_id, seed // 2),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b,
+               sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 AS je
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
+        GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM est WHERE je >= 0.4
+"""
+
+_ORACLES["simhash_pairs"] = f"""
+WITH {_SQL_MUT_UNION},
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM d),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+bits AS (
+  SELECT doc_id, g.p,
+    CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(tok), g.p, 1)) > 0
+                       THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+  FROM tok, generate_series(1, 32) g(p)
+  GROUP BY doc_id, g.p),
+sh AS (SELECT doc_id, string_agg(b, '' ORDER BY p) AS sh FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, sh, g.b AS band_idx, substr(sh, g.b * 8 + 1, 8) AS band_key
+           FROM sh, generate_series(0, 3) g(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sh AS sh_a, b.sh AS sh_b
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  len(list_filter(generate_series(1, 32),
+                  i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS hamming
+FROM cand
+WHERE len(list_filter(generate_series(1, 32),
+                      i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+"""
+
+_ORACLES["ann_ivf"] = """
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+               FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+      FROM assign WHERE vec_id < 5),
+cand AS (SELECT q.query_id, q.centroid_id, a.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qv, a.embedding) AS cosine
+         FROM q JOIN assign a USING (centroid_id)
+         WHERE a.vec_id <> q.query_id),
+r AS (SELECT query_id, centroid_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM cand)
+SELECT query_id, centroid_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+_ORACLES["prep_dispatch"] = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'https://en.wikipedia.org/wiki/' || source
+         WHEN doc_id % 4 = 1 THEN 'http://www.dw.de/' || source
+         WHEN doc_id % 4 = 2 THEN 'http://example.com/' || source
+         ELSE 'ftp://files.example.com/' || source END AS url
+  FROM documents)
+SELECT doc_id, url,
+  (CASE WHEN regexp_matches(lower(url), '^https?://..\\.wikipedia\\.org')
+        THEN 'wikipedia,' ELSE '' END)
+  || (CASE WHEN regexp_matches(lower(url), '^http://www\\.dw\\.de/')
+           THEN 'dwelle,' ELSE '' END)
+  || 'fixheaders' AS preps
+FROM u
+"""
+
+_ORACLES["returned_orders"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+_ORACLES["never_returned"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+_ORACLES["stream_extract"] = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       0 AS turn_idx,
+       'Doc ' || doc_id AS title,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
+       0 AS n_images,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents WHERE doc_id < 200
 """
 
 

@@ -199,6 +199,86 @@ def lsh_ann(
     )
 
 
+# --- IVF ANN -----------------------------------------------------------------
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): each vector assigned to its max-cosine centroid
+    (ties → lowest centroid_id). Centroids broadcast — the assignment is a
+    map-only pass, no shuffle on the fat vector column."""
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(c)
+    ).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine_expr(vec_col, "cent_vec").alias("_cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into inverted lists by nearest
+    centroid, search only the query's own list (n_probe=1). Deterministic
+    centroid seed = the first ``n_centroids`` corpus vectors, which keeps
+    an exact SQL oracle possible; production swaps in sampled k-means
+    centroids — the plan shape (broadcast centroids → map-side assign →
+    co-partitioned list join → windowed top-k) is unchanged.
+
+    At 10^9 vectors the corpus assignment is written bucketed by
+    centroid_id so queries join only their list's partitions."""
+    cents = corpus.filter(F.col(id_col) < n_centroids)
+    corpus_a = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    query_a = ivf_assign(queries, cents, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    cand = corpus_a.join(F.broadcast(query_a), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "centroid_id",
+        "neighbor_id",
+        cosine_expr("q_vec", "c_vec").alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "centroid_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Recall@k of the ANN result against the brute-force baseline."""
     e = exact.select("query_id", "neighbor_id")

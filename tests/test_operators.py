@@ -179,3 +179,66 @@ def test_dedup_plans_have_no_python(spark, docs):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ivf_topk_matches_exact_within_list(spark, emb):
+    """IVF rank-1 neighbor must be the exact top-1 whenever the true
+    nearest shares the query's inverted list; ranks deterministic."""
+    queries = emb.filter("vec_id < 5")
+    ivf = similarity.ivf_topk(emb, queries, n_centroids=8, k=5).toPandas()
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    assert set(ivf.query_id) == set(exact.query_id)
+    assert (ivf.groupby("query_id")["rank"].apply(lambda r: sorted(r) == list(range(1, len(r) + 1)))).all()
+    # every IVF neighbor's cosine equals the exact cosine for that pair
+    merged = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_ivf", "_ex"))
+    assert (abs(merged.cosine_ivf - merged.cosine_ex) < 1e-12).all()
+
+
+def test_ivf_assign_is_argmax(spark, emb):
+    cents = emb.filter("vec_id < 4")
+    assign = similarity.ivf_assign(emb.filter("vec_id < 50"), cents).toPandas()
+    assert len(assign) == 50  # exactly one centroid per vector
+    # centroids assign to themselves (cosine=1 is the max)
+    own = assign[assign.vec_id < 4]
+    assert (own.vec_id == own.centroid_id).all()
+
+
+def test_lsh_pairs_find_mutated_near_dups(spark, docs):
+    """Appending a short tail keeps shingle-jaccard high: LSH banding must
+    recover most (orig, mutated) pairs, and the estimate must be high."""
+    base = docs.filter("doc_id < 40").select("doc_id", "text")
+    mut = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" zq near dup tail")).alias("text"),
+    )
+    both = base.unionByName(mut)
+    sigs = dedup.minhash_signatures(both, k=16, n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8)
+    est = dedup.minhash_jaccard_estimate(sigs, pairs).toPandas()
+    planted = est[(est.id_b - est.id_a == 10000)]
+    assert len(planted) >= 36  # ≥90% recall of the 40 planted pairs
+    assert (planted.jaccard_est >= 0.5).all()
+
+
+def test_simhash_dedup_mutated_hamming_small(spark, docs):
+    base = docs.filter("doc_id < 40").select("doc_id", "text")
+    mut = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" zq near dup tail")).alias("text"),
+    )
+    out = dedup.simhash_dedup(base.unionByName(mut), max_hamming=6).toPandas()
+    planted = out[(out.id_b - out.id_a == 10000)]
+    assert len(planted) >= 30  # small tail shifts few simhash bits
+    assert (planted.hamming <= 6).all()
+
+
+def test_prep_dispatch_native_matches_python(spark):
+    """The native rlike dispatch cascade in the driver entry must agree
+    with preprocess.get_prep_names on every URL shape."""
+    import __spark_entry__ as entry
+    from artexin_spark.preprocess import get_prep_names
+
+    out = entry.q_prep_dispatch(spark, SF).toPandas()
+    for _, row in out.iterrows():
+        expected = ",".join(get_prep_names(row.url))
+        assert row.preps == expected, (row.url, row.preps, expected)
