@@ -381,11 +381,21 @@ def embedding_near_dup(
     """Pairs with cosine >= threshold. Brute-force pairwise (for the exact
     baseline / oracle); at scale use similarity.lsh_ann buckets as the
     candidate generator instead of the full cross join."""
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm_expr(vec_col).alias("n_a"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm_expr(vec_col).alias("n_b"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", cosine_expr("v_a", "v_b").alias("cosine")
+        "id_a",
+        "id_b",
+        (dot_expr("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

@@ -199,14 +199,14 @@ def select_best(doc: dom.Document):
     """Best candidate after link-density damping; None when no candidate
     scored (caller falls back to <body>)."""
     scored = score_candidates(doc)
+    if not scored:
+        return None, {}
+    # one link_density per candidate (it walks the subtree — the hot part)
+    finals = {k: (n, s * (1.0 - link_density(n))) for k, (n, s) in scored.items()}
     best, best_score = None, float("-inf")
-    for node, raw in scored.values():
-        final = raw * (1.0 - link_density(node))
+    for node, final in finals.values():
         if final > best_score:
             best, best_score = node, final
-    if best is None:
-        return None, {}
-    finals = {k: (n, s * (1.0 - link_density(n))) for k, (n, s) in scored.items()}
     return best, finals
 
 

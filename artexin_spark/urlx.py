@@ -65,7 +65,12 @@ def url_split(url: str) -> tuple[str, str]:
 def normalize_path(path: str) -> str:
     """Resolve '.' and '..' segments; leading '..' runs are preserved.
 
-    Reference: artexin/urlutils.py:90-125 (doctest-pinned).
+    Reference: artexin/urlutils.py:90-125 (doctest-pinned). Intentional
+    divergence: the reference raises IndexError when a '..' underflows
+    past the start (urlutils.py:118, e.g. 'a/../../b'); a poison asset
+    path must not cost anything at scale, so we keep the unmatched '..'
+    instead — identical output on every input the reference survives
+    (property-pinned in tests/test_properties.py).
     """
     out: list[str] = []
     leading = True
@@ -73,7 +78,7 @@ def normalize_path(path: str) -> str:
         if seg == ".":
             continue
         if seg == "..":
-            if leading:
+            if leading or not out:
                 out.append(seg)
             else:
                 out.pop()

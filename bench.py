@@ -124,7 +124,7 @@ def main() -> None:
     timed("q_unigrams", lambda: ts.top_terms(docs, k=50).collect())
     timed(
         "q_knn",
-        lambda: sim.cosine_topk(emb, emb.limit(50), k=10).count(),
+        lambda: sim.cosine_topk_np(emb, emb.limit(50), k=10).count(),
     )
     timed(
         "q_quality_langid",

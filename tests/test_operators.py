@@ -242,3 +242,14 @@ def test_prep_dispatch_native_matches_python(spark):
     for _, row in out.iterrows():
         expected = ",".join(get_prep_names(row.url))
         assert row.preps == expected, (row.url, row.preps, expected)
+
+
+def test_cosine_topk_np_agrees_with_sql(spark, emb):
+    """The numpy-GEMM throughput path must return the same neighbors in
+    the same rank order as the oracle-gated SQL-expression path."""
+    a = similarity.cosine_topk(emb, emb.limit(10), k=5).toPandas()
+    b = similarity.cosine_topk_np(emb, emb.limit(10), k=5).toPandas()
+    m = a.merge(b, on=["query_id", "rank"], suffixes=("_sql", "_np"))
+    assert len(m) == len(a) == len(b)
+    assert (m.neighbor_id_sql == m.neighbor_id_np).all()
+    assert (m.cosine_sql - m.cosine_np).abs().max() < 1e-6

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure scalar algebra.
+
+These pin invariants the doctest vectors can't: idempotence, closure,
+and agreement with an independent formulation, over generated inputs.
+No Spark session needed — these functions are the exact code the Arrow
+UDF batches call, so single-node properties transfer to the cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from artexin_spark import urlx
+from artexin_spark.tokenizer import fix_ws, is_word, strip_period
+
+# path segments that exercise ./.. handling without nulls/newlines
+_seg = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=6,
+)
+_path = st.lists(
+    st.one_of(_seg, st.just("."), st.just("..")), min_size=0, max_size=8
+).map(lambda segs: "/".join(segs))
+
+
+@given(_path)
+def test_normalize_path_idempotent(p):
+    once = urlx.normalize_path(p)
+    assert urlx.normalize_path(once) == once
+
+
+@given(_path)
+def test_normalize_path_no_interior_dots(p):
+    """After normalization, '.' is gone and '..' survives only as a
+    leading run (reference urlutils.py:90-125 contract)."""
+    out = urlx.normalize_path(p)
+    segs = out.split("/")
+    seen_real = False
+    for s in segs:
+        assert s != "."
+        if s == "..":
+            assert not seen_real  # '..' only before any real segment
+        elif s != "":
+            seen_real = True
+
+
+@given(_path.map(lambda p: "/" + p), _path.map(lambda p: "/" + p))
+def test_absolute_path_is_normalized_and_rooted(path, base):
+    out = urlx.absolute_path(path, base)
+    # absolute_path output is always in normal form (re-normalize = no-op);
+    # rootedness is NOT invariant — '/..'→'' and '/../x'→'x' by reference
+    # semantics (urlutils.py doctests), so only idempotence is claimed
+    assert urlx.normalize_path(out) == out
+
+
+@given(st.text(max_size=40))
+def test_is_http_url_iff_prefix(url):
+    want = url.startswith(("http://", "https://", "//"))
+    assert urlx.is_http_url(url) == want
+
+
+@given(st.text(max_size=40))
+def test_normalize_scheme_closure(url):
+    out = urlx.normalize_scheme(url, "https")
+    assert not out.startswith("//")
+    if not url.startswith("//"):
+        assert out == url
+
+
+@given(st.text(alphabet="ab%()[]/:.x", max_size=30))
+def test_percent_escape_no_raw_specials(url):
+    out = urlx.percent_escape(url)
+    # every reference-table char is gone from the escaped form
+    assert not any(c in out for c in "()[]")
+    # '%' appears only as the start of an escape we produced
+    for m in re.finditer(r"%", out):
+        assert out[m.start() : m.start() + 3] in ("%25", "%2528", "%2529", "%255B", "%255D")[:1] or out[
+            m.start() : m.start() + 2
+        ] == "%2"
+
+
+@given(st.lists(st.one_of(st.text(max_size=8), st.integers()), max_size=4))
+def test_hash_data_is_md5_of_concat_str(args):
+    want = hashlib.md5("".join(str(a) for a in args).encode("utf-8")).hexdigest()
+    assert urlx.hash_data(*args) == want
+
+
+# --- tokenizer ---------------------------------------------------------------
+
+_WSRE_REF = re.compile(r"\s+")
+
+
+@given(st.text(max_size=120))
+def test_fix_ws_matches_reference_regex_form(s):
+    """The split/join fast path must equal the reference formulation
+    trim + collapse-\\s+ (artexin/index.py:27-40) on arbitrary input."""
+    assert fix_ws(s) == _WSRE_REF.sub(" ", s.strip())
+
+
+@given(st.text(max_size=120))
+def test_fix_ws_idempotent_and_clean(s):
+    out = fix_ws(s)
+    assert fix_ws(out) == out
+    assert "  " not in out and out == out.strip()
+
+
+@given(st.text(max_size=30))
+def test_strip_period_removes_at_most_one(t):
+    out = strip_period(t)
+    if t.endswith("."):
+        assert out == t[:-1]
+    else:
+        assert out == t
+
+
+@given(st.text(min_size=1, max_size=20))
+def test_is_word_iff_any_alnum_or_underscore(t):
+    # reference NONWORD regex: token is NOT a word iff it's all \W
+    assert is_word(t) == (re.match(r"^\W+$", t) is None)
