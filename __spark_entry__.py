@@ -430,8 +430,7 @@ def q_lsh_pairs(spark, sf_dir):
     self-join → signature-agreement jaccard estimate ≥ threshold."""
     both = _mutated_union(_docs(spark, sf_dir))
     sigs = dd.minhash_signatures(both, k=8, n=3)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4)
-    est = dd.minhash_jaccard_estimate(sigs, pairs)
+    est = dd.lsh_pairs_jaccard(sigs, bands=4)
     return est.filter(F.col("jaccard_est") >= 0.4).select(
         "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
     )
