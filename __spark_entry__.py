@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from artexin_spark.operators import dedup as dd
+from artexin_spark.operators import multimodal as mm
 from artexin_spark.operators import similarity as sim
 from artexin_spark.operators import textstats as ts
 from artexin_spark.udfs import with_extraction
@@ -500,6 +501,125 @@ def q_never_returned(spark, sf_dir):
     )
 
 
+def q_asset_resolution(spark, sf_dir):
+    """fetch_image's Spark mapping (SURVEY.md §2.1, artexin/fetch.py:118-172 +
+    extract.py:240-289): exploded per-doc img srcs LEFT JOIN an assets
+    lookup (url → format); format → extension via the IEXTENSIONS literal
+    map (fetch.py:34-50); first-appearance NNNN naming; a src missing from
+    assets → NULL local_name (= tag decomposed, extract.py:287-289). The
+    assets side is small → Catalyst broadcasts it."""
+    from artexin_spark.urlx import IEXTENSIONS
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    srcs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("http://img.example/"),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit("/%d" % k),
+                    )
+                    for k in (0, 1)
+                ]
+            )
+        ).alias("img_idx", "src"),
+    )
+    fmts = ["PNG", "JPEG", "GIF", "BMP"]
+    assets = (
+        spark.range(50)
+        .select(F.col("id").alias("key"), F.explode(F.array(F.lit(0), F.lit(1))).alias("k"))
+        .filter((F.col("key") * 2 + F.col("k")) % 7 != 3)  # simulated fetch failures
+        .select(
+            F.concat(
+                F.lit("http://img.example/"),
+                F.col("key").cast("string"),
+                F.lit("/"),
+                F.col("k").cast("string"),
+            ).alias("src"),
+            F.element_at(
+                F.array(*[F.lit(f) for f in fmts]),
+                ((F.col("key") + F.col("k")) % 4 + 1).cast("int"),
+            ).alias("format"),
+        )
+    )
+    extmap = F.create_map(
+        *[x for f in fmts for x in (F.lit(f), F.lit(IEXTENSIONS[f]))]
+    )
+    joined = srcs.join(F.broadcast(assets), "src", "left")
+    return joined.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("img_idx"),
+        "src",
+        "format",
+        F.when(
+            F.col("format").isNotNull(),
+            F.concat(
+                F.lit("./image"),
+                F.lpad(F.col("img_idx").cast("string"), 4, "0"),
+                F.element_at(extmap, F.col("format")),
+            ),
+        ).alias("local_name"),
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary asset column → Arrow-batched
+    mapInPandas decode (deterministic fake codec; poison rows land in the
+    in-band error channel, never an exception). The oracle pins expected
+    metadata rows computed independently of the decode implementation."""
+    assets = mm.synth_assets(spark, n=100, seed=42)
+    out = mm.decode_assets(assets)
+    return out.select(
+        "asset_id",
+        "format",
+        "width",
+        "height",
+        "ok",
+        F.substring("error", 1, 30).alias("error_head"),
+    )
+
+
+def _multimodal_expected_values_sql() -> str:
+    """Replays synth_assets' seeded RNG call sequence (independent of
+    decode_image) to build the expected decode output as a VALUES list."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(100):
+        rng.choice(["image", "image", "image", "video"])  # kind (not graded)
+        w, h = rng.choice([(64, 48), (640, 480), (1920, 1080), (300, 300)])
+        fmt = rng.choice(["PNG", "JPG", "GIF"])
+        if rng.random() < 0.05:
+            rows.append((i, None, None, None, False, "truncated payload"))
+        elif rng.random() < 0.05:
+            rows.append((i, None, None, None, False, "real image decoding requires P"))
+        else:
+            rows.append((i, fmt, w, h, True, None))
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+    values = ",\n".join("(%s)" % ", ".join(lit(v) for v in row) for row in rows)
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(format AS VARCHAR) AS format,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(ok AS BOOLEAN) AS ok,
+       CAST(error_head AS VARCHAR) AS error_head
+FROM (VALUES
+{values}
+) AS t(asset_id, format, width, height, ok, error_head)
+"""
+
+
 def q_stream_extract(spark, sf_dir):
     """Structured Streaming incremental extraction (availableNow drain,
     file-source checkpoint): same fused Arrow stage as the batch path, so
@@ -569,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders": q_returned_orders,
         "never_returned": q_never_returned,
         "stream_extract": q_stream_extract,
+        "asset_resolution": q_asset_resolution,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1026,5 +1148,36 @@ FROM documents WHERE doc_id < 200
 """
 
 
+_ORACLES["asset_resolution"] = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, k AS img_idx,
+         'http://img.example/' || (doc_id % 50) || '/' || k AS src
+  FROM d CROSS JOIN (SELECT unnest([0, 1]) AS k)
+),
+a AS (
+  SELECT 'http://img.example/' || key || '/' || k AS src,
+         (['PNG','JPEG','GIF','BMP'])[((key + k) % 4) + 1] AS format
+  FROM generate_series(0, 49) g(key)
+  CROSS JOIN (SELECT unnest([0, 1]) AS k)
+  WHERE (key * 2 + k) % 7 <> 3
+)
+SELECT s.doc_id,
+       CAST(s.img_idx AS INTEGER) AS img_idx,
+       s.src,
+       a.format,
+       CASE WHEN a.format IS NOT NULL THEN
+         './image' || lpad(CAST(s.img_idx AS VARCHAR), 4, '0') ||
+         CASE a.format WHEN 'PNG' THEN '.png' WHEN 'JPEG' THEN '.jpg'
+                       WHEN 'GIF' THEN '.gif' ELSE '.bmp' END
+       END AS local_name
+FROM s LEFT JOIN a ON s.src = a.src
+"""
+
+_ORACLES["multimodal_decode"] = None  # built lazily (seeded replay below)
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    out["multimodal_decode"] = _multimodal_expected_values_sql()
+    return out
