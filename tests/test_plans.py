@@ -1,0 +1,91 @@
+"""Physical-plan shape gates — the 100 TB design assertions.
+
+These pin the properties that make the pipeline viable at 1000 executors:
+filters and column pruning reach the parquet scan, small dimensions
+broadcast instead of shuffling the fact side, the extraction stage crosses
+JVM→Python exactly once per batch (one MapInPandas, zero per-row
+BatchEvalPython), and no driver-side collect feeds an operator. A plan
+regression here is a scale bug even when row counts still match.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan, plan
+    # column pruning: scan must not read the fat text column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "doc_id" in read_schema, read_schema
+
+
+def test_extraction_is_single_arrow_crossing(spark, tmp_path):
+    from artexin_spark.corpus import synth_transcripts
+    from artexin_spark.pipeline import extract_df
+
+    src = str(tmp_path / "transcripts")
+    synth_transcripts(spark, n_convs=5, seed=42).write.parquet(src)
+    out = extract_df(spark, spark.read.parquet(src))
+    plan = _plan(out)
+    # count tree nodes ("MapInPandas (N)"), not the duplicate detail lines
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # no per-row Python anywhere
+    # the scan under the extraction stage reads only the transcript columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("conv_id", "turn_idx", "text"):
+        assert col in read_schema, read_schema
+
+
+def test_small_dim_joins_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the 5-row region / 25-row nation dims must never drive a full
+    # shuffle of lineitem: at most the customer join may sort-merge
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_asset_lookup_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_asset_resolution(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lsh_dedup_has_no_cartesian(spark):
+    """The LSH self-join must stay an equi-join on (band_idx, band_key) —
+    a plan regression to cartesian/BNLJ is the classic 10^12-row killer."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_lsh_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_query_uses_per_row_python(spark):
+    """Every graded query stays Arrow-vectorized or JVM-native."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        if name == "stream_extract":
+            continue  # streaming plans explain differently
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, (name, plan)
