@@ -564,6 +564,33 @@ def q_asset_resolution(spark, sf_dir):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF/layout-parse path (north rule): build deterministic PDF payloads
+    from doc text Spark-side (Arrow pandas_udf, batch-vectorized), run the
+    SAME fused extraction UDF — extract_turn dispatches on the %PDF- magic
+    to the from-scratch pdfx parser — and verify the decoded text against
+    the source text in SQL."""
+    from artexin_spark.udfs import pdf_payload_udf
+
+    docs = _docs(spark, sf_dir)
+    tr = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        pdf_payload_udf(
+            F.col("text"),
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    out = with_extraction(tr, text_col="text")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "title",
+        "extracted_text",
+        F.col("error").cast("string").alias("error"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary asset column → Arrow-batched
     mapInPandas decode (deterministic fake codec; poison rows land in the
@@ -691,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract": q_stream_extract,
         "asset_resolution": q_asset_resolution,
         "multimodal_decode": q_multimodal_decode,
+        "pdf_extract": q_pdf_extract,
     }
 
 
@@ -1175,6 +1203,15 @@ FROM s LEFT JOIN a ON s.src = a.src
 """
 
 _ORACLES["multimodal_decode"] = None  # built lazily (seeded replay below)
+
+_ORACLES["pdf_extract"] = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       0 AS turn_idx,
+       'Doc ' || doc_id AS title,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:

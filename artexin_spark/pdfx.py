@@ -1,0 +1,389 @@
+"""Minimal from-scratch PDF layout parse (north-rule: "HTML boilerplate
+strip, PDF/layout parse, DOM heuristics").
+
+Two halves:
+
+- ``build_simple_pdf``: a deterministic PDF 1.4 writer (catalog → pages →
+  page → content stream + /Info). Emits pure-ASCII output (non-ASCII text
+  is written as octal escapes of its UTF-8 bytes) so payloads can live in
+  a string ``text`` column; ``compress=True`` exercises the FlateDecode
+  path with real zlib streams. Used by tests/corpus — never in production
+  paths.
+- ``pdf_extract``: the real operator. Scans the object graph without an
+  xref (tolerant of truncated/linearized files), inflates FlateDecode
+  streams via stdlib zlib, tokenizes content streams (literal/hex strings
+  with full escape handling, arrays, operators) and assembles text from
+  the text-showing operators Tj ' " TJ with line breaks on the
+  text-positioning operators Td TD T* Tm and BT/ET block boundaries.
+  Title comes from the /Info dictionary's /Title when present.
+
+Scope honestly stated: no encryption (raises ``NotImplementedError``), no
+CMap/ToUnicode remapping (strings are decoded as UTF-8 with latin-1
+fallback — exact for this writer's output and for the common
+simple-encoding case), no layout reflow beyond operator line breaks.
+Anything unparseable lands in the caller's in-band ``error`` channel, so
+one poison payload can't fail a 10^12-turn job.
+
+The reference has no PDF support at all (artexin handles HTML only —
+fetch.py/extract.py); this module exists because the engine's north rule
+adds PDF payloads to the extraction surface.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["is_pdf", "pdf_extract", "build_simple_pdf"]
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_NAME_TITLE_RE = re.compile(rb"/Title\s*(?=[(<])")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def is_pdf(payload) -> bool:
+    if payload is None:
+        return False
+    if isinstance(payload, str):
+        return payload.lstrip()[:5] == "%PDF-"
+    return payload.lstrip(b"\x00\t\n\x0c\r ")[:5] == b"%PDF-"
+
+
+def _to_bytes(payload) -> bytes:
+    if isinstance(payload, bytes):
+        return payload
+    try:
+        return payload.encode("latin-1")
+    except UnicodeEncodeError:
+        return payload.encode("utf-8")
+
+
+def _decode_text(raw: bytes) -> str:
+    if raw[:2] in (b"\xfe\xff", b"\xff\xfe"):  # UTF-16 BOM strings
+        return raw.decode("utf-16")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """data[i] == '(' → (decoded bytes, index past closing paren)."""
+    assert data[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in b"n":
+                out += b"\n"
+            elif e in b"r":
+                out += b"\r"
+            elif e in b"t":
+                out += b"\t"
+            elif e in b"b":
+                out += b"\b"
+            elif e in b"f":
+                out += b"\f"
+            elif e in b"()\\":
+                out.append(e)
+            elif e in b"01234567":  # up to 3 octal digits
+                oct_digits = bytes([e])
+                while len(oct_digits) < 3 and data[i + 1 : i + 2] in (
+                    b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7",
+                ):
+                    i += 1
+                    oct_digits += data[i : i + 1]
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                if e == 0x0D and data[i + 1 : i + 2] == b"\n":
+                    i += 1
+            else:  # unknown escape: drop the backslash (spec)
+                out.append(e)
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """data[i] == '<' (not '<<') → (decoded bytes, index past '>')."""
+    j = data.index(b">", i)
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii")), j + 1
+
+
+def _tokenize_content(data: bytes):
+    """Yield ('str', bytes) | ('num', float) | ('op', bytes) | ('arr', list)
+    from a decoded content stream."""
+    i, n = 0, len(data)
+    arr_stack: list[list] = []
+
+    def emit(tok):
+        if arr_stack:
+            arr_stack[-1].append(tok)
+            return None
+        return tok
+
+    while i < n:
+        c = data[i : i + 1]
+        if c in b"\x00\t\n\x0c\r ":
+            i += 1
+        elif c == b"%":  # comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == b"(":
+            s, i = _parse_literal_string(data, i)
+            t = emit(("str", s))
+            if t:
+                yield t
+        elif c == b"<":
+            if data[i : i + 2] == b"<<":  # inline dict: skip balanced
+                depth = 1
+                i += 2
+                while i < n and depth:
+                    if data[i : i + 2] == b"<<":
+                        depth += 1
+                        i += 2
+                    elif data[i : i + 2] == b">>":
+                        depth -= 1
+                        i += 2
+                    elif data[i : i + 1] == b"(":
+                        _, i = _parse_literal_string(data, i)
+                    else:
+                        i += 1
+            else:
+                s, i = _parse_hex_string(data, i)
+                t = emit(("str", s))
+                if t:
+                    yield t
+        elif c == b"[":
+            arr_stack.append([])
+            i += 1
+        elif c == b"]":
+            items = arr_stack.pop() if arr_stack else []
+            t = emit(("arr", items))
+            if t:
+                yield t
+            i += 1
+        elif c == b"/":  # name
+            j = i + 1
+            while j < n and data[j : j + 1] not in _WS + _DELIM:
+                j += 1
+            i = j
+        else:  # number or operator
+            j = i
+            while j < n and data[j : j + 1] not in _WS + _DELIM:
+                j += 1
+            word = data[i:j]
+            i = j if j > i else i + 1
+            if not word:
+                continue
+            try:
+                t = emit(("num", float(word)))
+            except ValueError:
+                t = emit(("op", word))
+            if t:
+                yield t
+
+
+# text-showing and line-breaking operators
+_SHOW_OPS = {b"Tj", b"'", b'"'}
+_NEWLINE_OPS = {b"Td", b"TD", b"T*", b"Tm", b"BT", b"ET"}
+
+
+def _content_to_lines(data: bytes) -> list[str]:
+    lines: list[str] = []
+    cur: list[str] = []
+    operands: list = []
+
+    def flush():
+        if cur:
+            line = "".join(cur).strip()
+            if line:
+                lines.append(line)
+            cur.clear()
+
+    for kind, val in _tokenize_content(data):
+        if kind in ("str", "num", "arr"):
+            operands.append((kind, val))
+        else:  # operator
+            if val in _SHOW_OPS:
+                if val in (b"'", b'"'):
+                    flush()
+                if operands and operands[-1][0] == "str":
+                    cur.append(_decode_text(operands[-1][1]))
+            elif val == b"TJ":
+                if operands and operands[-1][0] == "arr":
+                    for k, v in operands[-1][1]:
+                        if k == "str":
+                            cur.append(_decode_text(v))
+                        elif k == "num" and v < -150:
+                            cur.append(" ")  # large kern = word gap
+            elif val in _NEWLINE_OPS:
+                flush()
+            operands.clear()
+    flush()
+    return lines
+
+
+def pdf_extract(payload) -> tuple[str, str]:
+    """(title, text) from a PDF payload (str or bytes). Raises ValueError
+    on non-PDF input and NotImplementedError on encrypted files — callers
+    (extract_turn) convert those into the in-band error column."""
+    data = _to_bytes(payload)
+    head = data.lstrip(bytes(_WS))
+    if head[:5] != b"%PDF-":
+        raise ValueError("not a PDF payload")
+    if re.search(rb"/Encrypt\b", data):
+        raise NotImplementedError("encrypted PDF unsupported")
+
+    title = ""
+    lines: list[str] = []
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        if sm:
+            raw = sm.group(1)
+            if re.search(rb"/FlateDecode\b", body[: sm.start()]):
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    continue  # corrupt stream: skip, keep other objects
+            if b"BT" in raw:
+                lines.extend(_content_to_lines(raw))
+        elif b"/Title" in body and b"/Type" not in body or b"/Info" in body:
+            tm = _NAME_TITLE_RE.search(body)
+            if tm and not title:
+                j = tm.end()
+                if body[j : j + 1] == b"(":
+                    t, _ = _parse_literal_string(body, j)
+                elif body[j : j + 1] == b"<":
+                    t, _ = _parse_hex_string(body, j)
+                else:
+                    t = b""
+                title = _decode_text(t).strip()
+    if not lines and b"BT" not in data:
+        # a PDF with no text operators at all (pure image scan): valid,
+        # empty text — the caller records 0-length extraction, not error
+        pass
+    return title, "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# writer (tests/corpus only)
+
+
+def _escape_pdf_text(s: str) -> str:
+    """ASCII-only literal-string body: specials backslashed, non-ASCII as
+    octal escapes of UTF-8 bytes (round-trips through _decode_text)."""
+    out = []
+    for b in s.encode("utf-8"):
+        c = chr(b)
+        if c in "()\\":
+            out.append("\\" + c)
+        elif 32 <= b < 127:
+            out.append(c)
+        elif b == 0x0A:
+            out.append("\\n")
+        else:
+            out.append("\\%03o" % b)
+    return "".join(out)
+
+
+def build_simple_pdf(
+    text: str,
+    title: str | None = None,
+    compress: bool = False,
+    wrap: int = 90,
+):
+    """Deterministic one-page-per-45-lines PDF. Returns an ASCII ``str``
+    (payload-safe for string columns) unless ``compress`` — then ``bytes``
+    with a real FlateDecode content stream."""
+    src_lines: list[str] = []
+    for para in text.split("\n"):
+        para = para.rstrip()
+        while len(para) > wrap:
+            cut = para.rfind(" ", 0, wrap + 1)
+            cut = cut if cut > 0 else wrap
+            src_lines.append(para[:cut])
+            para = para[cut:].lstrip()
+        src_lines.append(para)
+    per_page = 45
+    pages = [src_lines[i : i + per_page] for i in range(0, len(src_lines), per_page)] or [[]]
+
+    def content_for(page_lines: list[str]) -> bytes:
+        ops = ["BT", "/F1 11 Tf", "72 740 Td"]
+        for k, ln in enumerate(page_lines):
+            if k:
+                ops.append("0 -14 Td")
+            ops.append("(%s) Tj" % _escape_pdf_text(ln))
+        ops.append("ET")
+        return "\n".join(ops).encode("ascii")
+
+    objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+    n_pages = len(pages)
+    kids = " ".join("%d 0 R" % (4 + 2 * p) for p in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids.encode(), n_pages)
+    )  # 2
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # 3
+    for p, page_lines in enumerate(pages):
+        page_obj = 4 + 2 * p
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % (page_obj + 1)
+        )
+        stream = content_for(page_lines)
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream, 9)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (filt, len(stream), stream)
+        )
+    info_obj = len(objs) + 1
+    objs.append(
+        b"<< /Title (%s) >>" % _escape_pdf_text(title or "").encode("ascii")
+    )
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i
+        buf += body
+        buf += b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, info_obj, xref_at)
+    )
+    data = bytes(buf)
+    return data if compress else data.decode("ascii")

@@ -34,7 +34,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from . import dom
+from . import dom, pdfx
 from .tokenizer import fix_ws
 from .urlx import IEXTENSIONS, prepare_url, url_split
 
@@ -366,6 +366,21 @@ def process_images(doc: dom.Node, base_url: str) -> list[str]:
 # --- document assembly -------------------------------------------------------
 
 
+def _document_html_text(title: str, text: str) -> str:
+    """Same document shape as _document_html but from plain text (the PDF
+    path has no DOM article node)."""
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    return (
+        "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
+        "<meta content=\"text/html; charset='utf-8'\" name=\"http-equiv\">"
+        "<title>%s</title></head><body><p>%s</p></body></html>"
+        % (esc(title), esc(text))
+    )
+
+
 def _document_html(title: str, article: dom.Node) -> str:
     """Rebuild a full document: doctype + <head> with charset metas and
     <title> + article body. Reference: extract.py:115-130."""
@@ -407,6 +422,15 @@ def extract_turn(
     try:
         if html is None or not html.strip():
             result.error = "empty_payload"
+            return result
+        if pdfx.is_pdf(html):
+            # PDF/layout payload (north rule): from-scratch parse in pdfx.
+            # Spans stay empty — the span contract is char offsets into the
+            # original payload, undefined for decoded/inflated PDF streams.
+            title, body = pdfx.pdf_extract(html)
+            result.title = title
+            result.text = fix_ws(body)
+            result.html = _document_html_text(title, result.text)
             return result
         doc = dom.parse(html)
         for prep in preprocessors:

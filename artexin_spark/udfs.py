@@ -124,6 +124,17 @@ def counts_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["term_counts", "pair_counts", "word_count"])
 
 
+@pandas_udf(T.StringType())
+def pdf_payload_udf(texts: pd.Series, titles: pd.Series) -> pd.Series:
+    """Deterministic PDF payload builder (test/bench harness for the
+    pdfx layout-parse path) — Arrow-batched like everything else."""
+    from .pdfx import build_simple_pdf
+
+    return pd.Series(
+        [build_simple_pdf(t or "", title=ti or "") for t, ti in zip(texts, titles)]
+    )
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def sentences_udf(texts: pd.Series) -> pd.Series:
     """Sentence split (regex punkt replacement, artexin/index.py:86-104)."""

@@ -1,0 +1,100 @@
+"""PDF layout parse: writer↔extractor round trips, escapes, FlateDecode,
+poison payloads, extract_turn dispatch, and Spark-path integration."""
+
+import pytest
+
+from artexin_spark.pdfx import build_simple_pdf, is_pdf, pdf_extract
+from artexin_spark.readability import extract_turn
+from artexin_spark.tokenizer import fix_ws
+
+
+def norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def test_round_trip_plain():
+    text = "First paragraph of the article.\nSecond line, with commas."
+    title, body = pdf_extract(build_simple_pdf(text, title="T"))
+    assert title == "T"
+    assert norm(body) == norm(text)
+
+
+def test_round_trip_unicode_and_escapes():
+    text = "héllo — (nested (parens)) \\ backslash\tand ümlauts"
+    _, body = pdf_extract(build_simple_pdf(text))
+    assert norm(body) == norm(text)
+
+
+def test_round_trip_flate_compressed():
+    text = " ".join("token%d," % i for i in range(500))
+    _, body = pdf_extract(build_simple_pdf(text, compress=True))
+    assert norm(body) == norm(text)
+
+
+def test_multi_page():
+    text = "\n".join("line %d of a long document" % i for i in range(200))
+    _, body = pdf_extract(build_simple_pdf(text))
+    assert norm(body) == norm(text)  # 200 lines > 45/page → 5 pages
+
+
+def test_writer_output_is_ascii_string():
+    pdf = build_simple_pdf("héllo — ümlauts", title="Tïtle")
+    assert isinstance(pdf, str)
+    pdf.encode("ascii")  # payload-safe for string columns
+
+
+def test_encrypted_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        pdf_extract("%PDF-1.4\n1 0 obj\n<< /Encrypt 5 0 R >>\nendobj")
+
+
+def test_non_pdf_raises_value_error():
+    with pytest.raises(ValueError):
+        pdf_extract("<html><body>nope</body></html>")
+
+
+def test_corrupt_stream_skipped_not_fatal():
+    good = build_simple_pdf("kept text")
+    # append an object whose Flate stream is garbage: must be skipped
+    bad = good.replace(
+        "xref",
+        "9 0 obj\n<< /Filter /FlateDecode /Length 4 >>\n"
+        "stream\nXXXX\nendstream\nendobj\nxref",
+        1,
+    )
+    _, body = pdf_extract(bad)
+    assert "kept text" in body
+
+
+def test_extract_turn_dispatches_pdf():
+    text = "Body of the pdf article, long enough to matter."
+    res = extract_turn(build_simple_pdf(text, title="PT"))
+    assert res.error is None
+    assert res.title == "PT"
+    assert res.text == fix_ws(text)
+    assert res.spans == []  # spans undefined for decoded streams
+    assert "<title>PT</title>" in res.html
+
+
+def test_extract_turn_pdf_poison_lands_in_error():
+    res = extract_turn("%PDF-1.4\n1 0 obj\n<< /Encrypt 5 0 R >>\nendobj")
+    assert res.error and "NotImplementedError" in res.error
+
+
+def test_spark_mixed_html_pdf_batch(spark):
+    """One UDF batch carrying both payload kinds: each row takes its own
+    path, errors stay in-band."""
+    from artexin_spark.udfs import with_extraction
+
+    rows = [
+        ("c0", 0, "<html><head><title>H</title></head><body><div id='content'>"
+         "<p>html article body, with commas, long enough to win scoring.</p>"
+         "</div></body></html>"),
+        ("c0", 1, build_simple_pdf("pdf article body", title="P")),
+        ("c0", 2, "%PDF-1.4 broken /Encrypt junk"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r["turn_idx"]: r for r in with_extraction(df).collect()}
+    assert out[0]["title"] == "H" and "html article body" in out[0]["extracted_text"]
+    assert out[1]["title"] == "P" and out[1]["extracted_text"] == "pdf article body"
+    assert out[2]["error"] is not None
