@@ -1,0 +1,84 @@
+"""Differential gate: the fast regex tokenizer must build the exact tree
+(structure, attrs, text, char spans) the stdlib-html.parser path builds —
+on the synthetic corpus AND on adversarial markup. parse() prefers the
+fast path; parse_stdlib() stays callable precisely for this test."""
+
+import pytest
+
+from artexin_spark import dom
+
+NASTY = [
+    "",
+    "plain & &amp; done",
+    "<p>unclosed",
+    "</b>stray</i>",
+    "<div><p>a<p>b</div>",
+    "<script>if (a<b && c>d) { x='</div>'; }</script>ok",
+    "<script>var s = '</scr'+'ipt>';</script>after",
+    "<style>a>b{color:red}</style>t",
+    "<a href='x>y'>q</a>",
+    '<a href="x>y">q</a>',
+    "<img src=foo.png alt>",
+    "<br/><hr />",
+    "<a data-x='1' data-x='2'>dup</a>",
+    "<!-- comment <div>not a tag</div> -->after",
+    "<!-- unterminated comment <p>x",
+    "x<!-- unterminated tail",
+    "<!DOCTYPE html><html><body>x</body></html>",
+    "<?php echo 1; ?>text",
+    "<p>ent &lt;tag&gt; &amp; &#65; &#x42; &nosuch; &amp no-semi</p>",
+    "<P CLASS='Big'>UPPER</P>",
+    '<div  class = "a b"   id = c >x</div>',
+    "< notatag >text< /div>",
+    '<a href="unterminated',
+    'pre<a href="untermin',
+    "<EM>nested <em>same</em></EM>",
+    "\n\nws <b>bold</b> tail\n",
+    "<a b=''>empty</a>",
+    '<a b="&quot;q&quot;">ae</a>',
+    "🎉 uni <p>emoji 🚀</p>",
+    "<div",
+    "<",
+    "a<b",
+    "<3 hearts",
+]
+
+
+def _sig(doc):
+    return [
+        (n.tag, n.text, n.start, n.end, dict(n.attrs) if n.attrs else {})
+        for n in doc.iter()
+    ]
+
+
+@pytest.mark.parametrize("src", NASTY, ids=range(len(NASTY)))
+def test_fast_matches_stdlib_on_nasty_markup(src):
+    fast = dom._fast_parse(src)
+    slow = dom.parse_stdlib(src)
+    assert fast.to_html() == slow.to_html()
+    assert _sig(fast) == _sig(slow)
+
+
+def test_fast_matches_stdlib_on_corpus():
+    from artexin_spark.corpus import gen_transcripts
+
+    texts = gen_transcripts(n_convs=40, seed=11, hot_frac=0.05)["text"]
+    for src in texts:
+        assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src))
+
+
+def test_fast_matches_stdlib_extraction_output():
+    """End-to-end: title/text/spans/error identical whichever parser runs."""
+    from artexin_spark.corpus import gen_transcripts
+    from artexin_spark.readability import extract_turn
+
+    texts = gen_transcripts(n_convs=15, seed=3, hot_frac=0)["text"].tolist()
+    fast = [extract_turn(t) for t in texts]
+    orig = dom.parse
+    dom.parse = dom.parse_stdlib
+    try:
+        slow = [extract_turn(t) for t in texts]
+    finally:
+        dom.parse = orig
+    for a, b in zip(fast, slow):
+        assert (a.title, a.text, a.spans, a.error) == (b.title, b.text, b.spans, b.error)
