@@ -564,6 +564,45 @@ def q_asset_resolution(spark, sf_dir):
     )
 
 
+def q_stateful_progress(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-conversation progress ledger, drained TWICE with a restart in
+    between — turn 0 of every conv lands in drain 1, turn 1 in drain 2 —
+    so the returned cumulative counts are only correct if the state store
+    resumed from the checkpoint (the non-SQL-expressible part; the END
+    STATE is exact SQL over documents, which is the oracle)."""
+    import os
+    import tempfile
+
+    from artexin_spark.streaming import (
+        conversation_progress,
+        read_conversation_progress,
+    )
+
+    base = tempfile.mkdtemp(prefix="q_stateful_")
+    src, ckpt, led = (os.path.join(base, d) for d in ("in", "ckpt", "led"))
+    os.makedirs(src)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+
+    def slice_df(turn_idx: int, text_expr):
+        return docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(turn_idx).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            text_expr.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+
+    slice_df(0, F.col("text")).write.mode("append").parquet(src)
+    conversation_progress(spark, src, ckpt, led)  # drain 1: state created
+    slice_df(1, F.concat(F.col("text"), F.lit(" v2"))).write.mode("append").parquet(src)
+    conversation_progress(spark, src, ckpt, led)  # drain 2: state resumed
+    return read_conversation_progress(spark, led).select(
+        "conv_id", "turns_seen", "chars_seen", "max_turn_idx"
+    )
+
+
 def q_pdf_extract(spark, sf_dir):
     """PDF/layout-parse path (north rule): build deterministic PDF payloads
     from doc text Spark-side (Arrow pandas_udf, batch-vectorized), run the
@@ -719,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_resolution": q_asset_resolution,
         "multimodal_decode": q_multimodal_decode,
         "pdf_extract": q_pdf_extract,
+        "stateful_progress": q_stateful_progress,
     }
 
 
@@ -1203,6 +1243,14 @@ FROM s LEFT JOIN a ON s.src = a.src
 """
 
 _ORACLES["multimodal_decode"] = None  # built lazily (seeded replay below)
+
+_ORACLES["stateful_progress"] = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       CAST(2 AS BIGINT) AS turns_seen,
+       CAST(2 * length(text) + 3 AS BIGINT) AS chars_seen,
+       1 AS max_turn_idx
+FROM documents WHERE doc_id < 100
+"""
 
 _ORACLES["pdf_extract"] = """
 SELECT CAST(doc_id AS VARCHAR) AS conv_id,

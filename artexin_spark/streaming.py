@@ -16,7 +16,7 @@ and batch share one code path, so per-turn outputs are byte-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from .pipeline import _EXTRACT_OUT_SCHEMA, _extract_map_iter, prepare_input
 
@@ -58,3 +58,93 @@ def incremental_extract(
     )
     query.awaitTermination()
     return query
+
+
+CONV_PROGRESS_OUT = (
+    "conv_id string, turns_seen long, chars_seen long, max_turn_idx int"
+)
+_CONV_PROGRESS_STATE = "turns long, chars long, max_turn int"
+
+
+def conversation_progress(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str = TRANSCRIPT_SCHEMA,
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    running per-conversation progress ledger — turns seen, payload chars,
+    highest turn_idx — updated incrementally as transcript files land.
+
+    The state store lives in the streaming checkpoint, so a later
+    invocation with the same checkpoint RESUMES the counts: a conversation
+    split across ingest batches (or across job restarts) accumulates
+    rather than resets. That is the property batch aggregation cannot give
+    an unbounded ingest tail without re-scanning history, and the reason
+    this is applyInPandasWithState rather than groupBy().agg().
+
+    Sink: foreachBatch appending ledger rows to ``output_dir`` (the
+    memory sink can't recover from a checkpoint); the latest row per
+    conv_id is the current state — read it with
+    ``read_conversation_progress``. A production deployment swaps the
+    foreachBatch body for an Iceberg MERGE keyed on conv_id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        turns, chars, max_turn = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            turns += len(pdf)
+            chars += int(pdf["text"].str.len().fillna(0).sum())
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((turns, chars, max_turn))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns_seen": [turns],
+                "chars_seen": [chars],
+                "max_turn_idx": [max_turn],
+            }
+        )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    progressed = stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_PROGRESS_OUT,
+        stateStructType=_CONV_PROGRESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    query = (
+        progressed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def read_conversation_progress(spark: SparkSession, output_dir: str):
+    """Current ledger: the row with the highest turns_seen per conv
+    (counts are monotone, so max == latest)."""
+    led = spark.read.parquet(output_dir)
+    return (
+        led.groupBy("conv_id")
+        .agg(
+            F.max_by(
+                F.struct("turns_seen", "chars_seen", "max_turn_idx"),
+                F.struct("turns_seen", "_batch_id"),
+            ).alias("s")
+        )
+        .select("conv_id", "s.*")
+    )

@@ -51,3 +51,42 @@ def test_incremental_extract_exactly_once(spark, tmp_path):
         .toPandas()
     )
     assert batch.equals(stream)
+
+
+def test_conversation_progress_state_survives_restart(spark, tmp_path):
+    """The stateful ledger must ACCUMULATE across drains: a conversation
+    whose turns arrive in two separate availableNow runs (a restart in
+    between — new query object, same checkpoint) reports cumulative
+    counts, not per-batch counts."""
+    from artexin_spark.streaming import (
+        conversation_progress,
+        read_conversation_progress,
+    )
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    led = str(tmp_path / "ledger")
+    os.makedirs(src)
+
+    def turns(conv, idxs):
+        return spark.createDataFrame(
+            [(conv, i, "user", "x" * (10 + i), None, None) for i in idxs],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    # batch 1: conv-a turns 0-2, conv-b turn 0
+    turns("conv-a", [0, 1, 2]).write.mode("append").parquet(src)
+    turns("conv-b", [0]).write.mode("append").parquet(src)
+    conversation_progress(spark, src, ckpt, led)
+    r1 = {r["conv_id"]: r for r in read_conversation_progress(spark, led).collect()}
+    assert r1["conv-a"]["turns_seen"] == 3 and r1["conv-a"]["max_turn_idx"] == 2
+    assert r1["conv-b"]["turns_seen"] == 1
+
+    # restart with new files: conv-a turns 3-4 → cumulative 5
+    turns("conv-a", [3, 4]).write.mode("append").parquet(src)
+    conversation_progress(spark, src, ckpt, led)
+    r2 = {r["conv_id"]: r for r in read_conversation_progress(spark, led).collect()}
+    assert r2["conv-a"]["turns_seen"] == 5  # state resumed, not reset
+    assert r2["conv-a"]["max_turn_idx"] == 4
+    assert r2["conv-a"]["chars_seen"] == sum(10 + i for i in range(5))
