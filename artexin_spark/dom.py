@@ -304,34 +304,37 @@ class _Parser(HTMLParser):
 # fast tokenizer
 #
 # html.parser's pure-Python goahead/parse_starttag loop is ~60% of total
-# extraction cost (profiled). This scanner produces the identical Document
-# shape (same node structure, same char-offset semantics: text spans cover
-# the raw run between tags, element.end = offset of its closing tag's '<',
-# void/self-closing end = -1, unclosed end = len(source)) at ~3× the
-# speed: one compiled regex finds tag boundaries, offsets fall out of
-# match positions instead of line/col bookkeeping, and attribute parsing
-# only runs when a tag actually has attributes.
+# extraction cost (profiled). This scanner produces the IDENTICAL Document
+# (same node structure, attrs, text, char-offset spans) at a fraction of
+# the cost by driving the stdlib module's own tolerant regexes directly —
+# one C-level match per construct instead of goahead's per-event Python
+# bookkeeping (updatepos, handler dispatch, buffered text flushes).
+# Parity is enforced by differential tests: node-for-node equality against
+# the stdlib-backed path on the corpus, adversarial cases, and hypothesis
+# tag-soup fuzz (tests/test_dom_fast.py, tests/test_properties.py).
+#
+# Span semantics (both paths): text spans cover the raw run between
+# constructs; element.end = offset of its closing tag's '<'; void and
+# self-closing elements keep end = -1; unclosed elements end at EOF.
 
-_TAG_RE = re.compile(
-    r"<(?:"
-    r"!--(?P<comment>.*?)(?:-->|$)"  # comment (unterminated: to EOF)
-    r"|(?P<decl>![^>]*)>?"  # <!DOCTYPE ...> / CDATA decl
-    r"|(?P<pi>\?[^>]*)>?"  # processing instruction
-    r"|/\s*(?P<end>[a-zA-Z][-\w:.]*)[^>]*>?"  # end tag
-    r"|(?P<start>[a-zA-Z][-\w:.]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>?"
-    r")",
-    re.S,
-)
+from html import parser as _hp
 
-_ATTR_RE = re.compile(
-    r"([a-zA-Z_:][-\w:.]*)"  # name
-    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"  # optional value
-)
+_LOCATE_START = _hp.locatestarttagend_tolerant
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_ENDTAGFIND = _hp.endtagfind
+_ENDGT = _hp.endendtag
 
-# script/style content is CDATA: scan to the matching close tag verbatim
+# after a start tag's attr scan, these next-chars mean "incomplete tag"
+# (html.parser.check_for_whole_start_tag's buffer-boundary set)
+_INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+# script/style close in CDATA mode: html.parser only leaves CDATA on the
+# FULL close-tag pattern (set_cdata_mode), junk like "</script foo>" stays
+# content
 _RAW_CLOSE = {
-    "script": re.compile(r"</script", re.I),
-    "style": re.compile(r"</style", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
 
@@ -339,94 +342,187 @@ def _decode(raw: str) -> str:
     return _html.unescape(raw) if "&" in raw else raw
 
 
-def _parse_attrs(raw: str) -> dict:
-    attrs: dict = {}
-    for m in _ATTR_RE.finditer(raw):
-        name = m.group(1).lower()
-        # duplicate attrs: last occurrence wins — matches the fallback
-        # parser (dict(attrs) semantics) so both paths build the same tree
-        val = m.group(2)
-        if val is None:
-            attrs[name] = None
-        else:
-            if val[:1] in "\"'" and val[:1] == val[-1:] and len(val) > 1:
-                val = val[1:-1]
-            attrs[name] = _decode(val)
-    return attrs
-
-
 def _fast_parse(source: str) -> Document:
     doc = Document(source)
     stack = [doc]
     n = len(source)
     pos = 0
-    search = _TAG_RE.search
-    while pos < n:
-        m = search(source, pos)
-        cut = m.start() if m else n
-        if cut > pos:  # text run between tags
-            top = stack[-1]
-            node = Node(text=_decode(source[pos:cut]), start=pos, end=cut)
-            node.parent = top
-            top.children.append(node)
-        if not m:
-            break
-        # EOF-unterminated construct (no '-->' / '>'): html.parser emits
-        # the rest as data on close() — mirror that for tree parity
-        if m.group("comment") is not None:
-            terminated = source[m.end() - 3 : m.end()] == "-->"
+    find = source.find
+    startswith = source.startswith
+    # `pending` marks a text node whose html.parser flush would happen
+    # LATER than where our scanner stands: stdlib buffers data events and
+    # only flushes at the next non-data handler call, so the silently
+    # swallowed '</>' (the one construct that fires no handler) leaves the
+    # preceding text node's span extending over it.
+    pending = None
+
+    def emit_text(text, start, end):
+        nonlocal pending
+        top = stack[-1]
+        prev = top.children[-1] if top.children else None
+        if prev is not None and prev.is_text and (prev.end == start or prev is pending):
+            prev.text += text
+            prev.end = end
         else:
-            terminated = source[m.end() - 1 : m.end()] == ">"
-        if not terminated:
-            top = stack[-1]
-            prev = top.children[-1] if top.children else None
-            if prev is not None and prev.is_text and prev.end == m.start():
-                # merge with the adjacent run: html.parser buffers both
-                # into one data flush, so parity needs ONE text node
-                prev.text += _decode(source[m.start() :])
-                prev.end = n
-            else:
-                node = Node(text=_decode(source[m.start() :]), start=m.start(), end=n)
-                node.parent = top
-                top.children.append(node)
+            node = Node(text=text, start=start, end=end)
+            node.parent = top
+            top.children.append(node)
+        pending = None
+
+    def flush_at(i):
+        nonlocal pending
+        if pending is not None:
+            pending.end = i
+            pending = None
+
+    def recover(i):
+        """html.parser's incomplete-construct recovery at EOF: emit raw
+        data up to (and including) the next '>', else up to the next '<',
+        else just the '<' — then resume normal scanning."""
+        k = find(">", i + 1)
+        if k < 0:
+            k = find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        emit_text(source[i:k], i, k)
+        return k
+
+    def close_tag(tag):
+        for idx in range(len(stack) - 1, 0, -1):
+            if stack[idx].tag == tag:
+                for node in stack[idx:]:
+                    node.end = lt
+                del stack[idx:]
+                return
+        # stray end tag: ignore (tolerant parse)
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            emit_text(_decode(source[pos:]), pos, n)
             break
-        pos = m.end()
-        tag = m.group("start")
-        if tag is not None:
-            tag = tag.lower()
-            raw_attrs = m.group("attrs") or ""
-            node = Node(
-                tag=tag,
-                attrs=_parse_attrs(raw_attrs) if "=" in raw_attrs or raw_attrs.strip() else {},
-                start=m.start(),
-            )
+        if lt > pos:
+            emit_text(_decode(source[pos:lt]), pos, lt)
+        c = source[lt + 1 : lt + 2]
+        if c.isalpha():  # ---- start tag (parse_starttag parity) ----
+            lm = _LOCATE_START.match(source, lt)
+            j = lm.end()
+            nxt = source[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/":
+                endpos = j + 2 if startswith("/>", j) else -1
+            elif nxt == "" or nxt in _INCOMPLETE_NEXT:
+                endpos = -1
+            else:
+                endpos = j if j > lt else lt + 1
+            if endpos < 0:
+                pos = recover(lt)
+                continue
+            nm = _TAGFIND.match(source, lt + 1)
+            tag = nm.group(1).lower()
+            k = nm.end()
+            attrs = {}
+            while k < endpos:
+                am = _ATTRFIND.match(source, k)
+                if not am:
+                    break
+                name, rest, val = am.group(1, 2, 3)
+                if not rest:
+                    val = None
+                else:
+                    if val[:1] == "\'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                        val = val[1:-1]
+                    val = _decode(val)
+                attrs[name.lower()] = val  # dict(attrs): last wins
+                k = am.end()
+            end = source[k:endpos].strip()
+            if end not in (">", "/>"):
+                # junk before the '>': stdlib downgrades the whole tag to
+                # data (raw, unflushed — merges with neighboring runs)
+                emit_text(source[lt:endpos], lt, endpos)
+                pos = endpos
+                continue
+            flush_at(lt)
+            node = Node(tag=tag, attrs=attrs, start=lt)
             top = stack[-1]
             node.parent = top
             top.children.append(node)
-            if raw_attrs.rstrip().endswith("/"):
-                continue  # self-closing: end stays -1 (parity)
+            pos = endpos
+            if end == "/>":
+                continue  # self-closing: no push, no CDATA, end stays -1
             if tag in _RAW_CLOSE:  # CDATA content, verbatim
                 cm = _RAW_CLOSE[tag].search(source, pos)
-                cend = cm.start() if cm else n
-                if cend > pos:
-                    tn = Node(text=source[pos:cend], start=pos, end=cend)
-                    tn.parent = node
-                    node.children.append(tn)
-                node.end = cend
-                gt = source.find(">", cm.end()) if cm else -1
-                pos = (gt + 1) if gt != -1 else n
+                if cm:
+                    if cm.start() > pos:
+                        tn = Node(text=source[pos : cm.start()], start=pos, end=cm.start())
+                        tn.parent = node
+                        node.children.append(tn)
+                    node.end = cm.start()
+                    pos = cm.end()
+                else:
+                    # unclosed CDATA at EOF: stdlib drops the content
+                    # (goahead breaks without a final flush in cdata mode)
+                    node.end = n
+                    pos = n
             elif tag not in VOID_TAGS:
                 stack.append(node)
-        elif m.group("end") is not None:
-            tag = m.group("end").lower()
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    for node in stack[i:]:
-                        node.end = m.start()
-                    del stack[i:]
-                    break
-            # else: stray end tag, ignore (tolerant parse)
-        # comment / decl / pi: structure-free, already skipped
+        elif c == "/":  # ---- end tag (parse_endtag parity) ----
+            gm = _ENDGT.search(source, lt + 1)
+            if not gm:
+                pos = recover(lt)
+                continue
+            em = _ENDTAGFIND.match(source, lt)
+            if em:
+                flush_at(lt)
+                close_tag(em.group(1).lower())
+                pos = gm.end()
+                continue
+            nm = _TAGFIND.match(source, lt + 2)
+            if not nm:
+                if source[lt : lt + 3] == "</>":
+                    # the silent no-event path: preceding text keeps
+                    # buffering across it in stdlib
+                    top = stack[-1]
+                    prev = top.children[-1] if top.children else None
+                    if prev is not None and prev.is_text and (
+                        prev.end == lt or prev is pending
+                    ):
+                        pending = prev
+                    pos = lt + 3
+                    continue
+                g2 = find(">", lt + 2)  # bogus comment (a flush event)
+                if g2 < 0:
+                    pos = recover(lt)
+                    continue
+                flush_at(lt)
+                pos = g2 + 1
+                continue
+            flush_at(lt)
+            close_tag(nm.group(1).lower())
+            g2 = find(">", nm.end())
+            pos = (g2 + 1) if g2 >= 0 else n
+        elif startswith("<!--", lt):  # ---- comment ----
+            ce = find("-->", lt + 4)
+            if ce < 0:
+                pos = recover(lt)
+                continue
+            flush_at(lt)
+            pos = ce + 3
+        elif c == "?" or c == "!":  # ---- pi / declaration ----
+            g = find(">", lt + 2)
+            if g < 0:
+                pos = recover(lt)
+                continue
+            flush_at(lt)
+            pos = g + 1
+        else:  # lone '<' (incl. "< div>", "<3"): data, unflushed
+            emit_text("<", lt, lt + 1)
+            pos = lt + 1
+    if pending is not None:
+        pending.end = n  # stdlib close() flush stamps EOF
     for node in stack[1:]:
         node.end = n
     return doc

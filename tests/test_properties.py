@@ -122,3 +122,36 @@ def test_strip_period_removes_at_most_one(t):
 def test_is_word_iff_any_alnum_or_underscore(t):
     # reference NONWORD regex: token is NOT a word iff it's all \W
     assert is_word(t) == (re.match(r"^\W+$", t) is None)
+
+
+# --- fast-parser differential fuzz ------------------------------------------
+# The regex scanner must agree with the stdlib-html.parser path on ANY
+# input, not just curated cases: generate tag-soup from the pieces that
+# exercise every scanner branch and compare trees node-for-node.
+
+_soup_atoms = st.sampled_from(
+    [
+        "text ", "& ", "&amp; ", "&#65;", "&nosuch;", "🎉",
+        "<div>", "</div>", "<p class='a b'>", "</p>", "<br/>", "<img src=x>",
+        "<a href=\"q>r\">", "</a>", "<script>a<b</script>", "</script>",
+        "<style>c>d</style>", "<!-- c -->", "<!--", "<!DOCTYPE h>", "<?pi?>",
+        "<", ">", "</", "<3", "< div>", "<a b='", "\n",
+        "</>", "<//>", "</ x>", "</x y>", "<script>", "<style>",
+        "<b</script>", "</script foo>", "<a/b>", "<a / >", "<a/>",
+        "<a=b>", "<em>", "</em>", "'", '"', "=", "/",
+    ]
+)
+
+
+@given(st.lists(_soup_atoms, min_size=0, max_size=25))
+@settings(max_examples=600, deadline=None)
+def test_fast_parse_matches_stdlib_on_tag_soup(atoms):
+    from artexin_spark import dom
+
+    src = "".join(atoms)
+    fast, slow = dom._fast_parse(src), dom.parse_stdlib(src)
+    sig = lambda d: [
+        (n.tag, n.text, n.start, n.end, dict(n.attrs) if n.attrs else {})
+        for n in d.iter()
+    ]
+    assert sig(fast) == sig(slow)
