@@ -35,7 +35,15 @@ def get_spark(app_name: str = "artexin-spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # 1024 measured fastest for ~2 KB payloads (512: +12% wall from
+        # per-batch crossing overhead; 4096: +13% from batch skew at the
+        # tail). Multi-MB payload tables should pass SPARK_ARROW_BATCH=256
+        # or lower — batch_bytes ≈ rows × payload is the executor-python
+        # memory envelope.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "1024"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: driver == executor; multi-GB text batches churn the
         # heap hard — an 8g heap cost ~20% wall in GC at 32 threads
