@@ -29,7 +29,7 @@ _ESCAPE = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
 class Node:
     """Element or text node. ``tag is None`` marks a text node."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "text", "start", "end")
+    __slots__ = ("tag", "attrs", "children", "parent", "text", "start", "end", "_norm")
 
     def __init__(self, tag=None, attrs=None, text="", start=-1, end=-1):
         self.tag = tag
@@ -39,6 +39,19 @@ class Node:
         self.text = text
         self.start = start
         self.end = end
+        # memoized fix_ws(text_content()) — owned by readability._norm_text;
+        # every structural mutator below clears it up the ancestor chain so
+        # the cache can never serve a stale subtree. `.text` itself is only
+        # written during parsing (before any caller can have cached).
+        self._norm = None
+
+    def _invalidate(self):
+        # full ancestor walk: a grandparent may be cached while the parent
+        # is not (caches are per-node, not per-path), so no early exit.
+        node = self
+        while node is not None:
+            node._norm = None
+            node = node.parent
 
     # -- tree access ---------------------------------------------------
     @property
@@ -62,9 +75,19 @@ class Node:
         """
         if isinstance(tag, str):
             tag = (tag,)
+        # explicit stack, no generator frames — this is the hottest tree
+        # walk in the extraction path (profiled: generator iter() cost ~15%
+        # of scoring wall)
         out = []
-        for node in self.iter():
-            if node is self or node.is_text:
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            kids = node.children
+            if kids:
+                extend(reversed(kids))
+            if node.tag is None:
                 continue
             if tag is not None and node.tag not in tag:
                 continue
@@ -92,8 +115,22 @@ class Node:
                 yield node
 
     def text_content(self) -> str:
-        """Raw concatenation of descendant text (no normalization)."""
-        return "".join(t.text for t in self.text_nodes())
+        """Raw concatenation of descendant text (no normalization);
+        a text node returns its own text (iter() includes self)."""
+        if self.tag is None:
+            return self.text
+        parts = []
+        append = parts.append
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            if node.tag is None:
+                append(node.text)
+            elif node.children:
+                extend(reversed(node.children))
+        return "".join(parts)
 
     def string(self) -> str | None:
         """BeautifulSoup-``.string``-like: the single text child, recursing
@@ -114,16 +151,20 @@ class Node:
         node.detach()
         node.parent = self
         self.children.append(node)
+        self._invalidate()
 
     def insert(self, index: int, node: Node):
         node.detach()
         node.parent = self
         self.children.insert(index, node)
+        self._invalidate()
 
     def detach(self):
         if self.parent is not None:
-            self.parent.children.remove(self)
+            old = self.parent
+            old.children.remove(self)
             self.parent = None
+            old._invalidate()
 
     def decompose(self):
         """Remove self (and subtree) from the document."""
@@ -141,11 +182,14 @@ class Node:
             kid.parent = parent
         self.parent = None
         self.children = []
+        self._norm = None
+        parent._invalidate()
 
     def clear(self):
         for kid in self.children:
             kid.parent = None
         self.children = []
+        self._invalidate()
 
     # -- serialization ---------------------------------------------------
     def to_html(self) -> str:
@@ -425,6 +469,31 @@ def _fast_parse(source: str) -> Document:
             tag = nm.group(1).lower()
             k = nm.end()
             attrs = {}
+            # '<tag>': no attrs, no junk — skip the attr regex and the
+            # terminator strip (the '>' check keeps the one-junk-char case
+            # like '<div \x00' on the slow downgrade-to-data path)
+            if k == endpos - 1 and source[k] == ">":
+                flush_at(lt)
+                node = Node(tag=tag, start=lt)
+                top = stack[-1]
+                node.parent = top
+                top.children.append(node)
+                pos = endpos
+                if tag in _RAW_CLOSE:
+                    cm = _RAW_CLOSE[tag].search(source, pos)
+                    if cm:
+                        if cm.start() > pos:
+                            tn = Node(text=source[pos : cm.start()], start=pos, end=cm.start())
+                            tn.parent = node
+                            node.children.append(tn)
+                        node.end = cm.start()
+                        pos = cm.end()
+                    else:
+                        node.end = n
+                        pos = n
+                elif tag not in VOID_TAGS:
+                    stack.append(node)
+                continue
             while k < endpos:
                 am = _ATTRFIND.match(source, k)
                 if not am:

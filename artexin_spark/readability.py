@@ -108,7 +108,12 @@ def get_title(doc: dom.Node) -> str:
 
 
 def _norm_text(node: dom.Node) -> str:
-    return fix_ws(node.text_content())
+    # memoized on the node; dom mutators invalidate up the ancestor chain
+    # so nested candidates / repeated link-density passes share the walk
+    cached = node._norm
+    if cached is None:
+        cached = node._norm = fix_ws(node.text_content())
+    return cached
 
 
 def link_density(node: dom.Node) -> float:
@@ -146,8 +151,13 @@ def _base_score(tag: str) -> float:
 def strip_unlikely(doc: dom.Document) -> None:
     """Drop STRIP_TAGS subtrees and unlikely-candidate class/id elements
     (unless body-like). Mutates the tree."""
-    for node in list(doc.iter()):
-        if node.is_text or node is doc:
+    # explicit stack; a decomposed subtree is not descended into (its
+    # descendants are gone from the output either way — equivalent to the
+    # old snapshot-then-revisit pass, minus the wasted walks)
+    stack = list(reversed(doc.children))
+    while stack:
+        node = stack.pop()
+        if node.tag is None:
             continue
         if node.tag in STRIP_TAGS:
             node.decompose()
@@ -156,6 +166,9 @@ def strip_unlikely(doc: dom.Document) -> None:
         if hint.strip() and node.tag not in ("html", "body"):
             if UNLIKELY_RE.search(hint) and not MAYBE_RE.search(hint):
                 node.decompose()
+                continue
+        if node.children:
+            stack.extend(reversed(node.children))
 
 
 def _is_div_as_paragraph(node: dom.Node) -> bool:
@@ -178,9 +191,13 @@ def score_candidates(doc: dom.Document) -> dict[int, tuple[dom.Node, float]]:
             scores[key] = [node, _base_score(node.tag) + class_weight(node)]
         return scores[key]
 
-    for node in doc.iter():
-        if node.is_text:
+    stack = list(reversed(doc.children))
+    while stack:
+        node = stack.pop()
+        if node.tag is None:
             continue
+        if node.children:
+            stack.extend(reversed(node.children))
         if node.tag in ("p", "td", "pre") or _is_div_as_paragraph(node):
             text = _norm_text(node)
             if len(text) < MIN_TEXT_LEN:
