@@ -119,6 +119,12 @@ def main() -> None:
     extras["extract_turns_per_sec"] = round(n_turns / timings["q_extract"], 1)
     extras["extract_error_rows"] = int(row["errs"])
 
+    # the 500k-turn extract leaves multi-GB of text garbage; without an
+    # explicit collection the first operator query below pays that GC debt
+    # (measured: q_minhash_dedup 2.3s steady vs 7.3s right after extract)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
