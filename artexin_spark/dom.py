@@ -381,6 +381,27 @@ _RAW_CLOSE = {
     "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
+# Strict-subset master scanner: ONE C-level regex match per well-formed
+# construct. Each alternative matches only inputs on which the tolerant
+# per-construct logic below provably produces the same tree node (same
+# name casefold, same attr quoting/decoding, same end offsets), so any
+# position the master regex rejects simply falls through to the tolerant
+# path. Attr values exclude <> (stdlib allows them quoted — rare, slow
+# path); names are conservative subsets of tagfind/attrfind_tolerant.
+# The (?!--) lookahead keeps half-open comments ("<!--x>" with no "-->")
+# out of the decl arm — those must take the tolerant recover() route.
+_STRICT = re.compile(
+    r"([^<]+)"                                                # 1 text run
+    r"|<([a-zA-Z][a-zA-Z0-9]*)"                               # 2 start tag
+    r"((?:\s+[a-zA-Z_:][a-zA-Z0-9_:.-]*=\"[^\"<>]*\")*)"      # 3 attrs
+    r"\s*(/?)>"                                               # 4 self-close
+    r"|</([a-zA-Z][a-zA-Z0-9]*)\s*>"                          # 5 end tag
+    r"|(<!--.*?-->)"                                          # 6 comment
+    r"|(<!(?!--)[^>]*>|<\?[^>]*>)",                           # 7 decl / pi
+    re.S,
+)
+_ATTR_STRICT = re.compile(r'([a-zA-Z_:][a-zA-Z0-9_:.-]*)="([^"<>]*)"')
+
 
 def _decode(raw: str) -> str:
     return _html.unescape(raw) if "&" in raw else raw
@@ -442,7 +463,68 @@ def _fast_parse(source: str) -> Document:
                 return
         # stray end tag: ignore (tolerant parse)
 
+    strict_match = _STRICT.match
+    attr_findall = _ATTR_STRICT.findall
+
     while pos < n:
+        m = strict_match(source, pos)
+        if m is not None:
+            g1 = m.group(1)
+            if g1 is not None:  # text run (maximal, so never self-adjacent)
+                end_ = m.end()
+                emit_text(_decode(g1), pos, end_)
+                pos = end_
+                continue
+            tname = m.group(2)
+            if tname is not None:  # well-formed start tag
+                lt = m.start()
+                flush_at(lt)
+                tag = tname.lower()
+                a_src = m.group(3)
+                if a_src:
+                    attrs = {}
+                    for an, av in attr_findall(a_src):
+                        attrs[an.lower()] = _decode(av)  # dict: last wins
+                    node = Node(tag=tag, attrs=attrs, start=lt)
+                else:
+                    node = Node(tag=tag, start=lt)
+                top = stack[-1]
+                node.parent = top
+                top.children.append(node)
+                pos = m.end()
+                if m.group(4):
+                    continue  # self-closing: no push, no CDATA
+                if tag in _RAW_CLOSE:  # CDATA content, verbatim
+                    cm = _RAW_CLOSE[tag].search(source, pos)
+                    if cm:
+                        if cm.start() > pos:
+                            tn = Node(
+                                text=source[pos : cm.start()],
+                                start=pos,
+                                end=cm.start(),
+                            )
+                            tn.parent = node
+                            node.children.append(tn)
+                        node.end = cm.start()
+                        pos = cm.end()
+                    else:
+                        node.end = n
+                        pos = n
+                elif tag not in VOID_TAGS:
+                    stack.append(node)
+                continue
+            ename = m.group(5)
+            if ename is not None:  # well-formed end tag
+                lt = m.start()
+                flush_at(lt)
+                close_tag(ename.lower())
+                pos = m.end()
+                continue
+            # comment / declaration / pi: a flush event, content dropped
+            flush_at(m.start())
+            pos = m.end()
+            continue
+        # ---- tolerant slow path (exact stdlib parity), one construct ----
         lt = find("<", pos)
         if lt < 0:
             emit_text(_decode(source[pos:]), pos, n)
