@@ -82,3 +82,49 @@ def test_fast_matches_stdlib_extraction_output():
         dom.parse = orig
     for a, b in zip(fast, slow):
         assert (a.title, a.text, a.spans, a.error) == (b.title, b.text, b.spans, b.error)
+
+
+# Strict-subset master-scanner forms (dom._STRICT): each case sits on a
+# boundary between the one-regex fast arm and the tolerant fallback —
+# malformed attr spacing, quoted <>, half-open comments, decl lookalikes,
+# namespace-ish names — and must produce the stdlib tree either way.
+STRICT_EDGES = [
+    '<a b="x"c="y">t</a>', '<a  b = "x">t</a>', "<a b='x'>t</a>",
+    '<a b="x>y">', '<a b="x<y">', '<a b="x&amp;y">z</a>', '<a b="">e</a>',
+    '<a b="x" b="y">dup</a>', '<A B="x">up</A>', '<a data-x="1">d</a>',
+    '<a 9b="x">digit</a>', '<a -b="x">dash</a>', '<a b=c>unq</a>',
+    '<script a="1">x<y</script>t', '<style>a{}</style>', '<script/>after',
+    '<br/>', '<br />', '<img src="a.png"/>', '<input value="v">',
+    '<!DOCTYPE html>', '<!doctype html>', '<?pi data?>x', '<!>x', '<!-x>y',
+    '<!-->x', '<!--->x', '<!---->x', '<!-- c -->x', '<!--x> no close',
+    '</p >t', '</p x>t', '</>t', 'a</>b', '</p\t>x',
+    '<p\n class="a">nl</p>', '<p class="a"\n>nl2</p>',
+    '<em><EM>n</EM></em>', '<div><p>a<p>b</div>', 'x<y z>w',
+    '<a href="http://e.com/?q=1&r=2">l</a>',
+    '<td colspan="2">c</td>', '<a:b>ns</a:b>', '<a.b>dot</a.b>',
+    '<p b:c="1">nsattr</p>', '<p _x="1">u</p>', '<p x:="1">t</p>',
+]
+
+
+@pytest.mark.parametrize("src", STRICT_EDGES, ids=range(len(STRICT_EDGES)))
+def test_fast_matches_stdlib_on_strict_edges(src):
+    assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src))
+
+
+def test_fast_matches_stdlib_random_soup():
+    """Seeded tag-soup torture across the fast/fallback boundary."""
+    import random
+
+    atoms = [
+        "<div>", "</div>", '<p class="x y">', '<a href="u?a=1&b=2">',
+        "text & more", "<", ">", "</>", "<!-- c -->", "<!--", "-->",
+        "<script>", "</script>", "x<y", "<br/>", '"quoted"', "<a b='s'>",
+        "<img src=u>", "&amp;", "&#65;", "\n", "\t ", "<!DOCTYPE x>",
+        "<?pi?>", "</p >", "<EM>", "</em>", '<a b="x"c="d">',
+        "<a  b = c >", "<td>", "</td>", "<3", "< div>", "</ div>",
+        "<div", "tail",
+    ]
+    rng = random.Random(7)
+    for _ in range(1000):
+        src = "".join(rng.choices(atoms, k=rng.randint(1, 14)))
+        assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src)), repr(src)
