@@ -69,7 +69,12 @@ shutil.rmtree(sink); spark.stop()
 
 
 def main() -> None:
-    turns_per_doc = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    # 400 turns/doc → 2M turns: large enough that per-job fixed costs
+    # (payload gen, Arrow stream setup, task scheduling ≈ 2 s/run) stop
+    # polluting the ratio — the north rule's regime is 10^12 turns where
+    # fixed cost is zero; at 500k turns the same code measures 0.73
+    # "efficiency" purely from the ~2 s constant term.
+    turns_per_doc = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     # N=4 vs 4N=16 on the 32-core host: both levels run uncontended (no
     # all-core turbo/memory-bandwidth throttling polluting the ratio) —
     # the cluster analogue is adding executor NODES, where per-core
