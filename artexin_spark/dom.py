@@ -469,18 +469,17 @@ def _fast_parse(source: str) -> Document:
     while pos < n:
         m = strict_match(source, pos)
         if m is not None:
-            g1 = m.group(1)
-            if g1 is not None:  # text run (maximal, so never self-adjacent)
+            gi = m.lastindex  # dispatch: 1 text, 4 start, 5 end, 6/7 skip
+            if gi == 1:  # text run (maximal, so never self-adjacent)
                 end_ = m.end()
-                emit_text(_decode(g1), pos, end_)
+                emit_text(_decode(m.group(1)), pos, end_)
                 pos = end_
                 continue
-            tname = m.group(2)
-            if tname is not None:  # well-formed start tag
-                lt = m.start()
+            if gi == 4:  # well-formed start tag
+                lt = pos
                 flush_at(lt)
+                tname, a_src, selfclose = m.group(2, 3, 4)
                 tag = tname.lower()
-                a_src = m.group(3)
                 if a_src:
                     attrs = {}
                     for an, av in attr_findall(a_src):
@@ -492,7 +491,7 @@ def _fast_parse(source: str) -> Document:
                 node.parent = top
                 top.children.append(node)
                 pos = m.end()
-                if m.group(4):
+                if selfclose:
                     continue  # self-closing: no push, no CDATA
                 if tag in _RAW_CLOSE:  # CDATA content, verbatim
                     cm = _RAW_CLOSE[tag].search(source, pos)
@@ -513,15 +512,14 @@ def _fast_parse(source: str) -> Document:
                 elif tag not in VOID_TAGS:
                     stack.append(node)
                 continue
-            ename = m.group(5)
-            if ename is not None:  # well-formed end tag
-                lt = m.start()
+            if gi == 5:  # well-formed end tag
+                lt = pos
                 flush_at(lt)
-                close_tag(ename.lower())
+                close_tag(m.group(5).lower())
                 pos = m.end()
                 continue
             # comment / declaration / pi: a flush event, content dropped
-            flush_at(m.start())
+            flush_at(pos)
             pos = m.end()
             continue
         # ---- tolerant slow path (exact stdlib parity), one construct ----
