@@ -430,6 +430,7 @@ def extract_turn(
     preprocessors=(),
     with_images: bool = True,
     do_strip_links: bool = True,
+    with_html: bool = True,
 ) -> ExtractResult:
     """Full per-turn pipeline (the collect() shape, pack.py:157-251, minus
     network/zip): parse → preprocess → extract/no_extract → strip_links →
@@ -447,7 +448,8 @@ def extract_turn(
             title, body = pdfx.pdf_extract(html)
             result.title = title
             result.text = fix_ws(body)
-            result.html = _document_html_text(title, result.text)
+            if with_html:
+                result.html = _document_html_text(title, result.text)
             return result
         doc = dom.parse(html)
         for prep in preprocessors:
@@ -465,7 +467,11 @@ def extract_turn(
         result.n_images = len(result.images)
         result.text, spans = collect_text_spans(article)
         result.spans = spans
-        result.html = _document_html(result.title, article)
+        if with_html:
+            # ~10% of per-turn wall; the Spark UDF emits text+spans only,
+            # so the batch path opts out (reference html shape kept for the
+            # extract()/compat facades, extract.py:115-130)
+            result.html = _document_html(result.title, article)
         return result
     except Exception as err:  # noqa: BLE001 — in-band error channel
         result.error = "%s: %s" % (type(err).__name__, err)

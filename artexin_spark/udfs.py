@@ -75,6 +75,7 @@ def _run_extract_batch(
             base_url=src,
             do_extract=bool(do_ext) if do_ext is not None else True,
             preprocessors=preps,
+            with_html=False,  # text+spans output only; skip the render
         )
         titles.append(res.title)
         out_texts.append(res.text)

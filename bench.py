@@ -126,7 +126,7 @@ def main() -> None:
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
         ).collect()[0]
 
-    row = timed("q_extract", run_extract, warm_runs=1)
+    row = timed("q_extract", run_extract, warm_runs=1, reps=2)
     extras["extract_turns"] = n_turns
     extras["extract_turns_per_sec"] = round(n_turns / timings["q_extract"], 1)
     extras["extract_error_rows"] = int(row["errs"])
