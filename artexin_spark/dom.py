@@ -455,7 +455,12 @@ def _fast_parse(source: str) -> Document:
         return k
 
     def close_tag(tag):
-        for idx in range(len(stack) - 1, 0, -1):
+        top = stack[-1]
+        if top.tag == tag:  # well-nested close: the overwhelmingly common case
+            top.end = lt
+            del stack[-1]
+            return
+        for idx in range(len(stack) - 2, 0, -1):
             if stack[idx].tag == tag:
                 for node in stack[idx:]:
                     node.end = lt

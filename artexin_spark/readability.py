@@ -162,9 +162,10 @@ def strip_unlikely(doc: dom.Document) -> None:
         if node.tag in STRIP_TAGS:
             node.decompose()
             continue
-        hint = "%s %s" % (node.attrs.get("class") or "", node.attrs.get("id") or "")
-        if hint.strip() and node.tag not in ("html", "body"):
-            if UNLIKELY_RE.search(hint) and not MAYBE_RE.search(hint):
+        attrs = node.attrs
+        if attrs and node.tag not in ("html", "body"):
+            hint = "%s %s" % (attrs.get("class") or "", attrs.get("id") or "")
+            if hint != " " and UNLIKELY_RE.search(hint) and not MAYBE_RE.search(hint):
                 node.decompose()
                 continue
         if node.children:
