@@ -84,6 +84,14 @@ def _extract_map_iter(batches):
 
 def prepare_input(df: DataFrame, n_buckets: int, source_col: str | None) -> DataFrame:
     """Prune to the canonical columns and attach the salted bucket key."""
+    missing = [c for c in INPUT_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            "input is not a transcript table: missing column(s) %s; expected "
+            "schema (conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp), got (%s)"
+            % (", ".join(missing), ", ".join(df.columns))
+        )
     cols = [F.col(c) for c in INPUT_COLS]
     cols.append(
         (F.col(source_col) if source_col and source_col in df.columns else F.lit(""))

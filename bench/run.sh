@@ -5,7 +5,7 @@
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
-INPUT="${1:?usage: run.sh <input-parquet> <sink-dir> [extra spark-submit args]}"
+INPUT="${1:?usage: run.sh <input-parquet> <sink-dir> [extra job args, e.g. --resume]}"
 SINK="${2:?usage: run.sh <input-parquet> <sink-dir>}"
 shift 2
 
@@ -22,5 +22,5 @@ exec spark-submit \
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
   --driver-memory "${SPARK_DRIVER_MEM:-32g}" \
-  "$@" \
-  "$REPO/artexin_spark/__main__.py" --input "$INPUT" --sink "$SINK"
+  ${SPARK_SUBMIT_EXTRA:-} \
+  "$REPO/artexin_spark/__main__.py" --input "$INPUT" --sink "$SINK" "$@"
