@@ -162,3 +162,13 @@ def test_spans_recoverable_via_spark(spark, corpus_pdf):
     ).toPandas()
     mismatches = rebuilt[rebuilt.extracted_text != rebuilt.rebuilt]
     assert len(mismatches) == 0, mismatches.head()
+
+
+def test_non_transcript_input_fails_with_schema_message(spark):
+    from artexin_spark.pipeline import prepare_input
+
+    docs = spark.createDataFrame(
+        [("d1", "<p>x</p>")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="missing column.*conv_id.*expected schema"):
+        prepare_input(docs, n_buckets=4, source_col=None)
