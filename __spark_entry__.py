@@ -437,6 +437,30 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full transitive near-dup clustering: LSH pairs → distributed
+    connected components (min-label propagation) → every doc labeled with
+    its component's min id. The step pairwise dedup can't express —
+    A~B, B~C must land A, B, C in ONE cluster even when A~C was never a
+    candidate pair."""
+    both = _mutated_union(_docs(spark, sf_dir))
+    sigs = dd.minhash_signatures(both, k=8, n=3)
+    pairs = dd.lsh_pairs_jaccard(sigs, bands=4).filter(
+        F.col("jaccard_est") >= 0.4
+    )
+    cc = dd.connected_components(pairs)
+    cluster = F.coalesce(cc["cluster_id"], F.col("doc_id"))
+    return (
+        both.select("doc_id")
+        .join(cc, F.col("doc_id") == cc["id"], "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster != F.col("doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded-hamming simhash dedup (pigeonhole candidate join + exact
     hamming verify) over the same ground-truth near-dup corpus."""
@@ -749,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_links": q_strip_links,
         "extract_spans": q_extract_spans,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
         "prep_dispatch": q_prep_dispatch,
@@ -1121,6 +1146,47 @@ est AS (SELECT id_a, id_b,
         JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
         GROUP BY id_a, id_b)
 SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM est WHERE je >= 0.4
+"""
+
+# same LSH pipeline as lsh_pairs, then an exact transitive closure over
+# the thresholded pair graph (recursive CTE) — cluster id = min reachable
+# doc_id, singletons cluster with themselves
+_ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SQL_MUT_UNION},
+t AS (SELECT doc_id, {_SQL_SHINGLES} AS shs FROM d),
+e AS (SELECT doc_id,
+        CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) % 2147483647 AS hb
+      FROM t),
+p(seed, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+sig AS (SELECT e.doc_id, p.seed, min((p.a * e.hb + p.b) % 2147483647) AS mh
+        FROM e, p GROUP BY e.doc_id, p.seed),
+banded AS (SELECT doc_id, seed // 2 AS band_idx,
+                  string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+           FROM sig GROUP BY doc_id, seed // 2),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b,
+               sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 AS je
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
+        GROUP BY id_a, id_b),
+thr AS (SELECT id_a, id_b FROM est WHERE je >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM thr
+          UNION ALL SELECT id_b AS u, id_a AS v FROM thr),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate
+FROM d LEFT JOIN comp c USING (doc_id)
 """
 
 _ORACLES["simhash_pairs"] = f"""

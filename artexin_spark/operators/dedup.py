@@ -277,6 +277,95 @@ def minhash_dedup(
     return est.filter(F.col("jaccard_est") >= threshold)
 
 
+# --- connected components / cluster dedup ------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node in the pair graph, cluster_id =
+    min node id in its connected component — the transitive closure the
+    pairwise dedup ops defer ("keep-first" pair dedup misses A~B, B~C ⇒
+    {A,B,C} one cluster).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels. Converges in O(component diameter)
+    rounds — near-dup graphs are star-shaped (diameter 2-4), so this
+    terminates in a handful of shuffles even at 10^12 nodes; for
+    adversarially long chains switch to large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"), same seam.
+
+    Scale notes: the labels relation is two narrow int columns (the fat
+    pair metadata never rides along); `localCheckpoint` cuts the lineage
+    each round so the plan doesn't grow; convergence is detected by the
+    (monotone non-increasing) sum of labels, one cheap agg per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(id, cluster_id, is_duplicate) for EVERY input doc: full transitive
+    near-dup clustering (MinHash-LSH pairs → connected components).
+    Singletons cluster with themselves; the cluster representative
+    (min id) has is_duplicate = false — drop the rest to dedup."""
+    pairs = minhash_dedup(df, text_col, id_col, k, n, bands, threshold)
+    cc = connected_components(pairs)
+    out = df.select(F.col(id_col)).join(
+        cc, F.col(id_col) == cc["id"], "left"
+    )
+    cluster = F.coalesce(cc["cluster_id"], F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster != F.col(id_col)).alias("is_duplicate"),
+    )
+
+
 # --- n-gram Jaccard (exact) --------------------------------------------------
 
 

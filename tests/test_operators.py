@@ -253,3 +253,22 @@ def test_cosine_topk_np_agrees_with_sql(spark, emb):
     assert len(m) == len(a) == len(b)
     assert (m.neighbor_id_sql == m.neighbor_id_np).all()
     assert (m.cosine_sql - m.cosine_np).abs().max() < 1e-6
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B, B~C must cluster {A,B,C} together (pairwise keep-first can't);
+    propagation must cross a 5-node chain (diameter > 1 round)."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (21, 20), (22, 21), (23, 22), (24, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_dedup_clusters_labels_every_doc(spark, docs):
+    out = dedup.dedup_clusters(docs.limit(60), k=16, bands=4, threshold=0.8).toPandas()
+    assert len(out) == 60
+    assert (out.cluster_id <= out.doc_id).all()  # representative is min id
+    reps = out[~out.is_duplicate]
+    assert (reps.cluster_id == reps.doc_id).all()
