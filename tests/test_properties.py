@@ -155,3 +155,38 @@ def test_fast_parse_matches_stdlib_on_tag_soup(atoms):
         for n in d.iter()
     ]
     assert sig(fast) == sig(slow)
+
+
+# --- extraction totality + span recovery fuzz --------------------------------
+
+
+@given(st.lists(_soup_atoms, min_size=0, max_size=25))
+@settings(max_examples=400, deadline=None)
+def test_extract_turn_is_total_on_tag_soup(atoms):
+    """The in-band error contract (pack.py:205-213 semantics): extract_turn
+    NEVER raises, whatever the payload — poison rows surface in .error."""
+    from artexin_spark.readability import ExtractResult, extract_turn
+
+    res = extract_turn("".join(atoms), with_html=False)
+    assert isinstance(res, ExtractResult)
+    assert res.error is None or isinstance(res.error, str)
+
+
+@given(st.lists(_soup_atoms, min_size=1, max_size=25))
+@settings(max_examples=400, deadline=None)
+def test_extract_turn_spans_recover_text_on_entity_free_soup(atoms):
+    """The span contract: for entity-free payloads with no synthesized
+    nodes (no preprocessors), the spans reassemble the extracted text
+    exactly — fix_ws(join of source slices) == text. This is the same
+    invariant the distributed extract_spans oracle checks per turn."""
+    from artexin_spark.readability import extract_turn
+
+    src = "".join(atoms)
+    if "&" in src:  # entities decode into .text; raw spans stay byte-faithful
+        return
+    if "</>" in src:  # swallowed construct: stdlib buffers data ACROSS it,
+        return  # so the text node's span legitimately covers the '</>'
+    res = extract_turn(src, with_html=False)
+    if res.error is not None:
+        return
+    assert fix_ws(" ".join(src[s:e] for s, e in res.spans)) == res.text
