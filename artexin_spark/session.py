@@ -35,14 +35,16 @@ def get_spark(app_name: str = "artexin-spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 1024 measured fastest for ~2 KB payloads (512: +12% wall from
-        # per-batch crossing overhead; 4096: +13% from batch skew at the
-        # tail). Multi-MB payload tables should pass SPARK_ARROW_BATCH=256
-        # or lower — batch_bytes ≈ rows × payload is the executor-python
+        # 4096 measured fastest for ~2 KB payloads (re-tuned after the
+        # 2.3x per-turn speedup shifted the compute/crossing balance:
+        # 1024 → 4096 is +28% extraction throughput at 16 cores; 8192
+        # regresses from batch-tail skew). ~8 MB/batch at this cell size;
+        # multi-MB payload tables should pass SPARK_ARROW_BATCH=256 or
+        # lower — batch_bytes ≈ rows × payload is the executor-python
         # memory envelope.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_ARROW_BATCH", "1024"),
+            os.environ.get("SPARK_ARROW_BATCH", "4096"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: driver == executor; multi-GB text batches churn the

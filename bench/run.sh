@@ -20,7 +20,7 @@ exec spark-submit \
   --py-files /tmp/artexin_spark.zip \
   --conf spark.sql.shuffle.partitions="${SPARK_SHUFFLE_PARTITIONS:-64}" \
   --conf spark.sql.session.timeZone=UTC \
-  --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch="${SPARK_ARROW_BATCH:-4096}" \
   --driver-memory "${SPARK_DRIVER_MEM:-32g}" \
   ${SPARK_SUBMIT_EXTRA:-} \
   "$REPO/artexin_spark/__main__.py" --input "$INPUT" --sink "$SINK" "$@"
