@@ -211,6 +211,32 @@ def q_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir)).orderBy("content_key")
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~20% sample by id hash: same rows every run, every
+    engine — the reproducible-sampling primitive rand() can't provide."""
+    from artexin_spark.operators import sampling as sp
+
+    return sp.hash_sample(_docs(spark, sf_dir), 0.2).select("doc_id")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test labels; membership is stable
+    under appends (a new row can never move an old row between splits)."""
+    from artexin_spark.operators import sampling as sp
+
+    return sp.hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_contamination(spark, sf_dir):
+    """Decontamination pass: docs sharing >= 2 distinct 3-gram shingles
+    with the (deterministic) eval subset, via a broadcast shingle join."""
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return dd.contamination(docs, eval_df, n=3, min_overlap=2)
+
+
 def q_dedup_first(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -755,6 +781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "term_df_idf": q_term_df_idf,
         "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "contamination": q_contamination,
         "dedup_first": q_dedup_first,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -876,6 +905,40 @@ FROM documents GROUP BY 1 ORDER BY content_key
 _ORACLES["dedup_first"] = """
 SELECT lang, source, min(doc_id) AS doc_id, count(*) AS group_size
 FROM documents GROUP BY lang, source
+"""
+
+# id-hash bucket shared by the sampling/split oracles (15 hex md5 chars →
+# exact BIGINT in both engines; mirrors operators/sampling.hash_bucket)
+_SQL_IDBUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 1000000"
+)
+
+_ORACLES["hash_sample"] = f"""
+SELECT doc_id FROM documents WHERE {_SQL_IDBUCKET} < 200000
+"""
+
+_ORACLES["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_SQL_IDBUCKET} < 800000 THEN 'train'
+            WHEN {_SQL_IDBUCKET} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+_ORACLES["contamination"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 3
+          THEN list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t),
+ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0)
+SELECT s.doc_id, count(*) AS n_overlap
+FROM s JOIN ev USING (sh)
+GROUP BY s.doc_id HAVING count(*) >= 2
 """
 
 # universal-hash minhash params (mirror of dedup.minhash_params for k=8)

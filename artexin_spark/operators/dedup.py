@@ -409,6 +409,45 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# --- benchmark contamination --------------------------------------------------
+
+
+def contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """(id, n_overlap) for training docs sharing ≥ ``min_overlap`` distinct
+    word n-grams with ANY doc in the evaluation set — the standard
+    decontamination pass before training on scraped data.
+
+    Plan shape (the 100 TB story): the eval shingle set is tiny relative
+    to the corpus → distinct eval shingles BROADCAST into a hash join
+    against the exploded corpus shingles; one partial+final count agg.
+    No shuffle of the corpus beyond the agg on (id)."""
+    doc_sh = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from("_toks", n))).alias("sh"),
+    )
+    eval_sh = (
+        eval_df.select(tokens_col(eval_text_col).alias("_toks"))
+        .select(F.explode(F.array_distinct(shingles_from("_toks", n))).alias("sh"))
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(eval_sh), "sh")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -1,0 +1,63 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training-data pipelines can't use rand() sampling: reruns must select the
+SAME rows (resume/idempotency), the selection must be reproducible across
+engines for audits, and train/val/test membership must never drift
+between runs. The standard production answer is content/id hashing —
+a row's bucket is a pure function of its key — which also makes every
+operator here exactly oracle-checkable in DuckDB (md5 agrees across
+engines byte-for-byte; see operators/dedup.py).
+
+Scale notes (100 TB): all three ops are a single projection — no shuffle,
+no sampling pass, no count() pre-scan; filters push down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# md5 → int in [0, 2^60): same derivation as dedup.minhash (15 hex chars
+# keeps conv() exact in both engines; 16 would overflow DuckDB's BIGINT
+# cast path at the sign bit)
+_HASH_SPACE = 1 << 60
+
+
+def hash_bucket(col, buckets: int):
+    """Deterministic bucket in [0, buckets) from any column's string form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows by id hash.
+    Rerunning (anywhere, any engine) selects the same rows."""
+    return df.filter(hash_bucket(id_col, 1_000_000) < int(rate * 1_000_000))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out: str = "split",
+) -> DataFrame:
+    """Label every row with a deterministic split name ('train'/'val'/...).
+    ``weights`` values must sum to 1; boundaries are cumulative-weight
+    cutoffs over the id-hash bucket, so membership is stable under
+    appends — a new row can't move an old row between splits."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1, got %s" % total)
+    bucket = hash_bucket(id_col, 1_000_000)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = bucket < int(cum * 1_000_000)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out, expr)

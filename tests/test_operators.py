@@ -272,3 +272,38 @@ def test_dedup_clusters_labels_every_doc(spark, docs):
     assert (out.cluster_id <= out.doc_id).all()  # representative is min id
     reps = out[~out.is_duplicate]
     assert (reps.cluster_id == reps.doc_id).all()
+
+
+def test_hash_sample_is_deterministic_and_proportional(spark, docs):
+    from artexin_spark.operators import sampling as sp
+
+    a = sorted(r["doc_id"] for r in sp.hash_sample(docs, 0.2).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in sp.hash_sample(docs, 0.2).select("doc_id").collect())
+    assert a == b  # same rows on rerun
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n
+    # a larger rate strictly contains the smaller one (nested samples)
+    big = set(r["doc_id"] for r in sp.hash_sample(docs, 0.5).select("doc_id").collect())
+    assert set(a) <= big
+
+
+def test_hash_split_is_total_stable_and_append_safe(spark, docs):
+    from artexin_spark.operators import sampling as sp
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in sp.hash_split(docs, w).select("doc_id", "split").collect()}
+    assert set(full.values()) <= {"train", "val", "test"}
+    assert len(full) == docs.count()
+    # appending rows must not move existing rows between splits
+    half = {r["doc_id"]: r["split"] for r in sp.hash_split(docs.limit(200), w).select("doc_id", "split").collect()}
+    assert all(full[k] == v for k, v in half.items())
+    with pytest.raises(ValueError, match="sum to 1"):
+        sp.hash_split(docs, {"a": 0.5, "b": 0.6})
+
+
+def test_contamination_flags_eval_members_and_only_overlappers(spark, docs):
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    out = {r["doc_id"]: r["n_overlap"] for r in dedup.contamination(docs, eval_df).collect()}
+    # every eval member trivially overlaps itself past the threshold
+    for r in eval_df.select("doc_id").collect():
+        assert r["doc_id"] in out
