@@ -237,6 +237,18 @@ def q_contamination(spark, sf_dir):
     return dd.contamination(docs, eval_df, n=3, min_overlap=2)
 
 
+def q_curate(spark, sf_dir):
+    """The composed curation recipe (quality gate + language filter +
+    exact-dup keep-first + decontamination) in one scale-first plan:
+    one projection over the scan, one keep-first agg, one broadcast
+    anti-join — the flagship 'what survives into training' query."""
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return ts.curate(
+        docs, eval_df, min_quality=0.5, langs=("en",), n=3, min_overlap=2
+    )
+
+
 def q_dedup_first(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -784,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
         "contamination": q_contamination,
+        "curate": q_curate,
         "dedup_first": q_dedup_first,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -941,6 +954,7 @@ FROM s JOIN ev USING (sh)
 GROUP BY s.doc_id HAVING count(*) >= 2
 """
 
+
 # universal-hash minhash params (mirror of dedup.minhash_params for k=8)
 _MH_PARAMS_SQL = ", ".join(
     "(%d, %d, %d)" % (i, (2 * i + 1) * 2654435761 % 2147483647, (i * 40503 + 1) % 2147483647)
@@ -1066,6 +1080,61 @@ SELECT doc_id, n_chars, n_words,
     + (CASE WHEN upper_ratio < 0.3 AND digit_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
   , 6) AS quality
 FROM f
+"""
+
+# curate = quality gate + argmax language + exact-dup keep-first +
+# decontamination, each block identical to its standalone oracle above
+_ORACLES["curate"] = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+  len(toks) AS n_words,
+  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks),1)::DOUBLE AS mean_word_len,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text),1)::DOUBLE AS punct_ratio,
+  length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text),1)::DOUBLE AS upper_ratio,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text),1)::DOUBLE AS digit_ratio
+  FROM t),
+q AS (SELECT doc_id, round(
+    (CASE WHEN n_words >= 10 THEN 0.25 ELSE n_words / 40.0 END)
+    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END)
+    + least(punct_ratio * 5, 0.25)
+    + (CASE WHEN upper_ratio < 0.3 AND digit_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+  , 6) AS quality FROM f),
+ls AS (SELECT doc_id,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['en']})) / greatest(len(toks),1), 6) AS s_en,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['de']})) / greatest(len(toks),1), 6) AS s_de,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['fr']})) / greatest(len(toks),1), 6) AS s_fr,
+  round(len(list_intersect(toks, {_LANG_SQL_MARKERS['es']})) / greatest(len(toks),1), 6) AS s_es,
+  round(length(regexp_replace(text, '[^一-鿿]', '', 'g')) / greatest(length(text),1), 6) AS s_zh
+  FROM t),
+lu AS (
+  SELECT doc_id, 'en' AS lang, s_en AS score FROM ls
+  UNION ALL SELECT doc_id, 'de', s_de FROM ls
+  UNION ALL SELECT doc_id, 'fr', s_fr FROM ls
+  UNION ALL SELECT doc_id, 'es', s_es FROM ls
+  UNION ALL SELECT doc_id, 'zh', s_zh FROM ls),
+lr AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      FROM lu),
+pred AS (SELECT doc_id, lang AS pred_lang FROM lr WHERE rn = 1),
+ck AS (SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
+       FROM documents),
+reps AS (SELECT min(doc_id) AS doc_id FROM ck GROUP BY content_key),
+sh AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 3
+          THEN list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [array_to_string(toks, ' ')] END) AS s
+       FROM t),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+contam AS (SELECT sh.doc_id FROM sh JOIN ev USING (s)
+           GROUP BY sh.doc_id HAVING count(*) >= 2)
+SELECT q.doc_id, q.quality, p.pred_lang
+FROM q JOIN pred p USING (doc_id)
+WHERE q.quality >= 0.5 AND p.pred_lang = 'en'
+  AND q.doc_id IN (SELECT doc_id FROM reps)
+  AND q.doc_id NOT IN (SELECT doc_id FROM contam)
 """
 
 _ORACLES["fingerprint"] = f"""

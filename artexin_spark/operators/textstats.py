@@ -44,13 +44,13 @@ def lang_scores(text_col: str = "text"):
     return F.struct(*fields, cjk)
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """argmax over language scores via greatest-of-structs: Spark compares
-    structs lexicographically, so max(struct(score, lang)) picks the
+def best_lang_struct(text_col: str = "text"):
+    """struct<score, lang> of the argmax language: Spark compares structs
+    lexicographically, so greatest(struct(score, lang)) picks the
     best-scoring language with a deterministic lang tie-break."""
     scores = lang_scores(text_col)
     langs = list(LANG_MARKERS.keys()) + ["zh"]
-    best = F.greatest(
+    return F.greatest(
         *[
             F.struct(
                 F.round(scores.getField(l), 6).alias("score"), F.lit(l).alias("lang")
@@ -58,6 +58,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             for l in langs
         ]
     )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    best = best_lang_struct(text_col)
     return df.select(
         F.col(id_col),
         best.getField("lang").alias("pred_lang"),
@@ -96,9 +100,10 @@ def quality_features(text_col: str = "text"):
     }
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite [0,1] quality score: length sweet-spot, word-length
-    plausibility, punctuation presence, not-all-caps, low digit noise."""
+def quality_expr(text_col: str = "text"):
+    """The composite [0,1] quality score as a single column expression:
+    length sweet-spot, word-length plausibility, punctuation presence,
+    not-all-caps, low digit noise."""
     f = quality_features(text_col)
     score = (
         F.when(f["n_words"] >= 10, F.lit(0.25)).otherwise(f["n_words"] / 40.0)
@@ -110,8 +115,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             (f["upper_ratio"] < 0.3) & (f["digit_ratio"] < 0.3), F.lit(0.25)
         ).otherwise(F.lit(0.0))
     )
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    f = quality_features(text_col)
     cols = [F.col(id_col)] + [v.alias(k) for k, v in f.items()]
-    return df.select(*cols, F.round(score, 6).alias("quality"))
+    return df.select(*cols, quality_expr(text_col).alias("quality"))
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -170,4 +180,48 @@ def top_terms(
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
+    )
+
+
+def curate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """The end-to-end curation recipe a training-data pipeline runs before
+    tokenization: quality gate + language filter + exact-dup keep-first +
+    benchmark decontamination, composed scale-first.
+
+    Plan shape (100 TB): quality, language, and the content key are ALL
+    column expressions, so they compute in ONE projection over one scan —
+    never N self-joins of the corpus. The only shuffles are the keep-first
+    hash-agg on the 32-char content key and contamination's count agg;
+    the eval shingle set broadcasts. Dedup-then-filter order: the group
+    representative is the global min id, so a rerun over an appended
+    corpus keeps the same representatives."""
+    from .dedup import contamination, norm_md5
+
+    base = df.select(
+        F.col(id_col),
+        quality_expr(text_col).alias("quality"),
+        best_lang_struct(text_col).getField("lang").alias("pred_lang"),
+        norm_md5(text_col).alias("content_key"),
+    )
+    reps = base.groupBy("content_key").agg(F.min(id_col).alias(id_col))
+    bad = contamination(
+        df, eval_df, text_col, id_col, n=n, min_overlap=min_overlap
+    ).select(F.col(id_col))
+    return (
+        base.filter(
+            (F.col("quality") >= min_quality)
+            & F.col("pred_lang").isin(list(langs))
+        )
+        .join(reps.select(id_col), id_col, "left_semi")
+        .join(bad, id_col, "left_anti")
+        .select(id_col, "quality", "pred_lang")
     )

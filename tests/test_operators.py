@@ -307,3 +307,14 @@ def test_contamination_flags_eval_members_and_only_overlappers(spark, docs):
     # every eval member trivially overlaps itself past the threshold
     for r in eval_df.select("doc_id").collect():
         assert r["doc_id"] in out
+
+
+def test_curate_composes_all_gates(spark, docs):
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    out = textstats.curate(docs, eval_df, min_quality=0.5, langs=("en",)).toPandas()
+    assert set(out.columns) == {"doc_id", "quality", "pred_lang"}
+    assert (out.quality >= 0.5).all()
+    assert (out.pred_lang == "en").all()
+    # decontamination: eval members overlap themselves, so none survive
+    assert not set(out.doc_id) & {r["doc_id"] for r in eval_df.select("doc_id").collect()}
+    assert 0 < len(out) < docs.count()
