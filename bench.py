@@ -167,6 +167,13 @@ def main() -> None:
         warm_runs=1,
         reps=2,
     )
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    timed(
+        "q_curate",
+        lambda: ts.curate(docs, eval_df, min_quality=0.5, langs=("en",)).count(),
+        warm_runs=1,
+        reps=2,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

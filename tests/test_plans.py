@@ -89,3 +89,34 @@ def test_no_query_uses_per_row_python(spark):
             continue  # streaming plans explain differently
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_contamination_broadcasts_eval_shingles(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hash_ops_are_pure_projections(spark):
+    """Sampling and splits must not shuffle — a filter/project over the
+    scan (the 100 TB property: no pre-pass, no count, no exchange)."""
+    import __spark_entry__ as e
+
+    for q in (e.q_hash_sample, e.q_hash_split):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, (q.__name__, plan)
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_curate_plan_shape(spark):
+    """One scan-side projection computes quality+lang+content key (no
+    corpus self-join for the scalar gates); the eval shingles broadcast;
+    nothing falls back to per-row Python or a cartesian product."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_curate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
