@@ -172,3 +172,39 @@ def test_non_transcript_input_fails_with_schema_message(spark):
     )
     with pytest.raises(ValueError, match="missing column.*conv_id.*expected schema"):
         prepare_input(docs, n_buckets=4, source_col=None)
+
+
+def test_resume_reextracts_buckets_whose_latest_status_is_failed(spark, corpus_pdf, tmp_path):
+    """Latest-status-wins: an earlier ok row must NOT shadow a newer
+    failed row — the bucket re-extracts on resume and the sink heals."""
+    import shutil
+
+    sink = str(tmp_path / "sink3")
+    df = spark.createDataFrame(corpus_pdf.head(300))
+    stats1 = run_extract(spark, df, sink, n_buckets=8, source_col=None)
+    full_count = sink_io.read_data(spark, sink).count()
+
+    # simulate a post-hoc failure of two buckets: newer 'failed' lineage
+    # rows + their data directories lost
+    failed = [1, 5]
+    marks = spark.createDataFrame(
+        [("op-marker", pk, 0, 0, 0, 0, 0.0, "failed") for pk in failed],
+        "run_id string, part_key int, n_rows long, n_errors long, "
+        "n_chars_in long, n_chars_out long, wall_ms double, status string",
+    ).withColumn("finished_at", F.current_timestamp())
+    sink_io.append_lineage(marks, sink)
+    for pk in failed:
+        shutil.rmtree(f"{sink}/data/part_key={pk}")
+    assert sink_io.read_data(spark, sink).count() < full_count
+
+    done = sink_io.completed_buckets(spark, sink).toPandas()
+    assert set(failed).isdisjoint(set(done.part_key))
+
+    stats2 = run_extract(spark, df, sink, n_buckets=8, source_col=None, resume=True)
+    lin = sink_io.read_lineage(spark, sink).toPandas()
+    run2 = set(lin[lin.run_id == stats2["run_id"]].part_key)
+    assert run2 == set(failed)  # ONLY the failed buckets re-extracted
+
+    healed = sink_io.read_data(spark, sink)
+    assert healed.count() == full_count
+    assert healed.select("conv_id", "turn_idx").distinct().count() == full_count
