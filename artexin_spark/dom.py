@@ -99,8 +99,28 @@ class Node:
         return out
 
     def find(self, tag=None, cls=None, id_=None):
-        found = self.find_all(tag, cls, id_)
-        return found[0] if found else None
+        """First match in find_all's traversal order, early-exit (find_all
+        would walk the whole tree to return [0])."""
+        if isinstance(tag, str):
+            tag = (tag,)
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            kids = node.children
+            if kids:
+                extend(reversed(kids))
+            if node.tag is None:
+                continue
+            if tag is not None and node.tag not in tag:
+                continue
+            if cls is not None and cls not in node.classes():
+                continue
+            if id_ is not None and node.attrs.get("id") != id_:
+                continue
+            return node
+        return None
 
     def get(self, name, default=None):
         return self.attrs.get(name, default)
