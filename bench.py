@@ -152,27 +152,27 @@ def main() -> None:
     sim.cosine_topk_np(emb.limit(200), emb.limit(5), k=10).count()
     ts.quality_score(tiny).join(ts.lang_id(tiny), "doc_id").count()
 
-    timed("q_minhash_dedup", lambda: dd.minhash_dedup(docs, k=16, bands=4, threshold=0.8).count(), warm_runs=1, reps=2)
-    timed("q_simhash", lambda: docs.select(dd.simhash_col("text").alias("s")).agg(F.count("s")).collect(), warm_runs=1, reps=2)
-    timed("q_unigrams", lambda: ts.top_terms(docs, k=50).collect(), warm_runs=1, reps=2)
+    timed("q_minhash_dedup", lambda: dd.minhash_dedup(docs, k=16, bands=4, threshold=0.8).count(), warm_runs=1, reps=3)
+    timed("q_simhash", lambda: docs.select(dd.simhash_col("text").alias("s")).agg(F.count("s")).collect(), warm_runs=1, reps=3)
+    timed("q_unigrams", lambda: ts.top_terms(docs, k=50).collect(), warm_runs=1, reps=3)
     timed(
         "q_knn",
         lambda: sim.cosine_topk_np(emb, emb.limit(50), k=10).count(),
         warm_runs=1,
-        reps=2,
+        reps=3,
     )
     timed(
         "q_quality_langid",
         lambda: ts.quality_score(docs).join(ts.lang_id(docs), "doc_id").count(),
         warm_runs=1,
-        reps=2,
+        reps=3,
     )
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     timed(
         "q_curate",
         lambda: ts.curate(docs, eval_df, min_quality=0.5, langs=("en",)).count(),
         warm_runs=1,
-        reps=2,
+        reps=3,
     )
 
     total = round(sum(timings.values()), 3)
