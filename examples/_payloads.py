@@ -1,0 +1,60 @@
+"""Shared offline payloads for the example scripts.
+
+The reference examples fetch four live web pages (network is the
+reference's input channel); this engine's input channel is the table
+scan, so the examples carry equivalent boilerplate-wrapped pages inline —
+same shapes the reference pages exercised: nav link lists, script/style
+blocks, a wikipedia-style content div, footer chrome.
+"""
+
+PAGES = [
+    (
+        "http://example.org/press/earth-mosaic",
+        """<html><head><title>Earth Day Global Mosaic</title>
+<script>var analytics = {page: 'mosaic'};</script></head><body>
+<div id="navigation"><ul><li><a href="/">Home</a></li>
+<li><a href="/press">Press</a></li><li><a href="/about">About</a></li></ul></div>
+<div id="content"><h1>Earth Day Global Mosaic</h1>
+<p>Thousands of images taken around the planet were assembled into a single
+mosaic, a portrait of the home planet stitched from everyday photographs.</p>
+<p>The mosaic spans every continent and ocean, and the assembled image
+weighs in at more than three gigapixels, searchable down to street level.</p>
+<img src="/img/mosaic.jpg" alt="mosaic"></div>
+<div class="footer"><a href="/contact">Contact</a> | copyright</div>
+</body></html>""",
+    ),
+    (
+        "http://en.wikipedia.org/wiki/Sunflower",
+        """<html><head><title>Sunflower - Wikipedia</title>
+<style>.mw-body{margin:0}</style></head><body>
+<div id="mw-content-text"><h1>Sunflower</h1>
+<p>The common sunflower is a large annual forb of the genus Helianthus,
+grown as a crop for its edible oil and seeds around the world.</p>
+<table class="navbox"><tr><td><a href="/wiki/Asteraceae">Asteraceae</a></td></tr></table>
+<p>Wild sunflower is native to North America, and domestication took place
+thousands of years ago; the plant tracks the sun across the sky each day.</p>
+<span class="mw-editsection"><a href="/edit">edit</a></span></div>
+</body></html>""",
+    ),
+    (
+        "http://en.wikipedia.org/wiki/Logarithm",
+        """<html><head><title>Logarithm - Wikipedia</title></head><body>
+<div id="mw-content-text"><h1>Logarithm</h1>
+<p>The logarithm is the inverse function to exponentiation: the logarithm
+of a number is the exponent to which the base must be raised to produce it.</p>
+<p>Logarithms were introduced as a means of simplifying calculations, and
+they remain fundamental to science, engineering, and information theory.</p>
+</div></body></html>""",
+    ),
+    (
+        "http://blog.example.com/python-libraries",
+        """<html><head><title>20 Python Libraries</title></head><body>
+<div class="sidebar"><a href="/a">ads</a><a href="/b">more ads</a></div>
+<div class="post"><h2>20 Python Libraries You Can't Live Without</h2>
+<p>A tour of the libraries that show up in nearly every production Python
+codebase, from requests and numpy to the standard library's own gems.</p>
+<p>Each entry includes what the library is for, a minimal usage example,
+and the pitfalls that bite newcomers most often in real projects.</p></div>
+</body></html>""",
+    ),
+]

@@ -1,0 +1,35 @@
+"""Per-page extraction with the reference's collect() call shape.
+
+Mirror of the reference's examples/fetch_and_zip.py (page-at-a-time
+``pack.collect`` + ``get_preps`` dispatch + took/avg prints), offline:
+the network fetch is replaced by the payload already being in hand —
+exactly the substitution the engine makes at scale, where the "fetch"
+is the Iceberg/parquet table scan.
+
+Run: python examples/extract_and_pack.py
+"""
+
+import sys
+import time
+from os.path import dirname
+
+sys.path.insert(0, dirname(dirname(__file__)))
+
+from artexin_spark.compat import collect, get_preps  # noqa: E402
+
+from _payloads import PAGES  # noqa: E402
+
+
+def main() -> None:
+    start = time.time()
+    for url, html in PAGES:
+        print("Processing: %s" % url)
+        meta = collect(html, url=url, prep=list(get_preps(url)))
+        print("  title=%r images=%d error=%r" % (
+            meta.get("title"), len(meta.get("images", [])), meta.get("error")))
+    took = time.time() - start
+    print("Took %s seconds (avg: %s seconds)" % (took, took / len(PAGES)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Batch extraction with the reference's batch() call shape.
+
+Mirror of examples/fetch_and_zip_batch.py (``batch.batch`` over a URL
+list with per-URL preprocessor dispatch, ordered results, took/avg
+prints). The reference parallelized with multiprocessing.Pool; the
+engine's real distribution is the Spark pipeline (see spark_pipeline.py)
+— this facade keeps the ordered-results contract for drop-in callers.
+
+Run: python examples/extract_batch.py
+"""
+
+import sys
+import time
+from os.path import dirname
+
+sys.path.insert(0, dirname(dirname(__file__)))
+
+from artexin_spark.compat import batch  # noqa: E402
+
+from _payloads import PAGES  # noqa: E402
+
+
+def main() -> None:
+    start = time.time()
+    metas = batch([(html, url) for url, html in PAGES])
+    for meta in metas:
+        print("%s -> title=%r error=%r" % (meta["url"], meta.get("title"), meta.get("error")))
+    took = time.time() - start
+    print("Took %s seconds (avg: %s seconds)" % (took, took / len(PAGES)))
+
+
+if __name__ == "__main__":
+    main()

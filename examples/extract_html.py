@@ -1,0 +1,31 @@
+"""Low-level single-page extraction.
+
+Mirror of examples/fetch_html.py (``extract.extract`` on one fetched
+page, writing the readable document to a file), offline.
+
+Run: python examples/extract_html.py [out.html]
+"""
+
+import sys
+import time
+from os.path import dirname
+
+sys.path.insert(0, dirname(dirname(__file__)))
+
+from artexin_spark.compat import extract  # noqa: E402
+
+from _payloads import PAGES  # noqa: E402
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/artexin_spark_example.html"
+    start = time.time()
+    url, html = PAGES[0]
+    title, readable = extract(html)
+    with open(out_path, "w", encoding="utf-8") as fh:
+        fh.write(readable)
+    print("%r -> %s (%.3fs)" % (title, out_path, time.time() - start))
+
+
+if __name__ == "__main__":
+    main()

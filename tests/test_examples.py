@@ -1,0 +1,36 @@
+"""The examples/ scripts are the reference-user migration surface
+(mirrors of artexin's examples/, offline) — keep them runnable."""
+
+import os
+import subprocess
+import sys
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+
+
+def _run(name, *args):
+    return subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, name), *args],
+        capture_output=True, text=True, timeout=120,
+    )
+
+
+def test_extract_and_pack_example():
+    r = _run("extract_and_pack.py")
+    assert r.returncode == 0, r.stderr
+    assert "Earth Day Global Mosaic" in r.stdout and "error=None" in r.stdout
+
+
+def test_extract_batch_example():
+    r = _run("extract_batch.py")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("title=") == 4
+
+
+def test_extract_html_example(tmp_path):
+    out = str(tmp_path / "out.html")
+    r = _run("extract_html.py", out)
+    assert r.returncode == 0, r.stderr
+    html = open(out).read()
+    assert "<title>Earth Day Global Mosaic</title>" in html
+    assert "navigation" not in html  # boilerplate stripped from the document
