@@ -117,6 +117,49 @@ def q_extract_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_rollup(spark, sf_dir):
+    """Conversation-level analytics over EXTRACTED output: synthesize
+    3-turn conversations (role cycle, per-turn marker), run the full
+    extraction UDF, roll up per conv_id — turn counts by role, total
+    extracted chars, last turn. The oracle recomputes the expected
+    extracted text per turn from the template, so this gates the
+    extract → aggregate composition end-to-end."""
+    docs = _docs(spark, sf_dir)
+    tr = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.col("text").alias("doc_text"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("turn_idx"),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                F.col("turn_idx") + 1,
+            ).alias("role"),
+            F.concat(
+                F.lit(_WRAP_PRE_TITLE),
+                F.col("conv_id"),
+                F.lit(_WRAP_POST_TITLE),
+                F.col("doc_text"),
+                F.lit(" turn marker "),
+                F.col("turn_idx").cast("string"),
+                F.lit(_WRAP_TAIL),
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    out = with_extraction(tr, text_col="text")
+    return out.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user_turns"),
+        F.sum(F.length("extracted_text")).alias("total_chars"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
 def q_title_fastpath(spark, sf_dir):
     tr = _transcripts_from_docs(spark, sf_dir)
     return tr.select(
@@ -814,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
         "extract_spans": q_extract_spans,
+        "conv_rollup": q_conv_rollup,
         "lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
@@ -842,6 +886,22 @@ SELECT CAST(doc_id AS VARCHAR) AS conv_id,
        0 AS n_images,
        CAST(NULL AS VARCHAR) AS error
 FROM documents
+"""
+
+_ORACLES["conv_rollup"] = """
+WITH turns AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, g.i AS turn_idx,
+         CASE g.i WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         length(trim(regexp_replace(text || ' turn marker ' || g.i,
+                                    '\\s+', ' ', 'g'))) AS n_chars
+  FROM documents, generate_series(0, 2) g(i)
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(turn_idx) AS last_turn
+FROM turns GROUP BY conv_id
 """
 
 _ORACLES["title_fastpath"] = """
