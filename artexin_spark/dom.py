@@ -213,33 +213,42 @@ class Node:
 
     # -- serialization ---------------------------------------------------
     def to_html(self) -> str:
+        # explicit stack, not recursion: serialization must survive the
+        # same thousands-deep adversarial nesting the parser tolerates.
+        # (node, True) frames emit the close tag after the subtree.
         parts: list[str] = []
-        self._render(parts)
+        stack: list[tuple[Node, bool]] = [(self, False)]
+        while stack:
+            node, post = stack.pop()
+            if post:
+                parts.append("</%s>" % node.tag)
+                continue
+            if node.tag is None:
+                text = node.text
+                for src, dst in _ESCAPE.items():
+                    text = text.replace(src, dst)
+                parts.append(text)
+                continue
+            if node.tag == "[document]":
+                for kid in reversed(node.children):
+                    stack.append((kid, False))
+                continue
+            parts.append("<" + node.tag)
+            for key, val in node.attrs.items():
+                if val is None:
+                    parts.append(" " + key)
+                else:
+                    parts.append(
+                        ' %s="%s"'
+                        % (key, val.replace("&", "&amp;").replace('"', "&quot;"))
+                    )
+            parts.append(">")
+            if node.tag in VOID_TAGS:
+                continue
+            stack.append((node, True))
+            for kid in reversed(node.children):
+                stack.append((kid, False))
         return "".join(parts)
-
-    def _render(self, parts: list[str]):
-        if self.is_text:
-            text = self.text
-            for src, dst in _ESCAPE.items():
-                text = text.replace(src, dst)
-            parts.append(text)
-            return
-        if self.tag == "[document]":
-            for kid in self.children:
-                kid._render(parts)
-            return
-        parts.append("<" + self.tag)
-        for key, val in self.attrs.items():
-            if val is None:
-                parts.append(" " + key)
-            else:
-                parts.append(' %s="%s"' % (key, val.replace("&", "&amp;").replace('"', "&quot;")))
-        parts.append(">")
-        if self.tag in VOID_TAGS:
-            return
-        for kid in self.children:
-            kid._render(parts)
-        parts.append("</%s>" % self.tag)
 
     def __repr__(self):  # pragma: no cover - debug aid
         if self.is_text:

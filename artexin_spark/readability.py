@@ -279,22 +279,26 @@ def collect_text_spans(node: dom.Node) -> tuple[str, list[tuple[int, int]]]:
     parts: list[str] = []
     spans: list[tuple[int, int]] = []
 
-    def walk(n: dom.Node):
+    # explicit stack, not recursion: adversarial pages nest thousands of
+    # inline tags inside the article body and must extract, not error.
+    # (n, True) frames are the post-visit block separator.
+    stack: list[tuple[dom.Node, bool]] = [(node, False)]
+    while stack:
+        n, post = stack.pop()
+        if post:
+            parts.append("\n")
+            continue
         if n.is_text:
             parts.append(n.text)
             parts.append(" ")
             if n.text.strip() and n.start >= 0 and n.end > n.start:
                 spans.append((n.start, n.end))
-            return
-        block = n.tag in BLOCK_TAGS
-        if block:
+            continue
+        if n.tag in BLOCK_TAGS:
             parts.append("\n")
-        for kid in n.children:
-            walk(kid)
-        if block:
-            parts.append("\n")
-
-    walk(node)
+            stack.append((n, True))
+        for kid in reversed(n.children):
+            stack.append((kid, False))
     return fix_ws("".join(parts)), spans
 
 

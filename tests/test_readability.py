@@ -134,3 +134,26 @@ def test_extract_full_document_shape():  # head rebuild, extract.py:115-130
     _, html = extract(BOILERPLATE_PAGE)
     assert '<meta charset="utf-8">' in html
     assert "name=\"http-equiv\"" in html
+
+
+def test_deeply_nested_inline_markup_extracts_without_recursion():
+    """Adversarial web pages nest thousands of inline tags inside the
+    article body; every tree walk (spans, serialization) must be
+    iterative — the row extracts instead of burning its error budget."""
+    import sys
+
+    inner = "<span>" * 5000 + "word " * 30 + "</span>" * 5000
+    page = (
+        '<html><body><div id="c"><p>intro paragraph with words, commas, '
+        "and length enough to win the scorer</p><p>" + inner + "</p></div></body></html>"
+    )
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(1000)
+    try:
+        res = extract_turn(page)
+    finally:
+        sys.setrecursionlimit(old)
+    assert res.error is None
+    assert "word word" in res.text
+    assert res.spans
+    assert "<span>" in res.html
