@@ -542,6 +542,38 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_stream_windowed(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation (append mode):
+    a window emits exactly once, only after the watermark passes its end
+    — the oracle reproduces the cutoff in batch SQL (24 one-minute-apart
+    turns per conv, 10-minute windows, 1-minute delay ⇒ windows 0 and 1
+    closed, window 2 held in state for the next incremental run)."""
+    import tempfile
+
+    from artexin_spark.streaming import windowed_turn_counts
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    tr = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("turn_idx"),
+        F.col("text"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,turn_idx,0)"
+        ).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="artexin_windowed_")
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    tr.write.mode("overwrite").parquet(inp)
+    windowed_turn_counts(spark, inp, outp, ckpt, window="10 minutes", delay="1 minutes")
+    return spark.read.parquet(outp)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded-hamming simhash dedup (pigeonhole candidate join + exact
     hamming verify) over the same ground-truth near-dup corpus."""
@@ -866,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders": q_returned_orders,
         "never_returned": q_never_returned,
         "stream_extract": q_stream_extract,
+        "stream_windowed": q_stream_windowed,
         "asset_resolution": q_asset_resolution,
         "multimodal_decode": q_multimodal_decode,
         "pdf_extract": q_pdf_extract,
@@ -1379,6 +1412,21 @@ SELECT d.doc_id,
        coalesce(c.cluster_id, d.doc_id) AS cluster_id,
        coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate
 FROM d LEFT JOIN comp c USING (doc_id)
+"""
+
+# watermark cutoff reproduced in batch: max event time = base+23min,
+# delay 1min -> watermark base+22min -> only windows ending <= that emit
+# (turn_idx 0..19); window 2 stays in streaming state
+_ORACLES["stream_windowed"] = """
+WITH w AS (SELECT doc_id, g.i // 10 AS win, length(text) AS lc
+           FROM documents, generate_series(0, 23) g(i)
+           WHERE doc_id < 200 AND g.i < 20)
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       TIMESTAMP '2026-01-01 00:00:00' + to_minutes(win * 10) AS window_start,
+       TIMESTAMP '2026-01-01 00:00:00' + to_minutes(win * 10 + 10) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(lc) AS BIGINT) AS n_chars
+FROM w GROUP BY doc_id, win
 """
 
 _ORACLES["simhash_pairs"] = f"""

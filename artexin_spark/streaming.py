@@ -148,3 +148,62 @@ def read_conversation_progress(spark: SparkSession, output_dir: str):
         )
         .select("conv_id", "s.*")
     )
+
+
+WINDOWED_OUT = (
+    "conv_id string, window_start timestamp, window_end timestamp, "
+    "n_turns long, n_chars long"
+)
+
+
+def windowed_turn_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    delay: str = "1 minutes",
+    schema: str = TRANSCRIPT_SCHEMA,
+):
+    """Watermarked tumbling-window aggregation over the transcript stream:
+    turns and payload chars per (conv_id, event-time window), tolerating
+    late rows up to ``delay``.
+
+    Append mode emits a window only once the watermark (max event time −
+    delay) passes its end — the exactly-once semantics a 10^12-turn
+    ingest needs so downstream consumers never see a partial window.
+    ``availableNow`` drains pending files; the terminal no-data micro-batch
+    advances the watermark so every closed window flushes before exit.
+    Windows still open at the final watermark stay buffered in the
+    checkpoint and emit on the next incremental run — deterministic,
+    and exactly what the oracle reproduces with a batch cutoff."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_turns",
+            "n_chars",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -90,3 +90,38 @@ def test_conversation_progress_state_survives_restart(spark, tmp_path):
     assert r2["conv-a"]["turns_seen"] == 5  # state resumed, not reset
     assert r2["conv-a"]["max_turn_idx"] == 4
     assert r2["conv-a"]["chars_seen"] == sum(10 + i for i in range(5))
+
+
+def test_windowed_counts_emit_once_and_late_window_flushes_next_run(spark, tmp_path):
+    """Append-mode watermark contract: a window emits exactly once, only
+    after the watermark passes its end; the held-back window stays in the
+    checkpoint state and flushes on the NEXT incremental run when later
+    events advance the watermark."""
+    from artexin_spark.streaming import windowed_turn_counts
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base_rows = [("c1", i, "user", "xy", None) for i in range(24)]
+    df = spark.createDataFrame(
+        base_rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn(
+        "ts",
+        F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,turn_idx,0)"),
+    )
+    df.write.parquet(inp)
+    windowed_turn_counts(spark, inp, outp, ckpt, window="10 minutes", delay="1 minutes")
+    first = {r["window_start"].minute: r["n_turns"] for r in spark.read.parquet(outp).collect()}
+    assert first == {0: 10, 10: 10}  # window [20,30) held (watermark 00:22)
+
+    late = [("c1", i, "user", "xy", None) for i in range(24, 36)]
+    df2 = spark.createDataFrame(
+        late, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn(
+        "ts",
+        F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,turn_idx,0)"),
+    )
+    df2.write.mode("append").parquet(inp)
+    windowed_turn_counts(spark, inp, outp, ckpt, window="10 minutes", delay="1 minutes")
+    second = {r["window_start"].minute: r["n_turns"] for r in spark.read.parquet(outp).collect()}
+    # window [20,30) flushed exactly once with BOTH runs' rows (20..23 + 24..29);
+    # [30,40) now held; nothing re-emitted
+    assert second == {0: 10, 10: 10, 20: 10}
