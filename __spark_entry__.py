@@ -280,6 +280,29 @@ def q_contamination(spark, sf_dir):
     return dd.contamination(docs, eval_df, n=3, min_overlap=2)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails → [EMAIL], IPv4 → [IP], phone-ish digit runs
+    → [PHONE]) with per-kind hit counts; PII planted deterministically so
+    the oracle replays the exact replaces. Patterns live in the
+    Java-regex ∩ RE2 subset — cross-engine identical."""
+    from artexin_spark.operators import redact as rd
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 415 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return rd.redact_pii(planted)
+
+
 def q_curate(spark, sf_dir):
     """The composed curation recipe (quality gate + language filter +
     exact-dup keep-first + decontamination) in one scale-first plan:
@@ -872,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "contamination": q_contamination,
         "curate": q_curate,
+        "redact_pii": q_redact_pii,
         "dedup_first": q_dedup_first,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1019,6 +1043,25 @@ _SQL_IDBUCKET = (
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
     " % 1000000"
 )
+
+_ORACLES["redact_pii"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 call +1 415 555 01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+  FROM documents),
+s1 AS (SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+       FROM planted),
+s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2 FROM s1)
+SELECT doc_id,
+  regexp_replace(t2, '\+?\d[\d ()-]{7,}\d', '[PHONE]', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '\+?\d[\d ()-]{7,}\d')) AS INT) AS n_phones
+FROM s2
+"""
 
 _ORACLES["hash_sample"] = f"""
 SELECT doc_id FROM documents WHERE {_SQL_IDBUCKET} < 200000

@@ -1,0 +1,54 @@
+"""PII redaction — the scrubbing pass training-data pipelines run after
+extraction and before tokenization.
+
+All patterns live in the common subset of Java regex (Spark) and RE2
+(DuckDB) — no lookbehind, no backrefs — so redaction is exactly
+oracle-checkable cross-engine. Everything is a native regexp_replace /
+regexp_count projection: zero Python, zero shuffles, filter-pushdown
+friendly.
+
+Scale note (100 TB): this is a pure map stage; at 10^12 rows the only
+cost is the regex scan itself, fused into whole-stage codegen with the
+rest of the projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Ordered: emails first (their local part may look digit-heavy), then
+# IPv4, then phone-ish digit runs on what remains.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d ()-]{7,}\d"
+
+EMAIL_TOKEN = "[EMAIL]"
+IP_TOKEN = "[IP]"
+PHONE_TOKEN = "[PHONE]"
+
+
+def redact_expr(text_col: str = "text"):
+    """The scrubbed text as one column expression (ordered replaces)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, EMAIL_RE, EMAIL_TOKEN)
+    c = F.regexp_replace(c, IPV4_RE, IP_TOKEN)
+    c = F.regexp_replace(c, PHONE_RE, PHONE_TOKEN)
+    return c
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean_text, n_emails, n_ips, n_phones): scrubbed text plus
+    per-kind hit counts (counted on the pre-redaction text, in the same
+    order the replaces run so counts equal replacements made)."""
+    text = F.col(text_col)
+    after_email = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
+    return df.select(
+        F.col(id_col),
+        redact_expr(text_col).alias("clean_text"),
+        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
+    )

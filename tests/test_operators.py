@@ -318,3 +318,23 @@ def test_curate_composes_all_gates(spark, docs):
     # decontamination: eval members overlap themselves, so none survive
     assert not set(out.doc_id) & {r["doc_id"] for r in eval_df.select("doc_id").collect()}
     assert 0 < len(out) < docs.count()
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from artexin_spark.operators import redact as rd
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io and b@y.org, ip 192.168.1.1, call +1 415 555 0100 now"),
+            (2, "clean text with no identifiers at all"),
+            (3, "version 1.2.3.4 of the tool"),  # ipv4-shaped → masked (recall over precision)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rd.redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 1 and out[1]["n_phones"] == 1
+    t = out[1]["clean_text"]
+    assert "[EMAIL]" in t and "[IP]" in t and "[PHONE]" in t
+    assert "@" not in t and "192.168" not in t and "555" not in t
+    assert out[2]["clean_text"].startswith("clean text") and out[2]["n_emails"] == 0
+    assert out[3]["n_ips"] == 1
