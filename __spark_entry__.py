@@ -280,6 +280,12 @@ def q_contamination(spark, sf_dir):
     return dd.contamination(docs, eval_df, n=3, min_overlap=2)
 
 
+def q_repetition(spark, sf_dir):
+    """Repetition quality signal: duplicated 5-gram fraction per doc (the
+    Gopher rule that catches template spam and decoder loops)."""
+    return ts.repetition_stats(_docs(spark, sf_dir), n=5)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing (emails → [EMAIL], IPv4 → [IP], phone-ish digit runs
     → [PHONE]) with per-kind hit counts; PII planted deterministically so
@@ -896,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "curate": q_curate,
         "redact_pii": q_redact_pii,
+        "repetition": q_repetition,
         "dedup_first": q_dedup_first,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1043,6 +1050,23 @@ _SQL_IDBUCKET = (
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
     " % 1000000"
 )
+
+_ORACLES["repetition"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+        (CASE WHEN len(toks) >= 5
+          THEN list_transform(generate_series(1, len(toks) - 4),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+          ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       round(CASE WHEN len(grams) > 0
+             THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_gram_frac
+FROM g
+"""
 
 _ORACLES["redact_pii"] = r"""
 WITH planted AS (

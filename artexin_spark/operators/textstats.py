@@ -225,3 +225,31 @@ def curate(
         .join(bad, id_col, "left_anti")
         .select(id_col, "quality", "pred_lang")
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of duplicated word
+    n-grams per document (template spam and decoder loops score high).
+    Native array expressions — one projection, no shuffle; round(6) keeps
+    the ratio exactly oracle-comparable."""
+    from .dedup import shingles_from, tokens_col
+
+    grams = F.col("_grams")
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        df.withColumn("_toks", tokens_col(text_col))
+        .withColumn("_grams", shingles_from("_toks", n))
+        .select(
+            F.col(id_col),
+            total.alias("n_grams"),
+            F.round(
+                F.when(total > 0, 1.0 - distinct / total.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_gram_frac"),
+        )
+    )

@@ -338,3 +338,18 @@ def test_redact_pii_masks_and_counts(spark):
     assert "@" not in t and "192.168" not in t and "555" not in t
     assert out[2]["clean_text"].startswith("clean text") and out[2]["n_emails"] == 0
     assert out[3]["n_ips"] == 1
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "every word here is different from all the other ones present"),
+            (3, "ab"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(df, n=5).collect()}
+    assert out[1]["dup_gram_frac"] > 0.8  # one distinct 5-gram repeated
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["n_grams"] == 1 and out[3]["dup_gram_frac"] == 0.0
