@@ -77,3 +77,25 @@ def completed_buckets(spark: SparkSession, sink: str) -> DataFrame | None:
         F.max_by("status", "finished_at").alias("status")
     )
     return latest.filter(F.col("status") == "ok").select("part_key")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Bucketed + sorted data-source table (no Hive needed): two tables
+    bucketed on the same key join with ZERO Exchange — the co-located
+    join the 100 TB dedup/similarity passes need so the wide corpus
+    never reshuffles. Iceberg analogue: write-distribution + sort order
+    on the same key (same seam as the rest of this module)."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -120,3 +120,33 @@ def test_curate_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the join key ⇒ the
+    SortMergeJoin consumes bucket layout directly — zero Exchange. This
+    is the layout the 100 TB dedup/similarity joins rely on."""
+    from pyspark.sql import functions as F
+
+    from artexin_spark.storage import write_bucketed_table
+
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    emb = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("w")
+    )
+    for name, df in (("t_docs_gate", docs), ("t_emb_gate", emb)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(df, name, str(tmp_path / name), "doc_id", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_docs_gate").join(spark.table("t_emb_gate"), "doc_id")
+        plan = _plan(j)
+        assert "Exchange (" not in plan and plan.count("Exchange") == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        assert j.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in ("t_docs_gate", "t_emb_gate"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
