@@ -280,6 +280,27 @@ def q_contamination(spark, sf_dir):
     return dd.contamination(docs, eval_df, n=3, min_overlap=2)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: every click matched to the user's latest prior-or-equal
+    view (union + one window sort — no range-join pair explosion); the
+    oracle is DuckDB's NATIVE ASOF JOIN, so semantics are pinned against
+    an independent implementation, not our own formulation."""
+    from artexin_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, on="ts", by=("user_id",), values=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("click_value"),
+        F.round("value_r", 6).alias("last_view_value"),
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Repetition quality signal: duplicated 5-gram fraction per doc (the
     Gopher rule that catches template spam and decoder loops)."""
@@ -903,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
+        "asof_join": q_asof_join,
         "dedup_first": q_dedup_first,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1050,6 +1072,15 @@ _SQL_IDBUCKET = (
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
     " % 1000000"
 )
+
+_ORACLES["asof_join"] = """
+SELECT l.event_id, l.user_id,
+       round(l.value, 6) AS click_value,
+       round(r.value, 6) AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
 
 _ORACLES["repetition"] = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

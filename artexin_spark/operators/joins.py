@@ -1,0 +1,63 @@
+"""Temporal join operators.
+
+as-of join: each left row picks the single latest right row with
+right.ts <= left.ts within its key — "join every turn/event to the most
+recent snapshot". Spark has no native ASOF; a naive range join explodes
+quadratically per key. This formulation is the scale-correct
+composition of existing operators (SURVEY.md §2 custom-operator rule
+(a)): union the tagged sides, ONE window sort per key, carry the right
+side's values forward with last(ignorenulls), keep left rows. Cost is
+one shuffle + sort of |L|+|R| narrow rows — no pair blow-up at any key
+cardinality. DuckDB's native ASOF JOIN is the exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    values: tuple[str, ...] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: left rows + ``values`` columns from the latest
+    right row with right[on] <= left[on], matched within ``by`` keys;
+    null when no prior right row exists. Ties on ``on`` match (<= is
+    inclusive: the right row sorts before the left row at equal time)."""
+    by = list(by)
+    values = list(values)
+    lcols = left.columns
+    out_vals = [v + suffix for v in values]
+    l_side = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(ov)
+            for v, ov in zip(values, out_vals)
+        ],
+    )
+    keep = set(by + [on])
+    r_side = right.select(
+        *[
+            (F.col(c) if c in keep else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(ov) for v, ov in zip(values, out_vals)],
+    )
+    u = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *lcols,
+        "_side",
+        *[F.last(ov, ignorenulls=True).over(w).alias(ov) for ov in out_vals],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

@@ -353,3 +353,25 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out[1]["dup_gram_frac"] > 0.8  # one distinct 5-gram repeated
     assert out[2]["dup_gram_frac"] == 0.0
     assert out[3]["n_grams"] == 1 and out[3]["dup_gram_frac"] == 0.0
+
+
+def test_asof_join_edges(spark):
+    from datetime import datetime
+
+    from artexin_spark.operators.joins import asof_join
+
+    T = lambda m: datetime(2026, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, "u", T(5)), (2, "u", T(10)), (3, "u", T(1)), (4, "v", T(5))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T(5), 50.0), ("u", T(8), 80.0), ("v", T(6), 60.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r["value_r"] for r in asof_join(
+        left, right, on="ts", by=("user_id",), values=("value",)).collect()}
+    assert out[1] == 50.0   # tie: right row at the same ts matches (<=)
+    assert out[2] == 80.0   # latest prior wins
+    assert out[3] is None   # no prior right row
+    assert out[4] is None   # key isolation: v's view is later than v's click
