@@ -301,6 +301,29 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join via bucket-equi-join + exact filter
+    (never a cross product): events against deterministic 45-minute
+    maintenance windows every 2 hours. Oracle is the plain SQL range
+    predicate join."""
+    from artexin_spark.operators.joins import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts"
+    )
+    win = spark.range(0, 48).select(
+        F.col("id").alias("interval_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id*2,0,0)"
+        ).alias("start"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id*2,45,0)"
+        ).alias("end"),
+    )
+    out = range_join(ev, win, ts_col="ts", start_col="start", end_col="end")
+    return out.select("event_id", "interval_id")
+
+
 def q_repetition(spark, sf_dir):
     """Repetition quality signal: duplicated 5-gram fraction per doc (the
     Gopher rule that catches template spam and decoder loops)."""
@@ -925,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dedup_first": q_dedup_first,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1080,6 +1104,16 @@ SELECT l.event_id, l.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+_ORACLES["range_join"] = """
+WITH win AS (
+  SELECT i AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(i * 2) AS s,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(i * 2) + to_minutes(45) AS e
+  FROM generate_series(0, 47) g(i))
+SELECT ev.event_id, win.interval_id
+FROM events ev JOIN win ON ev.ts >= win.s AND ev.ts < win.e
 """
 
 _ORACLES["repetition"] = f"""

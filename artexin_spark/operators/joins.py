@@ -61,3 +61,40 @@ def asof_join(
         *[F.last(ov, ignorenulls=True).over(w).alias(ov) for ov in out_vals],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (start <= ts < end) without the cross
+    product Spark's planner would otherwise use for a pure range
+    predicate: both sides bin to ``bucket_seconds`` buckets — intervals
+    explode into every bucket they cover — then an EQUI-join on the
+    bucket id feeds the exact range filter. Cost: |P| + |I|·(width/
+    bucket) rows through one hash join; pick bucket_seconds near the
+    typical interval width. Returns every (point, interval) containment
+    pair with all columns from both sides."""
+    # NTZ-safe epoch: cast through timestamp (session tz is UTC everywhere
+    # in this engine) before the long cast
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    p = points.withColumn("_b", F.floor(_epoch(ts_col) / bucket_seconds))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_col) / bucket_seconds),
+                F.floor(_epoch(end_col) / bucket_seconds),
+            )
+        ),
+    )
+    joined = p.join(i, "_b").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_b")

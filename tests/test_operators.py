@@ -375,3 +375,28 @@ def test_asof_join_edges(spark):
     assert out[2] == 80.0   # latest prior wins
     assert out[3] is None   # no prior right row
     assert out[4] is None   # key isolation: v's view is later than v's click
+
+
+def test_range_join_containment_and_no_cross_product(spark):
+    from datetime import datetime
+
+    from artexin_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0, 30)), (2, datetime(2026, 1, 1, 2, 0)),
+         (3, datetime(2026, 1, 1, 0, 59, 59)), (4, datetime(2026, 1, 1, 1, 0))],
+        "event_id long, ts timestamp",
+    )
+    win = spark.createDataFrame(
+        [(10, datetime(2026, 1, 1, 0, 0), datetime(2026, 1, 1, 1, 0)),
+         (11, datetime(2026, 1, 1, 0, 45), datetime(2026, 1, 1, 1, 30))],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    out = sorted((r["event_id"], r["interval_id"]) for r in
+                 range_join(pts, win, bucket_seconds=1800).collect())
+    # 1 in [0,1h); 3 in both ([0,1h) and [0:45,1:30)); 4 only in the second
+    # (end exclusive); 2 in none
+    assert out == [(1, 10), (3, 10), (3, 11), (4, 11)]
+    plan = range_join(pts, win)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
