@@ -25,10 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 100 turns/doc → 500k turns at sf0.1: long enough that the headline
-# turns/sec is steady-state (at 16 turns/doc fixed stage overhead still
-# eats ~50% of the extraction wall and understates throughput 2×)
-TURNS_PER_DOC = int(os.environ.get("BENCH_TURNS_PER_DOC", "100"))
+# 200 turns/doc → 1M turns at sf0.1: big enough that per-job fixed costs
+# (gen, Arrow setup, scheduling ≈ 1-2 s) stop shaving the headline — at
+# 500k turns they understate steady-state throughput ~10%, at 16
+# turns/doc ~2×. The target regime is 10^12 turns, where they are zero.
+TURNS_PER_DOC = int(os.environ.get("BENCH_TURNS_PER_DOC", "200"))
 
 
 def build_transcripts(spark, sf_dir: str, turns_per_doc: int):
