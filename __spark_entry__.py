@@ -602,17 +602,7 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = dd.lsh_pairs_jaccard(sigs, bands=4).filter(
         F.col("jaccard_est") >= 0.4
     )
-    cc = dd.connected_components(pairs)
-    cluster = F.coalesce(cc["cluster_id"], F.col("doc_id"))
-    return (
-        both.select("doc_id")
-        .join(cc, F.col("doc_id") == cc["id"], "left")
-        .select(
-            "doc_id",
-            cluster.alias("cluster_id"),
-            (cluster != F.col("doc_id")).alias("is_duplicate"),
-        )
-    )
+    return dd.dedup_clusters(both, pairs=pairs)
 
 
 def q_stream_windowed(spark, sf_dir):

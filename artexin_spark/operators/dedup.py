@@ -315,13 +315,16 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # convergence via a 0/1 changed flag (a label changes iff a
+        # neighbor carries a smaller one) — never sum raw ids, which
+        # overflows BIGINT under ANSI mode at snowflake-scale ids
         labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -329,14 +332,24 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = labels.drop("_chg")
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge in %d rounds — a "
+            "component's diameter exceeds max_iter; raise max_iter or "
+            "switch to large-star/small-star contraction" % max_iter
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
@@ -348,12 +361,18 @@ def dedup_clusters(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.7,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster_id, is_duplicate) for EVERY input doc: full transitive
     near-dup clustering (MinHash-LSH pairs → connected components).
     Singletons cluster with themselves; the cluster representative
-    (min id) has is_duplicate = false — drop the rest to dedup."""
-    pairs = minhash_dedup(df, text_col, id_col, k, n, bands, threshold)
+    (min id) has is_duplicate = false — drop the rest to dedup.
+
+    ``pairs`` overrides the MinHash-LSH pair generation with a
+    precomputed near-dup pair frame (id_a, id_b) — any pairing strategy
+    (simhash, embedding cosine, exact) shares this labeling tail."""
+    if pairs is None:
+        pairs = minhash_dedup(df, text_col, id_col, k, n, bands, threshold)
     cc = connected_components(pairs)
     out = df.select(F.col(id_col)).join(
         cc, F.col(id_col) == cc["id"], "left"

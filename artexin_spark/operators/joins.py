@@ -32,13 +32,17 @@ def asof_join(
     values = list(values)
     lcols = left.columns
     out_vals = [v + suffix for v in values]
+    # the right row rides as ONE struct: last(ignorenulls) then selects the
+    # latest right ROW atomically — a NULL field inside the true as-of match
+    # must be returned as NULL, never skipped in favor of a staler row, and
+    # multiple values columns must never mix across rows (ASOF semantics,
+    # pinned against DuckDB's native ASOF JOIN)
+    r_struct = F.struct(*[F.col(v).alias(v) for v in values])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_side = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[v].dataType).alias(ov)
-            for v, ov in zip(values, out_vals)
-        ],
+        F.lit(None).cast(r_type).alias("_r"),
     )
     keep = set(by + [on])
     r_side = right.select(
@@ -47,7 +51,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(v).alias(ov) for v, ov in zip(values, out_vals)],
+        r_struct.alias("_r"),
     )
     u = l_side.unionByName(r_side)
     w = (
@@ -58,9 +62,12 @@ def asof_join(
     filled = u.select(
         *lcols,
         "_side",
-        *[F.last(ov, ignorenulls=True).over(w).alias(ov) for ov in out_vals],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_r").getField(v).alias(ov) for v, ov in zip(values, out_vals)],
+    )
 
 
 def range_join(
@@ -78,7 +85,16 @@ def range_join(
     bucket id feeds the exact range filter. Cost: |P| + |I|·(width/
     bucket) rows through one hash join; pick bucket_seconds near the
     typical interval width. Returns every (point, interval) containment
-    pair with all columns from both sides."""
+    pair with all columns from both sides; column names must be disjoint
+    (a shared name would make the range predicate ambiguous — rename
+    before joining; checked up front with a clear error)."""
+    overlap = sorted(set(points.columns) & set(intervals.columns))
+    if overlap:
+        raise ValueError(
+            "range_join requires disjoint column names; shared: %s "
+            "(rename one side before joining)" % ", ".join(overlap)
+        )
+
     # NTZ-safe epoch: cast through timestamp (session tz is UTC everywhere
     # in this engine) before the long cast
     def _epoch(c):

@@ -45,9 +45,11 @@ def redact_pii(
     text = F.col(text_col)
     after_email = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
     after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
+    # clean_text extends the SAME chain the counts use — each regex scans
+    # the row once, not twice (don't rely on Catalyst CSE inside a select)
     return df.select(
         F.col(id_col),
-        redact_expr(text_col).alias("clean_text"),
+        F.regexp_replace(after_ip, PHONE_RE, PHONE_TOKEN).alias("clean_text"),
         F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
         F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),

@@ -16,10 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# md5 → int in [0, 2^60): same derivation as dedup.minhash (15 hex chars
-# keeps conv() exact in both engines; 16 would overflow DuckDB's BIGINT
-# cast path at the sign bit)
-_HASH_SPACE = 1 << 60
+# 15 hex md5 chars (not 16): keeps the conv()/CAST path exact in both
+# Spark and DuckDB (16 would hit the BIGINT sign bit)
 
 
 def hash_bucket(col, buckets: int):
@@ -34,7 +32,7 @@ def hash_bucket(col, buckets: int):
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows by id hash.
     Rerunning (anywhere, any engine) selects the same rows."""
-    return df.filter(hash_bucket(id_col, 1_000_000) < int(rate * 1_000_000))
+    return df.filter(hash_bucket(id_col, 1_000_000) < round(rate * 1_000_000))
 
 
 def hash_split(
@@ -56,7 +54,9 @@ def hash_split(
     items = list(weights.items())
     for name, w in items[:-1]:
         cum += w
-        cond = bucket < int(cum * 1_000_000)
+        # round, not int(): 0.3+0.3 floats to 0.5999999999999999, and a
+        # truncated cutoff would disagree with any independent reimplementation
+        cond = bucket < round(cum * 1_000_000)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))

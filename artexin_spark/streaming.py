@@ -150,12 +150,6 @@ def read_conversation_progress(spark: SparkSession, output_dir: str):
     )
 
 
-WINDOWED_OUT = (
-    "conv_id string, window_start timestamp, window_end timestamp, "
-    "n_turns long, n_chars long"
-)
-
-
 def windowed_turn_counts(
     spark: SparkSession,
     input_dir: str,

@@ -400,3 +400,56 @@ def test_range_join_containment_and_no_cross_product(spark):
     plan = range_join(pts, win)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_null_value_in_true_match_is_returned(spark):
+    """ASOF parity: a NULL field inside the latest right row must come
+    back as NULL — never skipped in favor of a staler row — and multiple
+    values columns must never mix across right rows."""
+    from datetime import datetime
+
+    from artexin_spark.operators.joins import asof_join
+
+    T = lambda m: datetime(2026, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, "u", T(3))], "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", T(1), 7.0, 5.0), ("u", T(2), None, 8.0)],
+        "user_id string, ts timestamp, a double, b double",
+    )
+    row = asof_join(left, right, on="ts", by=("user_id",), values=("a", "b")).collect()[0]
+    assert row["a_r"] is None and row["b_r"] == 8.0  # the ts=2 ROW, atomically
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_hash_split_cutoffs_round_not_truncate(spark, docs):
+    from artexin_spark.operators import sampling as sp
+    from artexin_spark.operators.sampling import hash_bucket
+
+    w = {"a": 0.3, "b": 0.3, "c": 0.4}
+    got = {r["doc_id"]: r["split"] for r in sp.hash_split(docs, w).collect()}
+    buckets = {r["doc_id"]: r["b"] for r in docs.select(
+        "doc_id", hash_bucket("doc_id", 1_000_000).alias("b")).collect()}
+    for did, b in buckets.items():
+        want = "a" if b < 300000 else ("b" if b < 600000 else "c")
+        assert got[did] == want, (did, b, got[did])
+
+
+def test_range_join_rejects_shared_column_names(spark):
+    from datetime import datetime
+
+    from artexin_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(1, datetime(2026, 1, 1))], "event_id long, ts timestamp")
+    win = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), datetime(2026, 1, 2))],
+        "event_id long, start timestamp, end timestamp",
+    )
+    with pytest.raises(ValueError, match="disjoint column names.*event_id"):
+        range_join(pts, win)
