@@ -366,7 +366,11 @@ class _Parser(HTMLParser):
         self._flush_text(self._abs())
 
     def finish(self) -> Document:
-        self.close()
+        try:
+            self.close()
+        except Exception:
+            # e.g. unknown marked-section keyword: keep the tree built so far
+            pass
         self._flush_text(len(self.source))
         for node in self.stack[1:]:
             node.end = len(self.source)
@@ -397,6 +401,7 @@ _TAGFIND = _hp.tagfind_tolerant
 _ATTRFIND = _hp.attrfind_tolerant
 _ENDTAGFIND = _hp.endtagfind
 _ENDGT = _hp.endendtag
+_COMMENTCLOSE = _hp.commentclose  # '--\\s*>' — NOT a literal '-->'!
 
 # after a start tag's attr scan, these next-chars mean "incomplete tag"
 # (html.parser.check_for_whole_start_tag's buffer-boundary set)
@@ -425,8 +430,8 @@ _STRICT = re.compile(
     r"((?:\s+[a-zA-Z_:][a-zA-Z0-9_:.-]*=\"[^\"<>]*\")*)"      # 3 attrs
     r"\s*(/?)>"                                               # 4 self-close
     r"|</([a-zA-Z][a-zA-Z0-9]*)\s*>"                          # 5 end tag
-    r"|(<!--.*?-->)"                                          # 6 comment
-    r"|(<!(?!--)[^>]*>|<\?[^>]*>)",                           # 7 decl / pi
+    r"|(<!--.*?--\s*>)"                                       # 6 comment
+    r"|(<!(?!--)[^\['\">]*>|<\?[^>]*>)",                    # 7 decl / pi
     re.S,
 )
 _ATTR_STRICT = re.compile(r'([a-zA-Z_:][a-zA-Z0-9_:.-]*)="([^"<>]*)"')
@@ -688,14 +693,23 @@ def _fast_parse(source: str) -> Document:
             g2 = find(">", nm.end())
             pos = (g2 + 1) if g2 >= 0 else n
         elif startswith("<!--", lt):  # ---- comment ----
-            ce = find("-->", lt + 4)
-            if ce < 0:
+            cm = _COMMENTCLOSE.search(source, lt + 4)
+            if not cm:
                 pos = recover(lt)
                 continue
             flush_at(lt)
-            pos = ce + 3
+            pos = cm.end()
         elif c == "?" or c == "!":  # ---- pi / declaration ----
             g = find(">", lt + 2)
+            seg = source[lt : g if g > 0 else n]
+            if c == "!" and ("[" in seg or '"' in seg or "'" in seg):
+                # marked section (<![CDATA[..]]> / <![if..]>), doctype
+                # internal subset, or quoted declaration literal: stdlib's
+                # markupbase scans these specially (]]> / ]> closes,
+                # quote-aware '>' search) and buffers text across marked
+                # sections — rare constructs, so hand the WHOLE document
+                # to the stdlib-backed path instead of replicating it
+                return parse_stdlib(source)
             if g < 0:
                 pos = recover(lt)
                 continue

@@ -128,3 +128,22 @@ def test_fast_matches_stdlib_random_soup():
     for _ in range(1000):
         src = "".join(rng.choices(atoms, k=rng.randint(1, 14)))
         assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src)), repr(src)
+
+
+# markupbase-scanned constructs: marked sections close at ]]> / ]> and do
+# NOT flush buffered text; quoted declaration literals hide '>'; the
+# comment close pattern is '--\\s*>', not a literal '-->'. The fast path
+# hands whole documents containing the bracket/quote forms to the
+# stdlib-backed parser — these cases pin that boundary.
+MARKUPBASE_EDGES = [
+    "<![CDATA[x]]>after", "<![CDATA[a>b]]>after", "a<![CDATA[x]]>b",
+    "<![if x]>y<![endif]>", "<![foo]>x", "<![CDATA[x",
+    "<!DOCTYPE x [<!ENTITY e 'v'>]>z", '<!DOCTYPE x "a>b">z',
+    "<!ENTITY x 'v'>t", "<!---><!--\t>", "<!-- c --\t>x", "<!-- a --  >b",
+    "<!--a--\n>b", "<!-- c -- >x",
+]
+
+
+@pytest.mark.parametrize("src", MARKUPBASE_EDGES, ids=range(len(MARKUPBASE_EDGES)))
+def test_fast_matches_stdlib_on_markupbase_edges(src):
+    assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src))

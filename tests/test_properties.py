@@ -139,6 +139,11 @@ _soup_atoms = st.sampled_from(
         "</>", "<//>", "</ x>", "</x y>", "<script>", "<style>",
         "<b</script>", "</script foo>", "<a/b>", "<a / >", "<a/>",
         "<a=b>", "<em>", "</em>", "'", '"', "=", "/",
+        # markupbase territory: marked sections, ms-conditionals, quoted
+        # declaration literals, whitespace-tolerant comment closes ("--\s*>")
+        "<![CDATA[x]]>", "<![CDATA[a>b]]>", "<![if x]>", "<![endif]>",
+        "<![foo]>", "<!DOCTYPE x [<!y>]>", '<!DOCTYPE x "a>b">',
+        "<!ENTITY e 'v'>", "<!-- c --\t>", "-->", "--\t>", "\x00",
     ]
 )
 
@@ -184,8 +189,11 @@ def test_extract_turn_spans_recover_text_on_entity_free_soup(atoms):
     src = "".join(atoms)
     if "&" in src:  # entities decode into .text; raw spans stay byte-faithful
         return
-    if "</>" in src:  # swallowed construct: stdlib buffers data ACROSS it,
-        return  # so the text node's span legitimately covers the '</>'
+    if "</>" in src or "<![" in src:
+        # swallowed constructs (no handler / unknown_decl fires no flush):
+        # stdlib buffers data ACROSS them, so a text node's span
+        # legitimately covers the '</>' or marked-section bytes
+        return
     res = extract_turn(src, with_html=False)
     if res.error is not None:
         return
