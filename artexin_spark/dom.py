@@ -324,15 +324,23 @@ class _Parser(HTMLParser):
     def handle_data(self, data):
         self._add_text(data)
 
+    def _ref_text(self, prefix_len: int, name: str):
+        # decode the SOURCE-FAITHFUL slice: goahead may or may not have
+        # consumed a ';', and reconstructing "&name;" invents one for
+        # unknown entities ("&d.h" must stay "&d.h", not become "&d.h;").
+        # html.unescape also applies the html5 invalid-charref mapping
+        # (surrogates/out-of-range → U+FFFD) that a raw chr() would miss.
+        pos = self._abs()
+        end = pos + prefix_len + len(name)
+        if self.source[end : end + 1] == ";":
+            end += 1
+        self._add_text(_html.unescape(self.source[pos:end]))
+
     def handle_entityref(self, name):
-        self._add_text(_html.unescape("&%s;" % name))
+        self._ref_text(1, name)
 
     def handle_charref(self, name):
-        try:
-            cp = int(name[1:], 16) if name.startswith(("x", "X")) else int(name)
-            self._add_text(chr(cp))
-        except (ValueError, OverflowError):
-            self._add_text("&#%s;" % name)
+        self._ref_text(2, name)
 
     def handle_starttag(self, tag, attrs):
         self._flush_text(self._abs())
@@ -403,6 +411,31 @@ _ENDTAGFIND = _hp.endtagfind
 _ENDGT = _hp.endendtag
 _COMMENTCLOSE = _hp.commentclose  # '--\\s*>' — NOT a literal '-->'!
 
+# an '&' entity/charref prefix that reaches EOF with NO delimiter is an
+# INCOMPLETE construct to html.parser — it lands as RAW data, undecoded
+# (goahead's incomplete branch). Only the final text run can hit this.
+_AMP_TAIL = re.compile(r"&(?:[a-zA-Z][-.a-zA-Z0-9]*|#[0-9]*|#[xX][0-9a-fA-F]*)?\Z")
+_CHARREF = _hp.charref  # '&#(?:[0-9]+|[xX][0-9a-fA-F]+)[^0-9a-fA-F]'
+
+
+def _amp_hash_bails(source: str, run_start: int, run: str) -> list[int]:
+    """Absolute positions of '&#' occurrences in ``run`` that are NOT
+    valid charrefs — goahead's bail cases. Each goahead PASS consumes at
+    most one (as raw '&#', when a ';' exists later) and then breaks;
+    feed()+close() is exactly two passes. Pass 1 ends at the FIRST of:
+    a bail, or ANY incomplete construct (goahead's ``if not end: break``
+    sites — exactly where our scanner calls recover()). A bail reached
+    once pass 2 has begun (or any bail with no ';' anywhere ahead) dumps
+    the remainder of the document as one raw data chunk, tags included."""
+    out = []
+    rel = run.find("&#")
+    while rel >= 0:
+        a = run_start + rel
+        if _CHARREF.match(source, a) is None:
+            out.append(a)
+        rel = run.find("&#", rel + 2)
+    return out
+
 # after a start tag's attr scan, these next-chars mean "incomplete tag"
 # (html.parser.check_for_whole_start_tag's buffer-boundary set)
 _INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
@@ -441,6 +474,64 @@ def _decode(raw: str) -> str:
     return _html.unescape(raw) if "&" in raw else raw
 
 
+def _decode_final(raw: str) -> tuple[str, int]:
+    """(text, start_shift) for a run that ends at EOF: an unterminated
+    trailing entity/charref prefix stays raw (stdlib incomplete-construct
+    parity), EXCEPT the exactly-two-char "&letter" tail, whose '&'
+    goahead silently drops when the incomplete match covers the whole
+    remaining buffer at end — if that dropped '&' LEADS the run, the
+    surviving data event (and so the node's span) starts one char later."""
+    if "&" not in raw:
+        return raw, 0
+    m = _AMP_TAIL.search(raw)
+    if m and m.group(0):
+        tail = raw[m.start() :]
+        head = _html.unescape(raw[: m.start()])
+        if len(tail) == 2 and tail[1].isascii() and tail[1].isalpha():
+            # shift only when the tail IS the whole run: a raw head that
+            # merely DECODES to '' (e.g. '&#1;') still starts stdlib's
+            # buffer at run start, so the node's span begins there
+            return head + tail[1], (1 if m.start() == 0 else 0)
+        return head + tail, 0
+    return _html.unescape(raw), 0
+
+
+def _decode_run(source, pos, run, in_pass2, final):
+    """Decode one data run with goahead '&#'-bail parity.
+
+    A bail consumed in pass 1 leaves its '&#' RAW and splits the decode
+    around it (unescaping across it would wrongly decode e.g. '&#9' in
+    '&#9b', which goahead rejects — terminator must be a non-HEX digit).
+    Returns ``(text, shift, stalled, in_pass2)``; when ``stalled``,
+    ``text`` covers ``source[pos:]`` — the rest of the document lands as
+    this one raw chunk and the caller must stop scanning. ``shift`` is
+    the span-start adjustment from :func:`_decode_final` (final runs
+    only, and only when the dropped '&' leads the whole run)."""
+    parts = []
+    cur = pos
+    end = pos + len(run)
+    for a in _amp_hash_bails(source, pos, run):
+        if in_pass2 or ";" not in source[a:]:
+            # pass-2 bail (after consuming '&#' when a ';' exists ahead)
+            # or no-';' bail: either way the tail chars stay verbatim
+            parts.append(_decode(source[cur:a]))
+            parts.append(source[a:])
+            return "".join(parts), 0, True, in_pass2
+        in_pass2 = True  # pass-1 bail: '&#' consumed as raw data
+        parts.append(_decode(source[cur:a]))
+        parts.append("&#")
+        cur = a + 2
+    if final:
+        text, shift = _decode_final(source[cur:end])
+        if parts:
+            parts.append(text)
+            # an interior '&'-drop doesn't move the run's span start
+            return "".join(parts), 0, False, in_pass2
+        return text, shift, False, in_pass2
+    parts.append(_decode(source[cur:end]))
+    return "".join(parts), 0, False, in_pass2
+
+
 def _fast_parse(source: str) -> Document:
     doc = Document(source)
     stack = [doc]
@@ -474,10 +565,33 @@ def _fast_parse(source: str) -> Document:
             pending.end = i
             pending = None
 
+    def bridge_empty(start, end):
+        """A data run that DECODES to '' (e.g. '&#xb;' — invalid
+        codepoint → dropped by unescape). stdlib still starts/continues
+        its text buffer at the event, so the buffer's span bridges the
+        run: neighbors merge across it, and an all-empty buffer flushes
+        as an EMPTY text node spanning run-start → flush point."""
+        nonlocal pending
+        top = stack[-1]
+        prev = top.children[-1] if top.children else None
+        if prev is not None and prev.is_text and (prev.end == start or prev is pending):
+            prev.end = end
+            pending = prev
+        else:
+            node = Node(text="", start=start, end=end)
+            node.parent = top
+            top.children.append(node)
+            pending = node
+
     def recover(i):
-        """html.parser's incomplete-construct recovery at EOF: emit raw
-        data up to (and including) the next '>', else up to the next '<',
-        else just the '<' — then resume normal scanning."""
+        """html.parser's incomplete-construct recovery: emit raw data up
+        to (and including) the next '>', else up to the next '<', else
+        just the '<' — then resume normal scanning. Every incomplete
+        construct is an ``if not end: break`` site in goahead, so the
+        first one ends pass 1: any '&#' bail after this point is a
+        pass-2 bail (see _amp_hash_bails)."""
+        nonlocal in_pass2
+        in_pass2 = True
         k = find(">", i + 1)
         if k < 0:
             k = find("<", i + 1)
@@ -504,6 +618,7 @@ def _fast_parse(source: str) -> Document:
 
     strict_match = _STRICT.match
     attr_findall = _ATTR_STRICT.findall
+    in_pass2 = False  # goahead pass tracking: see _amp_hash_bails / recover
 
     while pos < n:
         m = strict_match(source, pos)
@@ -511,7 +626,30 @@ def _fast_parse(source: str) -> Document:
             gi = m.lastindex  # dispatch: 1 text, 4 start, 5 end, 6/7 skip
             if gi == 1:  # text run (maximal, so never self-adjacent)
                 end_ = m.end()
-                emit_text(_decode(m.group(1)), pos, end_)
+                g1 = m.group(1)
+                if "&#" not in g1 and end_ != n:  # the hot path
+                    emit_text(_decode(g1), pos, end_)
+                    pos = end_
+                    continue
+                if "&#" in g1:
+                    text, shift, stalled, in_pass2 = _decode_run(
+                        source, pos, g1, in_pass2, end_ == n
+                    )
+                    if stalled:  # rest of document is ONE raw chunk
+                        emit_text(text, pos, n)
+                        pos = n
+                        continue
+                else:
+                    text, shift = _decode_final(g1)
+                if text:
+                    if shift:  # dropped '&': buffer bridges the gap
+                        top = stack[-1]
+                        prev = top.children[-1] if top.children else None
+                        if prev is not None and prev.is_text and prev.end == pos:
+                            pending = prev
+                    emit_text(text, pos + shift, end_)
+                else:
+                    bridge_empty(pos, end_)
                 pos = end_
                 continue
             if gi == 4:  # well-formed start tag
@@ -564,10 +702,37 @@ def _fast_parse(source: str) -> Document:
         # ---- tolerant slow path (exact stdlib parity), one construct ----
         lt = find("<", pos)
         if lt < 0:
-            emit_text(_decode(source[pos:]), pos, n)
+            text, shift, stalled, in_pass2 = _decode_run(
+                source, pos, source[pos:], in_pass2, True
+            )
+            if stalled:
+                emit_text(text, pos, n)
+                break
+            if text:
+                if shift:  # dropped '&': stdlib's buffer bridges the gap
+                    top = stack[-1]
+                    prev = top.children[-1] if top.children else None
+                    if prev is not None and prev.is_text and prev.end == pos:
+                        pending = prev
+                emit_text(text, pos + shift, n)
+            else:
+                bridge_empty(pos, n)
             break
         if lt > pos:
-            emit_text(_decode(source[pos:lt]), pos, lt)
+            run = source[pos:lt]
+            if "&#" in run:
+                text, _, stalled, in_pass2 = _decode_run(
+                    source, pos, run, in_pass2, False
+                )
+                if stalled:
+                    emit_text(text, pos, n)
+                    break
+            else:
+                text = _decode(run)
+            if text:
+                emit_text(text, pos, lt)
+            else:
+                bridge_empty(pos, lt)
         c = source[lt + 1 : lt + 2]
         if c.isalpha():  # ---- start tag (parse_starttag parity) ----
             lm = _LOCATE_START.match(source, lt)

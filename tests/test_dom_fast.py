@@ -147,3 +147,42 @@ MARKUPBASE_EDGES = [
 @pytest.mark.parametrize("src", MARKUPBASE_EDGES, ids=range(len(MARKUPBASE_EDGES)))
 def test_fast_matches_stdlib_on_markupbase_edges(src):
     assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src))
+
+
+# goahead two-pass '&#'-bail parity: feed()+close() is exactly two
+# scanner passes. Pass 1 ends at the FIRST of a '&#' bail or ANY
+# incomplete construct (not only at a bail — an unterminated '<x' tag
+# counts); a bail reached in pass 2 dumps the rest of the document as
+# one raw chunk. A bail's '&#' must stay raw even when unescape would
+# decode a prefix of it ('&#9b': '9' is a valid charref but the 'b'
+# terminator is a hex digit, which goahead rejects). Empty-DECODING
+# charrefs ('&#xb;' → invalid codepoint → '') still start/extend
+# stdlib's text buffer, bridging spans and flushing empty text nodes.
+CHARREF_BAIL_EDGES = [
+    "text</p>&amp;<!--c--><x&#&#999999999;",  # incomplete tag ends pass 1
+    "<x&#xG&#65;&#9&d.h&amp;&#999999999;",
+    "<text&#;&#xDFFF;&d.h ",
+    "&amp;<texttext&#;&amp&amp",
+    "&#x41;&amp&a<x&#;text&a",
+    "x? \tX?a&#9f=#>/.=?/-/;",  # '&#9b'-class: hex-digit terminator bail
+    "=X&#9b&;>>!\t ='b-b\t>!9\n\"",
+    "9;&#9a >-/aff;x\tX\n.a'f>",
+    "a&#97a;b",
+    "&#&#65;",  # pass-1 bail consumed, then valid charref
+    "&#12&#12;x",  # bail then bail: second is pass-2, rest raw
+    "'? '#=bb\t\n'?xb<&#xb<>9; /;/#!=!'",  # empty charref bridges runs
+    "<p>&#xb;</p>",  # all-empty buffer flushes an EMPTY text node
+    "&#xb;",
+    "&#xb;<p>x</p>",
+    "<p>a</p>&#xb;&#xe;<p>b</p>",
+    "&#1;&a",  # empty head + 2-char '&x' tail: span starts at run start
+    "&#xb&a",
+    "&#xG<b>&#xb;&#xb&a",
+    "x&#1;y",
+    "&#0;",
+]
+
+
+@pytest.mark.parametrize("src", CHARREF_BAIL_EDGES, ids=range(len(CHARREF_BAIL_EDGES)))
+def test_fast_matches_stdlib_on_charref_bails(src):
+    assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src))
