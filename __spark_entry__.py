@@ -330,6 +330,55 @@ def q_repetition(spark, sf_dir):
     return ts.repetition_stats(_docs(spark, sf_dir), n=5)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup: a cookie banner planted on
+    every doc and a footer shared per doc_id%7 group survive only in their
+    first (doc_id, pos) occurrence; body paragraphs are untouched and
+    documents reassemble in original paragraph order."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("Cookie notice: this site uses cookies."),
+            F.col("text"),
+            F.concat(
+                F.lit("Shared footer group "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("All rights reserved.")
+            ).otherwise(
+                F.concat(F.lit("Unique tail "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return dd.paragraph_dedup(planted).orderBy("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling rates (source-mixture
+    re-weighting): keep all of src0, half of src1, a quarter of src2, 10%
+    of everything else — by id hash, so reruns and other engines select
+    identical rows and samples nest as rates grow."""
+    from artexin_spark.operators import sampling as sp
+
+    return sp.stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+def q_group_quota(spark, sf_dir):
+    """Deterministic quota sampling: at most 5 docs per source, chosen by
+    id-hash order — the cap that stops any single crawl from dominating a
+    training mix, rand()-free so membership never drifts."""
+    from artexin_spark.operators import sampling as sp
+
+    return sp.group_quota(_docs(spark, sf_dir), 5).select("doc_id", "source")
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing (emails → [EMAIL], IPv4 → [IP], phone-ish digit runs
     → [PHONE]) with per-kind hit counts; PII planted deterministically so
@@ -933,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "hash_sample": q_hash_sample,
         "hash_split": q_hash_split,
+        "paragraph_dedup": q_paragraph_dedup,
+        "stratified_sample": q_stratified_sample,
+        "group_quota": q_group_quota,
         "contamination": q_contamination,
         "curate": q_curate,
         "redact_pii": q_redact_pii,
@@ -1152,6 +1204,53 @@ SELECT doc_id,
             WHEN {_SQL_IDBUCKET} < 900000 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+_ORACLES["paragraph_dedup"] = """
+WITH planted AS (
+  SELECT doc_id,
+         'Cookie notice: this site uses cookies.' || chr(10) || chr(10) ||
+         text || chr(10) || chr(10) ||
+         'Shared footer group ' || (doc_id % 7) || chr(10) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved.'
+              ELSE 'Unique tail ' || doc_id END AS text
+  FROM documents),
+arr AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a FROM planted),
+p AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(a))) AS pos,
+         unnest(a) AS para
+  FROM arr),
+n AS (
+  SELECT doc_id, pos, para,
+         trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS norm
+  FROM p
+  WHERE trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) <> ''),
+f AS (
+  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM n)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                      chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(count(*) AS BIGINT) AS n_paras
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+_ORACLES["stratified_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_SQL_IDBUCKET} < CASE source
+  WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+  WHEN 'src2' THEN 250000 ELSE 100000 END
+"""
+
+_ORACLES["group_quota"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 5
 """
 
 _ORACLES["contamination"] = f"""

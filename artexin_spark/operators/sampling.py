@@ -61,3 +61,62 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~``rates[stratum]`` of each
+    stratum's rows by id hash (a source-mixture re-weighting pass —
+    down-sample boilerplate-heavy crawls, keep all of the rare high-quality
+    source). Strata not in ``rates`` sample at ``default_rate``.
+
+    Scale notes: still a single projection + filter — no shuffle, no
+    per-group count() pre-scan, pushes down to the scan. Membership is a
+    pure function of (id, stratum rate), so reruns and other engines
+    select identical rows, and raising a stratum's rate strictly grows
+    its sample (nested samples: rate 0.1 ⊂ rate 0.2)."""
+    bucket = hash_bucket(id_col, 1_000_000)
+    cutoff = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(round(r * 1_000_000))
+        cutoff = F.when(cond, lit) if cutoff is None else cutoff.when(cond, lit)
+    cutoff = (
+        F.lit(round(default_rate * 1_000_000))
+        if cutoff is None
+        else cutoff.otherwise(F.lit(round(default_rate * 1_000_000)))
+    )
+    return df.filter(bucket < cutoff)
+
+
+def group_quota(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quota sampling: at most ``n`` rows per stratum,
+    chosen by id-hash order (an unbiased, rerun-stable 'random N per
+    group' — rand()-free). The cap-per-source guard against any single
+    crawl dominating a training mix.
+
+    Scale notes: one shuffle by stratum; the window sort is per-group.
+    For few strata × huge groups, AQE skew handling splits the hot
+    partitions; when n is small relative to group size the sort is the
+    cost — a TopK-per-key (min_by over struct) variant trades exactness
+    of ordering for an agg-only plan, not needed at tested scales."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -453,3 +453,65 @@ def test_range_join_rejects_shared_column_names(spark):
     )
     with pytest.raises(ValueError, match="disjoint column names.*event_id"):
         range_join(pts, win)
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
+    rows = [
+        (1, "alpha body one\n\nShared Banner\n\nunique tail 1"),
+        (2, "Shared Banner\n\nbeta body two\n\nunique tail 2"),
+        (3, "shared  banner\n\nShared Banner"),  # all dups (norm collapses ws/case)
+        (4, "\n\n\n\n"),  # only empty paragraphs -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    # doc 1 is fully first: everything kept, original order
+    assert out[1]["text_dedup"] == "alpha body one\n\nShared Banner\n\nunique tail 1"
+    assert out[1]["n_kept"] == 3 and out[1]["n_paras"] == 3
+    # doc 2 loses the banner (doc 1 owned it) but keeps its own paras in order
+    assert out[2]["text_dedup"] == "beta body two\n\nunique tail 2"
+    assert out[2]["n_kept"] == 2
+    # doc 3: both paragraphs normalize to the banner -> nothing survives
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_paras"] == 2
+    # doc 4 had no non-empty paragraphs at all
+    assert 4 not in out
+
+
+def test_paragraph_dedup_is_deterministic_on_corpus(spark, docs):
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", F.lit("banner"), F.col("text")).alias("text"),
+    )
+    out = dedup.paragraph_dedup(planted).toPandas().sort_values("doc_id")
+    # exactly one doc (min doc_id) kept the banner
+    assert int((out.n_kept == out.n_paras).sum()) >= 1
+    keepers = out[out.text_dedup.str.startswith("banner")]
+    assert len(keepers) == 1 and keepers.doc_id.iloc[0] == out.doc_id.min()
+
+
+def test_stratified_sample_rates_and_nesting(spark, docs):
+    from artexin_spark.operators import sampling as sp
+
+    full_src0 = docs.filter("source = 'src0'").count()
+    out = sp.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.0
+    )
+    pdf = out.groupBy("source").count().toPandas().set_index("source")
+    assert pdf.loc["src0", "count"] == full_src0  # rate 1.0 keeps all
+    assert set(pdf.index) <= {"src0", "src1"}  # default 0 drops the rest
+    # nested: raising a rate only adds rows
+    small = {r["doc_id"] for r in sp.stratified_sample(docs, {"src1": 0.25}).select("doc_id").collect()}
+    big = {r["doc_id"] for r in sp.stratified_sample(docs, {"src1": 0.5}).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_group_quota_caps_each_stratum_deterministically(spark, docs):
+    from artexin_spark.operators import sampling as sp
+
+    out = sp.group_quota(docs, 3)
+    counts = out.groupBy("source").count().toPandas()
+    assert (counts["count"] <= 3).all()
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in sp.group_quota(docs, 3).select("doc_id").collect())
+    assert a == b  # rerun-stable
+    assert out.columns == docs.columns  # helper column dropped

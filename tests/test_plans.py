@@ -150,3 +150,35 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for name in ("t_docs_gate", "t_emb_gate"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_stratified_sample_is_pure_projection(spark):
+    """Per-stratum rates must stay a scan-side filter — no join against a
+    rates table, no shuffle, no count() pre-pass."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_stratified_sample(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_paragraph_dedup_two_shuffles_and_pruned_scan(spark):
+    """Corpus-wide paragraph dedup is exactly two exchanges (window by
+    normalized paragraph, reassembly hash-agg by doc) with a partial
+    collect before the second — paragraphs shuffle once each, never
+    amplified; only (doc_id, text) leave the scan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_paragraph_dedup(spark, SF))
+    # orderBy in the entry query adds a rangepartitioning exchange; count
+    # only the hash exchanges the operator itself owes
+    import re
+
+    hash_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert hash_ex == 2, plan
+    assert "partial_collect_list" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" in m.group(1) and "lang" not in m.group(1), plan
