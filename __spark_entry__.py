@@ -961,6 +961,76 @@ def q_stream_extract(spark, sf_dir):
     )
 
 
+def q_time_travel(spark, sf_dir):
+    """Snapshot-isolated sink (storage.py snapshot layer): run 1 extracts
+    the even-doc half and commits snapshot 1; run 2 extracts everything
+    (replacing the overlapping buckets) and commits snapshot 2. The query
+    reads BOTH snapshots back — time travel — and returns per-snapshot
+    row/char aggregates the oracle derives from the documents table; any
+    leakage of run 2 into snapshot 1 (or dup rows from bucket overlap)
+    breaks the values."""
+    import shutil
+    import tempfile
+
+    from artexin_spark import storage as sink_io
+    from artexin_spark.pipeline import run_extract
+
+    tr = _transcripts_from_docs(spark, sf_dir).filter(F.col("conv_id").cast("int") < 1000)
+    sink = tempfile.mkdtemp(prefix="artexin_tt_")
+    try:
+        even = tr.filter(F.col("conv_id").cast("int") % 2 == 0)
+        run_extract(spark, even, sink, n_buckets=8, source_col=None, snapshot=True)
+        run_extract(spark, tr, sink, n_buckets=8, source_col=None, snapshot=True)
+        parts = []
+        for sid in (1, 2):
+            parts.append(
+                sink_io.read_snapshot(spark, sink, sid).agg(
+                    F.lit(sid).cast("long").alias("snapshot_id"),
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum(F.length("extracted_text")).cast("long").alias("n_chars"),
+                )
+            )
+        out = parts[0].unionByName(parts[1]).orderBy("snapshot_id").collect()
+        return spark.createDataFrame(out)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def q_compaction(spark, sf_dir):
+    """Small-file compaction as a snapshot commit: two runs (half, then
+    full) leave the live table spanning two run directories; compact_
+    snapshot rewrites it into one run at one file per bucket and commits.
+    Returns the compacted table's aggregates plus the manifest's run
+    count — byte-identical data (oracle = documents) in exactly one run."""
+    import shutil
+    import tempfile
+
+    from artexin_spark import storage as sink_io
+    from artexin_spark.pipeline import run_extract
+
+    tr = _transcripts_from_docs(spark, sf_dir).filter(F.col("conv_id").cast("int") < 1000)
+    sink = tempfile.mkdtemp(prefix="artexin_compact_")
+    try:
+        half = tr.filter(F.col("conv_id").cast("int") % 2 == 0)
+        run_extract(spark, half, sink, n_buckets=8, source_col=None, snapshot=True)
+        run_extract(spark, tr, sink, n_buckets=8, source_col=None, snapshot=True)
+        snap_id = sink_io.compact_snapshot(spark, sink, files_per_bucket=1)
+        live = sink_io.read_snapshot(spark, sink, snap_id)
+        n_runs = int(
+            sink_io.list_snapshots(spark, sink)
+            .filter(F.col("snapshot_id") == snap_id)
+            .collect()[0]["n_runs"]
+        )
+        out = live.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.length("extracted_text")).cast("long").alias("n_chars"),
+            F.lit(n_runs).cast("long").alias("n_runs"),
+        ).collect()
+        return spark.createDataFrame(out)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full vectorized
     readability extraction over transcript-shaped HTML payloads."""
@@ -1022,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "pdf_extract": q_pdf_extract,
         "stateful_progress": q_stateful_progress,
+        "time_travel": q_time_travel,
+        "compaction": q_compaction,
     }
 
 
@@ -1786,6 +1858,28 @@ SELECT CAST(doc_id AS VARCHAR) AS conv_id,
        trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
        CAST(NULL AS VARCHAR) AS error
 FROM documents
+"""
+
+
+_ORACLES["time_travel"] = """
+SELECT CAST(1 AS BIGINT) AS snapshot_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
+         AS n_chars
+FROM documents WHERE doc_id < 1000 AND doc_id % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
+FROM documents WHERE doc_id < 1000
+"""
+
+_ORACLES["compaction"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
+         AS n_chars,
+       CAST(1 AS BIGINT) AS n_runs
+FROM documents WHERE doc_id < 1000
 """
 
 

@@ -141,9 +141,14 @@ def run_extract(
     source_col: str | None = "source",
     resume: bool = False,
     run_id: str | None = None,
+    snapshot: bool = False,
 ) -> dict:
     """Full job: extract ``df`` into ``sink`` with lineage; with
-    ``resume=True`` skip buckets whose latest lineage row is ok.
+    ``resume=True`` skip buckets whose latest lineage row is ok. With
+    ``snapshot=True`` the write is an immutable per-run directory
+    published by a manifest commit (storage.py snapshot layer): readers
+    of earlier snapshots are isolated, a crashed run is invisible, and
+    the result dict gains ``snapshot_id``.
 
     Returns run counters {run_id, buckets, rows, errors}.
     """
@@ -164,11 +169,16 @@ def run_extract(
     # per-row batch_ms / n_chars_in columns ride along in the sink — a few
     # bytes/row buying measured (not guessed) per-bucket skew evidence.
     done_before = sink_io.completed_buckets(spark, sink) if resume else None
-    sink_io.write_data(out.drop("source"), sink)
-
-    written = sink_io.read_data(spark, sink)
-    if done_before is not None:
-        written = written.join(F.broadcast(done_before), "part_key", "left_anti")
+    snap_id = None
+    if snapshot:
+        sink_io.write_run_data(out.drop("source"), sink, run_id)
+        snap_id = sink_io.commit_snapshot(spark, sink, run_id)
+        written = spark.read.parquet(sink_io.run_data_path(sink, run_id))
+    else:
+        sink_io.write_data(out.drop("source"), sink)
+        written = sink_io.read_data(spark, sink)
+        if done_before is not None:
+            written = written.join(F.broadcast(done_before), "part_key", "left_anti")
     lineage = (
         written.groupBy("part_key")
         .agg(
@@ -200,9 +210,12 @@ def run_extract(
         )
         .collect()[0]
     )
-    return {
+    result = {
         "run_id": run_id,
         "buckets": stats["buckets"],
         "rows": stats["rows"] or 0,
         "errors": stats["errors"] or 0,
     }
+    if snap_id is not None:
+        result["snapshot_id"] = snap_id
+    return result

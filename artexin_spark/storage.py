@@ -79,6 +79,175 @@ def completed_buckets(spark: SparkSession, sink: str) -> DataFrame | None:
     return latest.filter(F.col("status") == "ok").select("part_key")
 
 
+# ---------------------------------------------------------------------------
+# Snapshot layer: Iceberg's defining read semantics over the same layout.
+#
+#     <sink>/data/run=<run_id>/part_key=NNN/*.parquet   immutable per-run files
+#     <sink>/_snapshots/*.parquet                       manifest (append-only)
+#
+# Each snapshot's manifest rows are the FULL bucket→run mapping (Iceberg
+# analogue: a manifest list rewritten per snapshot). The commit point is the
+# single manifest append — a run whose data files were written but never
+# committed is invisible to every reader, so a failed job can never corrupt
+# the readable table; readers of snapshot S are isolated from any later
+# writes (time travel = read an older S). ``compact_snapshot`` rewrites the
+# live table into one fresh run at a target file count per bucket;
+# ``expire_snapshots`` drops old manifests and garbage-collects run
+# directories no surviving snapshot references.
+#
+# Substitution note (same seam as the module docstring): real Iceberg makes
+# the manifest swap atomic via the catalog; here the commit is one parquet
+# append into _snapshots — crash-before-append loses nothing, crash-mid-
+# append is detected by Spark's _SUCCESS-less output and the orphan is
+# ignored by read-side max(snapshot_id) over complete files.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_SCHEMA = (
+    "snapshot_id long, part_key int, run_id string, committed_at timestamp"
+)
+
+
+def snapshots_path(sink: str) -> str:
+    return os.path.join(sink, "_snapshots")
+
+
+def run_data_path(sink: str, run_id: str) -> str:
+    return os.path.join(data_path(sink), f"run={run_id}")
+
+
+def write_run_data(df: DataFrame, sink: str, run_id: str) -> None:
+    """Write one run's output as immutable bucket-partitioned files under
+    its own run directory. mode=overwrite makes a retried run idempotent
+    (the retry owns the whole dir); nothing is readable until commit."""
+    df.write.mode("overwrite").partitionBy("part_key").parquet(
+        run_data_path(sink, run_id)
+    )
+
+
+def _read_manifest(spark: SparkSession, sink: str) -> DataFrame | None:
+    try:
+        return spark.read.schema(SNAPSHOT_SCHEMA).parquet(snapshots_path(sink))
+    except Exception:
+        return None  # no snapshot committed yet
+
+
+def list_snapshots(spark: SparkSession, sink: str) -> DataFrame | None:
+    man = _read_manifest(spark, sink)
+    if man is None:
+        return None
+    return man.groupBy("snapshot_id").agg(
+        F.max("committed_at").alias("committed_at"),
+        F.count("*").alias("n_buckets"),
+        F.countDistinct("run_id").alias("n_runs"),
+    )
+
+
+def commit_snapshot(spark: SparkSession, sink: str, run_id: str) -> int:
+    """Publish ``run_id``'s buckets as a new snapshot: its buckets replace
+    the parent snapshot's mapping for the same keys; untouched buckets
+    carry forward. Returns the new snapshot id (parent+1, starting at 1)."""
+    new_keys = spark.read.parquet(run_data_path(sink, run_id)).select(
+        "part_key"
+    ).distinct()  # partition-column only: resolved from directory names
+    new_map = new_keys.withColumn("run_id", F.lit(run_id))
+    man = _read_manifest(spark, sink)
+    if man is None:
+        parent_id, carried = 0, None
+    else:
+        parent_id = man.agg(F.max("snapshot_id")).collect()[0][0] or 0
+        carried = (
+            man.filter(F.col("snapshot_id") == parent_id)
+            .select("part_key", "run_id")
+            .join(F.broadcast(new_keys), "part_key", "left_anti")
+        )
+    mapping = new_map if carried is None else carried.unionByName(new_map)
+    snap_id = parent_id + 1
+    (
+        mapping.withColumn("snapshot_id", F.lit(snap_id).cast("long"))
+        .withColumn("committed_at", F.current_timestamp())
+        .select("snapshot_id", "part_key", "run_id", "committed_at")
+        .write.mode("append")
+        .parquet(snapshots_path(sink))
+    )
+    return snap_id
+
+
+def read_snapshot(
+    spark: SparkSession, sink: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Manifest-driven read of one snapshot (latest when None) — the time-
+    travel read. Only the run dirs the manifest names are opened, each
+    pruned to the buckets the snapshot maps to it."""
+    man = _read_manifest(spark, sink)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {sink}")
+    if snapshot_id is None:
+        snapshot_id = man.agg(F.max("snapshot_id")).collect()[0][0]
+    mapping = man.filter(F.col("snapshot_id") == snapshot_id).select(
+        "part_key", "run_id"
+    )
+    by_run: dict[str, list[int]] = {}
+    for row in mapping.collect():  # one small row per bucket, driver-side
+        by_run.setdefault(row["run_id"], []).append(row["part_key"])
+    if not by_run:
+        raise ValueError(f"snapshot {snapshot_id} not found in {sink}")
+    parts = []
+    for rid, keys in sorted(by_run.items()):
+        df = spark.read.parquet(run_data_path(sink, rid))
+        parts.append(df.filter(F.col("part_key").isin(keys)))  # partition prune
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_snapshot(
+    spark: SparkSession, sink: str, files_per_bucket: int = 1
+) -> int:
+    """Rewrite the live snapshot into one fresh run with ``files_per_bucket``
+    files per bucket (small-file compaction — resume-heavy tables accrete a
+    file per retried run) and commit it as a new snapshot covering every
+    bucket. Data is byte-identical; only layout changes."""
+    import uuid as _uuid
+
+    live = read_snapshot(spark, sink)
+    rid = "compact-" + _uuid.uuid4().hex[:10]
+    (
+        live.repartition(files_per_bucket, "part_key")  # co-locate, bound files
+        .write.mode("overwrite")
+        .partitionBy("part_key")
+        .parquet(run_data_path(sink, rid))
+    )
+    return commit_snapshot(spark, sink, rid)
+
+
+def expire_snapshots(spark: SparkSession, sink: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the newest ``keep_last`` snapshots and delete run
+    directories no surviving snapshot references. Returns removed run ids."""
+    import shutil
+
+    man = _read_manifest(spark, sink)
+    if man is None:
+        return []
+    ids = [r[0] for r in man.select("snapshot_id").distinct().collect()]
+    keep_ids = sorted(ids)[-keep_last:]
+    kept = man.filter(F.col("snapshot_id").isin(keep_ids))
+    live_runs = {r[0] for r in kept.select("run_id").distinct().collect()}
+    all_runs = {r[0] for r in man.select("run_id").distinct().collect()}
+    dead = sorted(all_runs - live_runs)
+    # rewrite the manifest first (the commit point of expiry), then GC data
+    kept_rows = kept.collect()
+    tmp = snapshots_path(sink) + ".tmp"
+    spark.createDataFrame(kept_rows, schema=SNAPSHOT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(snapshots_path(sink))
+    os.rename(tmp, snapshots_path(sink))
+    for rid in dead:
+        shutil.rmtree(run_data_path(sink, rid), ignore_errors=True)
+    return dead
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

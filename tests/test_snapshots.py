@@ -1,0 +1,128 @@
+"""Snapshot layer (storage.py): commit/read isolation, time travel,
+invisible uncommitted runs, compaction, and snapshot expiry + GC.
+
+These are Iceberg's read semantics over the sandbox's parquet layout
+(SURVEY.md §7.0 substitution): the manifest append is the commit point,
+so a crashed run can never corrupt the readable table — the property a
+10^12-turn job actually needs from its sink."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from artexin_spark import storage as sink_io
+from artexin_spark.corpus import gen_transcripts
+from artexin_spark.pipeline import prepare_input, run_extract
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return gen_transcripts(n_convs=30, seed=7, with_source=True)
+
+
+def _counts(df):
+    return df.select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx").toPandas()
+
+
+def test_snapshot_commit_read_and_time_travel(spark, corpus_pdf, tmp_path):
+    sink = str(tmp_path / "snapsink")
+    df = spark.createDataFrame(corpus_pdf)
+
+    # s1: half the buckets (simulated first run)
+    partial = (
+        prepare_input(df, 8, "source")
+        .filter(F.col("part_key") < 4)
+        .drop("part_key", "source")
+    )
+    stats1 = run_extract(spark, partial, sink, n_buckets=8, source_col=None, snapshot=True)
+    assert stats1["snapshot_id"] == 1
+    s1 = sink_io.read_snapshot(spark, sink, 1)
+    n1 = s1.count()
+    assert n1 == stats1["rows"] > 0
+
+    # s2: full input, new run — overlapping buckets replaced, not duplicated
+    stats2 = run_extract(spark, df, sink, n_buckets=8, snapshot=True)
+    assert stats2["snapshot_id"] == 2
+    s2 = sink_io.read_snapshot(spark, sink)  # latest
+    assert s2.count() == len(corpus_pdf)
+    assert (
+        s2.select("conv_id", "turn_idx").distinct().count() == len(corpus_pdf)
+    ), "bucket replacement must not duplicate turns"
+
+    # time travel: snapshot 1 is untouched by the second write
+    again = sink_io.read_snapshot(spark, sink, 1)
+    assert again.count() == n1
+    assert _counts(again).equals(_counts(s1))
+
+    snaps = sink_io.list_snapshots(spark, sink).orderBy("snapshot_id").toPandas()
+    assert list(snaps.snapshot_id) == [1, 2]
+    assert int(snaps.n_buckets.iloc[1]) == 8
+
+
+def test_uncommitted_run_is_invisible(spark, corpus_pdf, tmp_path):
+    sink = str(tmp_path / "snapsink2")
+    df = spark.createDataFrame(corpus_pdf)
+    run_extract(spark, df, sink, n_buckets=4, snapshot=True)
+    before = sink_io.read_snapshot(spark, sink).count()
+
+    # a run that writes data files but crashes before commit
+    from artexin_spark.pipeline import extract_df
+
+    out = extract_df(spark, df.limit(5), n_buckets=4, source_col="source")
+    sink_io.write_run_data(out.drop("source"), sink, "crashed-run")
+    assert os.path.isdir(sink_io.run_data_path(sink, "crashed-run"))
+    assert sink_io.read_snapshot(spark, sink).count() == before
+    snaps = sink_io.list_snapshots(spark, sink).toPandas()
+    assert len(snaps) == 1
+
+
+def test_compaction_preserves_data_and_bounds_files(spark, corpus_pdf, tmp_path):
+    sink = str(tmp_path / "snapsink3")
+    df = spark.createDataFrame(corpus_pdf)
+    # two committed runs → latest snapshot spans two run dirs
+    half = (
+        prepare_input(df, 4, "source").filter(F.col("part_key") < 2).drop("part_key", "source")
+    )
+    run_extract(spark, half, sink, n_buckets=4, source_col=None, snapshot=True)
+    run_extract(spark, df, sink, n_buckets=4, snapshot=True)
+    live_before = sink_io.read_snapshot(spark, sink)
+    want = _counts(live_before)
+
+    snap_id = sink_io.compact_snapshot(spark, sink, files_per_bucket=1)
+    assert snap_id == 3
+    live_after = sink_io.read_snapshot(spark, sink)
+    assert _counts(live_after).equals(want), "compaction must be byte-preserving"
+
+    # one data file per bucket in the compacted run
+    man = sink_io._read_manifest(spark, sink)
+    rid = (
+        man.filter(F.col("snapshot_id") == snap_id)
+        .select("run_id")
+        .distinct()
+        .collect()[0][0]
+    )
+    assert rid.startswith("compact-")
+    for bucket_dir in glob.glob(os.path.join(sink_io.run_data_path(sink, rid), "part_key=*")):
+        files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, bucket_dir
+
+
+def test_expire_snapshots_gcs_unreferenced_runs(spark, corpus_pdf, tmp_path):
+    sink = str(tmp_path / "snapsink4")
+    df = spark.createDataFrame(corpus_pdf)
+    r1 = run_extract(spark, df.limit(20), sink, n_buckets=4, snapshot=True)
+    run_extract(spark, df, sink, n_buckets=4, snapshot=True)
+    sink_io.compact_snapshot(spark, sink)
+    want = _counts(sink_io.read_snapshot(spark, sink))
+
+    dead = sink_io.expire_snapshots(spark, sink, keep_last=1)
+    assert len(dead) >= 1
+    # the expired first run's directory is gone; the live table is intact
+    assert not os.path.isdir(sink_io.run_data_path(sink, r1["run_id"]))
+    assert _counts(sink_io.read_snapshot(spark, sink)).equals(want)
+    snaps = sink_io.list_snapshots(spark, sink).toPandas()
+    assert len(snaps) == 1
+    with pytest.raises(Exception):
+        sink_io.read_snapshot(spark, sink, 1)
