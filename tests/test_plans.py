@@ -182,3 +182,26 @@ def test_paragraph_dedup_two_shuffles_and_pruned_scan(spark):
     assert "BatchEvalPython" not in plan, plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" in m.group(1) and "lang" not in m.group(1), plan
+
+
+def test_read_snapshot_partition_prunes(spark, tmp_path):
+    """The snapshot reader's bucket filter must land as a PARTITION filter
+    (directory pruning), not a row predicate: at 10^12 rows a shared run
+    directory whose buckets were superseded by a later run must never be
+    scanned for the stale keys."""
+    import re
+
+    from artexin_spark import storage as sink_io
+
+    sink = str(tmp_path / "prune_sink")
+    df = spark.range(64).selectExpr("id", "cast(id % 8 as int) part_key")
+    sink_io.write_run_data(df, sink, "r1")
+    sink_io.commit_snapshot(spark, sink, "r1")
+    # r2 supersedes half the buckets; snapshot 2 reads r1 pruned to the rest
+    sink_io.write_run_data(df.filter("part_key < 4"), sink, "r2")
+    sink_io.commit_snapshot(spark, sink, "r2")
+
+    plan = _plan(sink_io.read_snapshot(spark, sink))
+    pf = re.findall(r"PartitionFilters: \[[^\]]*part_key[^\]]*IN[^\]]*\]", plan)
+    assert len(pf) == 2, plan  # both run-dir scans prune by bucket
+    assert "PushedFilters: [In(part_key" not in plan  # partition, not row, level

@@ -126,3 +126,65 @@ def test_expire_snapshots_gcs_unreferenced_runs(spark, corpus_pdf, tmp_path):
     assert len(snaps) == 1
     with pytest.raises(Exception):
         sink_io.read_snapshot(spark, sink, 1)
+
+
+def test_snapshot_model_random_sequence(spark, tmp_path):
+    """Model check: a seeded random sequence of commit/compact/expire ops
+    against a pure-Python model of the manifest semantics. Every live
+    snapshot must read back exactly the model's bucket→run mapping."""
+    import random
+
+    rng = random.Random(20260819)
+    sink = str(tmp_path / "model_sink")
+    model: dict[int, dict[int, str]] = {}  # snapshot_id -> {bucket: run_id}
+    latest = 0
+
+    def spark_mapping(sid):
+        rows = (
+            sink_io.read_snapshot(spark, sink, sid)
+            .select("part_key", "run_id")
+            .distinct()
+            .collect()
+        )
+        got = {}
+        for r in rows:
+            assert r["part_key"] not in got, "bucket mapped to two runs"
+            got[r["part_key"]] = r["run_id"]
+        return got
+
+    def commit(run_id, buckets):
+        nonlocal latest
+        df = spark.createDataFrame(
+            [(b * 10 + i, b, run_id) for b in buckets for i in range(2)],
+            "id long, part_key int, run_id string",
+        )
+        sink_io.write_run_data(df, sink, run_id)
+        sid = sink_io.commit_snapshot(spark, sink, run_id)
+        parent = dict(model.get(latest, {}))
+        parent.update({b: run_id for b in buckets})
+        latest = sid
+        model[sid] = parent
+
+    commit("run-0", list(range(6)))
+    for step in range(10):
+        op = rng.choice(["commit", "commit", "compact", "expire"])
+        if op == "commit":
+            buckets = sorted(rng.sample(range(6), rng.randint(1, 6)))
+            commit(f"run-{step + 1}", buckets)
+        elif op == "compact":
+            sid = sink_io.compact_snapshot(spark, sink)
+            # compaction is byte-preserving: the row tags (which run wrote
+            # each bucket's rows) must be exactly the parent snapshot's
+            model[sid] = dict(model[latest])
+            latest = sid
+        else:
+            keep = rng.randint(1, 2)
+            sink_io.expire_snapshots(spark, sink, keep_last=keep)
+            for sid in sorted(model)[:-keep]:
+                del model[sid]
+        # every surviving snapshot reads back exactly the model
+        for sid, want in model.items():
+            assert spark_mapping(sid) == want, (step, sid)
+        # and row contents follow the mapping (2 rows per bucket, run-tagged)
+        live = sink_io.read_snapshot(spark, sink, latest).toPandas()
+        assert len(live) == 2 * len(model[latest])
