@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--source-col", default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--snapshot",
+        action="store_true",
+        help="write via the snapshot layer (isolation/time travel; storage.py)",
+    )
     args = ap.parse_args()
 
     # absolute imports: spark-submit executes this file as a plain script
@@ -40,6 +45,7 @@ def main() -> None:
         source_col=args.source_col,
         resume=args.resume,
         run_id=args.run_id,
+        snapshot=args.snapshot,
     )
     print(json.dumps(stats))
     spark.stop()
