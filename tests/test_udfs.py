@@ -84,3 +84,59 @@ def test_counts_native_equivalence(spark):
         for t, c in tc.items():
             merged[t] = merged.get(t, 0) + c
     assert native == merged
+
+
+def test_fat_payloads_through_small_arrow_batches(spark):
+    """Multi-MB HTML cells through the real Arrow path with the batch size
+    the session docs tell fat-payload tables to use (SPARK_ARROW_BATCH
+    semantics): output must equal the single-node extractor row-for-row,
+    and spans must recover the text from the original payload. Guards the
+    BENCH memory-envelope claim — batch_bytes ≈ rows × payload is only
+    bounded if maxRecordsPerBatch actually applies to mapInPandas."""
+    from artexin_spark.pipeline import extract_df
+    from artexin_spark.readability import extract_turn
+    from artexin_spark.tokenizer import fix_ws
+
+    para = (
+        "<p>Long body paragraph %d, with commas, clauses, and enough prose "
+        "to dominate scoring over any boilerplate in the page.</p>"
+    )
+    body = "".join(para % i for i in range(12000))  # ~1.4 MB of article
+    payloads = [
+        "<html><head><title>Fat %d</title></head><body>"
+        '<div id="navigation"><a href="/x">nav</a></div>'
+        '<div id="content">%s</div>'
+        '<div class="footer">footer junk</div></body></html>' % (i, body)
+        for i in range(6)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": [0] * 6,
+            "role": ["user"] * 6,
+            "text": payloads,
+            "tool": [None] * 6,
+            "ts": pd.to_datetime(["2026-01-01"] * 6),
+        }
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = (
+            extract_df(spark, spark.createDataFrame(pdf), n_buckets=4, source_col=None)
+            .select("conv_id", "title", "extracted_text", "spans", "error")
+            .orderBy("conv_id")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(out) == 6
+    for i, row in enumerate(out):
+        golden = extract_turn(payloads[i])
+        assert row["error"] is None and row["title"] == f"Fat {i}"
+        assert row["extracted_text"] == golden.text
+        assert "nav" not in row["extracted_text"][:50]
+        # span recovery against the original multi-MB payload
+        src = payloads[i]
+        joined = fix_ws(" ".join(src[s["start"] : s["end"]] for s in row["spans"]))
+        assert joined == row["extracted_text"]
