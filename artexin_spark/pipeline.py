@@ -169,6 +169,14 @@ def run_extract(
     # per-row batch_ms / n_chars_in columns ride along in the sink — a few
     # bytes/row buying measured (not guessed) per-bucket skew evidence.
     done_before = sink_io.completed_buckets(spark, sink) if resume else None
+    # precompute the output-size counter as a narrow column so the lineage
+    # read-back below prunes to small columns only — summing
+    # length(extracted_text) after the fact would re-decode the fat text
+    # column of the whole written table (measured: most of the lineage cost)
+    out = out.withColumn(
+        "n_chars_out",
+        F.length(F.coalesce("extracted_text", F.lit(""))).cast("long"),
+    )
     snap_id = None
     if snapshot:
         sink_io.write_run_data(out.drop("source"), sink, run_id)
@@ -185,9 +193,7 @@ def run_extract(
             F.count("*").alias("n_rows"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
             F.sum("n_chars_in").cast("long").alias("n_chars_in"),
-            F.sum(F.length(F.coalesce("extracted_text", F.lit("")))).alias(
-                "n_chars_out"
-            ),
+            F.sum("n_chars_out").cast("long").alias("n_chars_out"),
             F.sum("batch_ms").alias("wall_ms"),
             F.lit("ok").alias("status"),
             F.current_timestamp().alias("finished_at"),

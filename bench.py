@@ -212,6 +212,27 @@ def main() -> None:
         spark.stop()
         return
 
+    # full production job including the sink: bucket-partitioned write +
+    # lineage derivation (read-back agg). Reported separately from the
+    # headline so scan→extract compute and end-to-end-with-write are both
+    # visible; one rep (the write dominates and is disk-, not CPU-, bound).
+    import shutil
+    import tempfile
+
+    def run_extract_write():
+        from artexin_spark.pipeline import run_extract as _run
+
+        sink = tempfile.mkdtemp(prefix="bench_sink_")
+        try:
+            return _run(spark, transcripts, sink, source_col=None)
+        finally:
+            shutil.rmtree(sink, ignore_errors=True)
+
+    timed("q_extract_write", run_extract_write, warm_runs=0, reps=1)
+    extras["extract_write_turns_per_sec"] = round(
+        n_turns / timings["q_extract_write"], 1
+    )
+
     # the 500k-turn extract leaves multi-GB of text garbage; without an
     # explicit collection the first operator query below pays that GC debt
     # (measured: q_minhash_dedup 2.3s steady vs 7.3s right after extract)
