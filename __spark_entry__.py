@@ -117,6 +117,28 @@ def q_extract_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction run through the PURE-SQL surface:
+    udfs.register_sql + spark.sql over a temp view. Same oracle as
+    extract_transcript — proving the SQL and DataFrame surfaces are the
+    same engine (identical vectorized physical plan, gated in tests)."""
+    from artexin_spark.udfs import register_sql
+
+    register_sql(spark)
+    _transcripts_from_docs(spark, sf_dir).createOrReplaceTempView("transcripts_sqlv")
+    return spark.sql(
+        """
+        SELECT conv_id, turn_idx,
+               ex.title AS title,
+               ex.extracted_text AS extracted_text,
+               ex.n_images AS n_images,
+               CAST(ex.error AS string) AS error
+        FROM (SELECT conv_id, turn_idx, artexin_extract(text, '', true) AS ex
+              FROM transcripts_sqlv)
+        """
+    )
+
+
 def q_conv_rollup(spark, sf_dir):
     """Conversation-level analytics over EXTRACTED output: synthesize
     3-turn conversations (role cycle, per-turn marker), run the full
@@ -1040,6 +1062,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_transcript": q_extract_transcript,
+        "sql_extract": q_sql_extract,
         "title_fastpath": q_title_fastpath,
         "md5_hash": q_md5_hash,
         "content_key": q_content_key,
@@ -1111,6 +1134,9 @@ SELECT CAST(doc_id AS VARCHAR) AS conv_id,
        CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
+
+# the pure-SQL surface must produce byte-identical output to the flagship
+_ORACLES["sql_extract"] = _ORACLES["extract_transcript"]
 
 _ORACLES["conv_rollup"] = """
 WITH turns AS (

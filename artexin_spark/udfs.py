@@ -149,6 +149,36 @@ def words_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: [w.lower() for w in split_words(t or "")])
 
 
+#: SQL function name → pandas_udf. Registered by :func:`register_sql`; a
+#: registered pandas_udf keeps its vectorized (ArrowEvalPython) execution,
+#: so the pure-SQL surface has the identical physical shape as the
+#: DataFrame API (plan-gated in tests/test_udfs.py).
+SQL_FUNCTIONS = {
+    "artexin_extract": "extract_udf",
+    "artexin_title": "title_udf",
+    "artexin_counts": "counts_udf",
+    "artexin_sentences": "sentences_udf",
+    "artexin_words": "words_udf",
+}
+
+
+def register_sql(spark) -> list[str]:
+    """Expose the engine's vectorized UDFs as SQL functions, so the whole
+    pipeline is writable in pure ``spark.sql(...)``::
+
+        SELECT conv_id, turn_idx, artexin_extract(text, '', true) AS ex
+        FROM transcripts
+
+    Replaces the reference's Python-only call surface (artexin has no query
+    language at all — every entry point is a function call, pack.py:157)
+    with the Spark-native one. Idempotent; returns the registered names.
+    """
+    udfs = globals()
+    for name, fn in SQL_FUNCTIONS.items():
+        spark.udf.register(name, udfs[fn])
+    return list(SQL_FUNCTIONS)
+
+
 def with_extraction(df, text_col="text", source_col=None, do_extract_col=None):
     """Attach the extraction struct + flattened output columns to ``df``.
 

@@ -140,3 +140,42 @@ def test_fat_payloads_through_small_arrow_batches(spark):
         src = payloads[i]
         joined = fix_ws(" ".join(src[s["start"] : s["end"]] for s in row["spans"]))
         assert joined == row["extracted_text"]
+
+
+def test_register_sql_surface(spark):
+    """The pure-SQL surface is the same engine: identical rows to the
+    DataFrame API and an identical vectorized physical shape (one
+    ArrowEvalPython, zero per-row BatchEvalPython)."""
+    from artexin_spark.udfs import register_sql, with_extraction
+
+    names = register_sql(spark)
+    assert "artexin_extract" in names
+    _df(spark).createOrReplaceTempView("sqlsurf_docs")
+    sql_out = spark.sql(
+        """
+        SELECT doc_id, ex.title AS title, ex.extracted_text AS extracted_text,
+               ex.error AS error
+        FROM (SELECT doc_id, artexin_extract(text, '', true) AS ex
+              FROM sqlsurf_docs)
+        ORDER BY doc_id
+        """
+    )
+    plan = sql_out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    api_out = (
+        with_extraction(_df(spark))
+        .select("doc_id", "title", "extracted_text", "error")
+        .orderBy("doc_id")
+    )
+    assert [r.asDict() for r in sql_out.collect()] == [
+        r.asDict() for r in api_out.collect()
+    ]
+
+    # the scalar helpers registered too: title/words usable from SQL
+    one = spark.sql(
+        "SELECT artexin_title(text) AS t, artexin_words(text) AS w "
+        "FROM sqlsurf_docs WHERE doc_id = 0"
+    ).collect()[0]
+    assert one.t == "T one"
+    assert "sentence" in one.w
