@@ -734,7 +734,11 @@ def _fast_parse(source: str) -> Document:
             else:
                 bridge_empty(pos, lt)
         c = source[lt + 1 : lt + 2]
-        if c.isalpha():  # ---- start tag (parse_starttag parity) ----
+        # ASCII letters only (stdlib starttagopen is <[a-zA-Z]): a Unicode
+        # letter like '<é' is plain data to html.parser, and str.isalpha()
+        # alone would send it here where the ASCII-only locate regex
+        # can't match
+        if c.isalpha() and c.isascii():  # ---- start tag (parse_starttag parity) ----
             lm = _LOCATE_START.match(source, lt)
             j = lm.end()
             nxt = source[j : j + 1]

@@ -92,6 +92,16 @@ def prepare_input(df: DataFrame, n_buckets: int, source_col: str | None) -> Data
             "tool string, ts timestamp), got (%s)"
             % (", ".join(missing), ", ".join(df.columns))
         )
+    if source_col and source_col not in df.columns and source_col != "source":
+        # a non-default name is always an explicit request: silently falling
+        # back to lit("") would disable every source-dispatched preprocessor
+        # for the whole run with zero errors reported. Only the default
+        # name ("source") soft-falls-back, since most transcript tables
+        # simply don't carry one.
+        raise ValueError(
+            "source_col %r not in input columns (%s)"
+            % (source_col, ", ".join(df.columns))
+        )
     cols = [F.col(c) for c in INPUT_COLS]
     cols.append(
         (F.col(source_col) if source_col and source_col in df.columns else F.lit(""))
@@ -118,7 +128,12 @@ def extract_df(
         n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     prepared = prepare_input(df, n_buckets, source_col)
     if repartition:
-        prepared = prepared.repartition("part_key")
+        # explicit partition count: repartition("part_key") alone keeps
+        # spark.sql.shuffle.partitions partitions, so a large B (the 10^12-
+        # turn story picks B = 2^17 for executor-memory-sized buckets)
+        # would silently pack ~B/200 buckets into one task — unbounded task
+        # size, the exact thing the bucket key exists to bound
+        prepared = prepared.repartition(n_buckets, "part_key")
     extracted = prepared.mapInPandas(_extract_map_iter, _EXTRACT_OUT_SCHEMA)
     return extracted.withColumn(
         "content_hash",
@@ -157,18 +172,33 @@ def run_extract(
         n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     out = extract_df(spark, df, n_buckets=n_buckets, source_col=source_col)
+    # this run's bucket set, from the RAW input (narrow conv_id/turn_idx
+    # scan — no extraction): scopes the lineage derivation below to buckets
+    # this run actually wrote. Without it a partial-input run would re-stamp
+    # every untouched old bucket in the sink with this run_id, falsifying
+    # lineage history and the returned counters.
+    run_keys = prepare_input(df, n_buckets, source_col).select("part_key").distinct()
 
-    if resume:
-        done = sink_io.completed_buckets(spark, sink)
-        if done is not None:
-            # broadcast anti-join: the done-list is tiny (one int per bucket)
-            out = out.join(F.broadcast(done), on="part_key", how="left_anti")
+    done = sink_io.completed_buckets(spark, sink) if resume else None
+    if done is not None:
+        # broadcast anti-join: the done-list is tiny (one int per bucket)
+        out = out.join(F.broadcast(done), on="part_key", how="left_anti")
+        run_keys = run_keys.join(F.broadcast(done), "part_key", "left_anti")
+
+    if resume or snapshot:
+        # cheap narrow-input job (at most B rows). A fully-resumed run is a
+        # clean no-op — without this guard the snapshot path would write an
+        # empty run dir and commit_snapshot could not infer its schema.
+        if run_keys.limit(1).count() == 0:
+            result = {"run_id": run_id, "buckets": 0, "rows": 0, "errors": 0}
+            if snapshot:
+                result["snapshot_id"] = sink_io.latest_snapshot_id(spark, sink)
+            return result
 
     # Derive lineage from the written files (single extraction pass, one
     # write) rather than caching the fat extracted frame in memory. The
     # per-row batch_ms / n_chars_in columns ride along in the sink — a few
     # bytes/row buying measured (not guessed) per-bucket skew evidence.
-    done_before = sink_io.completed_buckets(spark, sink) if resume else None
     # precompute the output-size counter as a narrow column so the lineage
     # read-back below prunes to small columns only — summing
     # length(extracted_text) after the fact would re-decode the fat text
@@ -184,9 +214,11 @@ def run_extract(
         written = spark.read.parquet(sink_io.run_data_path(sink, run_id))
     else:
         sink_io.write_data(out.drop("source"), sink)
-        written = sink_io.read_data(spark, sink)
-        if done_before is not None:
-            written = written.join(F.broadcast(done_before), "part_key", "left_anti")
+        # scope to this run's buckets: dynamic overwrite only replaced
+        # those directories; the rest of the sink belongs to earlier runs
+        written = sink_io.read_data(spark, sink).join(
+            F.broadcast(run_keys), "part_key", "left_semi"
+        )
     lineage = (
         written.groupBy("part_key")
         .agg(

@@ -131,6 +131,14 @@ def _read_manifest(spark: SparkSession, sink: str) -> DataFrame | None:
         return None  # no snapshot committed yet
 
 
+def latest_snapshot_id(spark: SparkSession, sink: str) -> int | None:
+    """Highest committed snapshot id, or None when nothing is committed."""
+    man = _read_manifest(spark, sink)
+    if man is None:
+        return None
+    return man.agg(F.max("snapshot_id")).collect()[0][0]
+
+
 def list_snapshots(spark: SparkSession, sink: str) -> DataFrame | None:
     man = _read_manifest(spark, sink)
     if man is None:
@@ -150,26 +158,50 @@ def commit_snapshot(spark: SparkSession, sink: str, run_id: str) -> int:
         "part_key"
     ).distinct()  # partition-column only: resolved from directory names
     new_map = new_keys.withColumn("run_id", F.lit(run_id))
-    man = _read_manifest(spark, sink)
-    if man is None:
-        parent_id, carried = 0, None
-    else:
-        parent_id = man.agg(F.max("snapshot_id")).collect()[0][0] or 0
-        carried = (
-            man.filter(F.col("snapshot_id") == parent_id)
-            .select("part_key", "run_id")
-            .join(F.broadcast(new_keys), "part_key", "left_anti")
+    # Optimistic concurrency on the snapshot id: an O_EXCL marker file
+    # arbitrates each id, so two concurrent committers can never both
+    # append rows under the same snapshot_id (which would make that
+    # snapshot's mapping a union of two runs — duplicate rows per bucket).
+    # The loser recomputes its parent and retries with the next id. This is
+    # the local-FS stand-in for Iceberg's catalog compare-and-swap (same
+    # substitution seam as the module docstring); single-writer-per-sink
+    # remains the supported production mode.
+    os.makedirs(snapshots_path(sink), exist_ok=True)
+    last_err: OSError | None = None
+    snap_id = 0
+    for _ in range(64):
+        man = _read_manifest(spark, sink)
+        if man is None:
+            parent_id, carried = 0, None
+        else:
+            parent_id = man.agg(F.max("snapshot_id")).collect()[0][0] or 0
+            carried = (
+                man.filter(F.col("snapshot_id") == parent_id)
+                .select("part_key", "run_id")
+                .join(F.broadcast(new_keys), "part_key", "left_anti")
+            )
+        # probe FORWARD past claimed ids: a marker whose manifest rows never
+        # landed (crashed committer) must not pin the retry loop to one id —
+        # ids may skip, exactly as Iceberg burns ids on failed commits
+        snap_id = max(parent_id + 1, snap_id + 1)
+        marker = os.path.join(snapshots_path(sink), f".commit-{snap_id}")
+        try:
+            os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError as err:
+            last_err = err  # id taken (possibly in-flight): recompute parent
+            continue
+        mapping = new_map if carried is None else carried.unionByName(new_map)
+        (
+            mapping.withColumn("snapshot_id", F.lit(snap_id).cast("long"))
+            .withColumn("committed_at", F.current_timestamp())
+            .select("snapshot_id", "part_key", "run_id", "committed_at")
+            .write.mode("append")
+            .parquet(snapshots_path(sink))
         )
-    mapping = new_map if carried is None else carried.unionByName(new_map)
-    snap_id = parent_id + 1
-    (
-        mapping.withColumn("snapshot_id", F.lit(snap_id).cast("long"))
-        .withColumn("committed_at", F.current_timestamp())
-        .select("snapshot_id", "part_key", "run_id", "committed_at")
-        .write.mode("append")
-        .parquet(snapshots_path(sink))
-    )
-    return snap_id
+        return snap_id
+    raise RuntimeError(
+        f"could not claim a snapshot id in {sink} after 64 attempts"
+    ) from last_err
 
 
 def read_snapshot(
@@ -212,8 +244,28 @@ def compact_snapshot(
 
     live = read_snapshot(spark, sink)
     rid = "compact-" + _uuid.uuid4().hex[:10]
+    # repartition(N, key) sets the TOTAL partition count — N must scale
+    # with the number of live buckets or the whole table funnels through
+    # files_per_bucket tasks (one, by default: zero parallelism and an
+    # executor-memory ceiling). One hash partition per target file; the
+    # deterministic sub-key spreads a bucket over files_per_bucket
+    # partitions when >1 file per bucket is requested (hash-partitioning
+    # on part_key alone can never split a bucket). File counts are
+    # approximate under hash collisions — compaction bounds smallness, it
+    # doesn't promise exact counts.
+    live_id = latest_snapshot_id(spark, sink)
+    man = _read_manifest(spark, sink)
+    n_buckets_live = (
+        man.filter(F.col("snapshot_id") == live_id).count() if man is not None else 1
+    )
+    # schema-agnostic deterministic sub-key (whole-row hash)
+    spread = F.pmod(
+        F.xxhash64(*[F.col(c) for c in live.columns]), F.lit(files_per_bucket)
+    )
     (
-        live.repartition(files_per_bucket, "part_key")  # co-locate, bound files
+        live.repartition(
+            max(1, n_buckets_live) * files_per_bucket, F.col("part_key"), spread
+        )
         .write.mode("overwrite")
         .partitionBy("part_key")
         .parquet(run_data_path(sink, rid))
@@ -235,14 +287,23 @@ def expire_snapshots(spark: SparkSession, sink: str, keep_last: int = 1) -> list
     live_runs = {r[0] for r in kept.select("run_id").distinct().collect()}
     all_runs = {r[0] for r in man.select("run_id").distinct().collect()}
     dead = sorted(all_runs - live_runs)
-    # rewrite the manifest first (the commit point of expiry), then GC data
+    # rewrite the manifest first (the commit point of expiry), then GC data.
+    # Swap via two renames, not rmtree-then-rename: the old manifest stays
+    # intact (under .old) until the new one is live, so the widest crash
+    # window loses at most the EXPIRY, never the manifest itself — a crash
+    # between the renames leaves both .tmp (complete) and .old (complete)
+    # on disk for recovery. Local-FS calls are the same substitution seam
+    # as the rest of this module (real Iceberg swaps via the catalog).
     kept_rows = kept.collect()
     tmp = snapshots_path(sink) + ".tmp"
+    old = snapshots_path(sink) + ".old"
     spark.createDataFrame(kept_rows, schema=SNAPSHOT_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(snapshots_path(sink))
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(snapshots_path(sink), old)
     os.rename(tmp, snapshots_path(sink))
+    shutil.rmtree(old)
     for rid in dead:
         shutil.rmtree(run_data_path(sink, rid), ignore_errors=True)
     return dead

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from .pipeline import _EXTRACT_OUT_SCHEMA, _extract_map_iter, prepare_input
+from .pipeline import extract_df
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -45,8 +45,16 @@ def incremental_extract(
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
-    prepared = prepare_input(stream, n_buckets, source_col)
-    extracted = prepared.mapInPandas(_extract_map_iter, _EXTRACT_OUT_SCHEMA)
+    # the batch transformation verbatim (content_hash/extracted_at
+    # included) so batch-written and stream-written sinks carry the SAME
+    # schema — downstream dedup keys on content_hash either way. The
+    # bucket repartition is skipped: the file source already bounds a
+    # micro-batch (maxFilesPerTrigger), and a shuffle per micro-batch
+    # buys nothing.
+    extracted = extract_df(
+        spark, stream, n_buckets=n_buckets, source_col=source_col,
+        repartition=False,
+    )
     query = (
         extracted.drop("source")
         .writeStream.format("parquet")
@@ -98,8 +106,12 @@ def conversation_progress(
         for pdf in pdfs:
             turns += len(pdf)
             chars += int(pdf["text"].str.len().fillna(0).sum())
-            if len(pdf):
-                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+            # dropna: turn_idx is nullable, and a group whose batch rows
+            # are ALL null would make int(max()) an int(NaN) crash that
+            # replays forever from the checkpoint
+            idx = pdf["turn_idx"].dropna()
+            if len(idx):
+                max_turn = max(max_turn, int(idx.max()))
         state.update((turns, chars, max_turn))
         yield pd.DataFrame(
             {

@@ -223,3 +223,17 @@ def test_fast_matches_stdlib_attribute_fuzz():
         src = (rng.choice(["", "q"]) + "<t" + rng.choice([" ", ""]) + inner
                + rng.choice([">", "", "/>"]) + rng.choice(["", "t", "</t>"]))
         assert _sig(dom._fast_parse(src)) == _sig(dom.parse_stdlib(src)), repr(src)
+
+
+def test_non_ascii_after_lt_is_data():
+    """'<é' must be plain data (stdlib starttagopen is ASCII-only);
+    str.isalpha() alone routed it to the start-tag scanner, where the
+    ASCII locate regex returned None and the parser crashed."""
+    from artexin_spark import dom
+
+    sig = lambda d: [
+        (n.tag, n.text, n.start, n.end, dict(n.attrs) if n.attrs else {})
+        for n in d.iter()
+    ]
+    for src in ("<é", "<é>x</é>", "<中文>", 'a<éb c="d">e', "x<éy"):
+        assert sig(dom._fast_parse(src)) == sig(dom.parse_stdlib(src)), src

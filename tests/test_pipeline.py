@@ -208,3 +208,52 @@ def test_resume_reextracts_buckets_whose_latest_status_is_failed(spark, corpus_p
     healed = sink_io.read_data(spark, sink)
     assert healed.count() == full_count
     assert healed.select("conv_id", "turn_idx").distinct().count() == full_count
+
+
+def test_explicit_missing_source_col_raises(spark, corpus_pdf):
+    """A misspelled --source-col must fail loudly, not silently disable
+    every source-dispatched preprocessor for the whole run."""
+    df = spark.createDataFrame(corpus_pdf)
+    with pytest.raises(ValueError, match="source_col"):
+        extract_df(spark, df.drop("source"), source_col="sourc_url")
+    # the DEFAULT name soft-falls-back (most transcript tables carry none)
+    extract_df(spark, df.drop("source"), source_col="source")
+
+
+def test_partial_rerun_does_not_falsify_lineage(spark, corpus_pdf, tmp_path):
+    """A second run over a SUBSET of conversations must stamp lineage rows
+    only for the buckets it wrote; untouched buckets keep their original
+    run_id, and the returned counters cover this run only."""
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(corpus_pdf)
+    r1 = run_extract(spark, df, sink, n_buckets=16)
+    one_conv = corpus_pdf[corpus_pdf.conv_id == corpus_pdf.conv_id.iloc[0]]
+    r2 = run_extract(spark, spark.createDataFrame(one_conv), sink, n_buckets=16)
+    assert r2["rows"] == len(one_conv)
+    assert r2["buckets"] < r1["buckets"] or r1["buckets"] == r2["buckets"] == 16
+    lin = sink_io.read_lineage(spark, sink).toPandas()
+    touched = set(lin[lin.run_id == r2["run_id"]].part_key)
+    # every bucket NOT touched by run 2 still has run 1 as its only row
+    untouched = lin[~lin.part_key.isin(touched)]
+    assert (untouched.run_id == r1["run_id"]).all()
+    # run-2 rows count exactly the subset's rows
+    assert lin[lin.run_id == r2["run_id"]].n_rows.sum() == len(one_conv)
+
+
+def test_fully_resumed_run_is_clean_noop(spark, corpus_pdf, tmp_path):
+    """resume over an already-complete sink: no new lineage, zero counters,
+    and the snapshot variant neither writes a run dir nor commits."""
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(corpus_pdf)
+    run_extract(spark, df, sink, n_buckets=16)
+    before = sink_io.read_lineage(spark, sink).count()
+    res = run_extract(spark, df, sink, n_buckets=16, resume=True)
+    assert res == {"run_id": res["run_id"], "buckets": 0, "rows": 0, "errors": 0}
+    assert sink_io.read_lineage(spark, sink).count() == before
+
+    snap_sink = str(tmp_path / "snap_sink")
+    run_extract(spark, df, snap_sink, n_buckets=16, snapshot=True)
+    sid = sink_io.latest_snapshot_id(spark, snap_sink)
+    res2 = run_extract(spark, df, snap_sink, n_buckets=16, resume=True, snapshot=True)
+    assert res2["rows"] == 0 and res2["snapshot_id"] == sid
+    assert sink_io.latest_snapshot_id(spark, snap_sink) == sid  # no empty commit

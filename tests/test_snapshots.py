@@ -188,3 +188,32 @@ def test_snapshot_model_random_sequence(spark, tmp_path):
         # and row contents follow the mapping (2 rows per bucket, run-tagged)
         live = sink_io.read_snapshot(spark, sink, latest).toPandas()
         assert len(live) == 2 * len(model[latest])
+
+
+def test_commit_skips_claimed_snapshot_ids(spark, corpus_pdf, tmp_path):
+    """A crashed committer's orphan marker (claimed id, no manifest rows)
+    must not pin or break later commits: ids probe forward, every committed
+    id is unique, and the mapping stays one-row-per-bucket."""
+    import os
+
+    from artexin_spark.pipeline import run_extract
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(corpus_pdf)
+    r1 = run_extract(spark, df, sink, n_buckets=8, snapshot=True)
+    assert r1["snapshot_id"] == 1
+    # simulate a committer that claimed id 2 and died before appending
+    orphan = os.path.join(sink_io.snapshots_path(sink), ".commit-2")
+    os.close(os.open(orphan, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    r2 = run_extract(spark, df, sink, n_buckets=8, snapshot=True)
+    assert r2["snapshot_id"] == 3  # 2 is burned, exactly like Iceberg
+    man = spark.read.parquet(sink_io.snapshots_path(sink))
+    per = (
+        man.filter(F.col("snapshot_id") == 3)
+        .groupBy("part_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per == 1  # never a union of two committers' mappings
+    assert sink_io.read_snapshot(spark, sink, 3).count() == df.count()

@@ -125,3 +125,59 @@ def test_windowed_counts_emit_once_and_late_window_flushes_next_run(spark, tmp_p
     # window [20,30) flushed exactly once with BOTH runs' rows (20..23 + 24..29);
     # [30,40) now held; nothing re-emitted
     assert second == {0: 10, 10: 10, 20: 10}
+
+
+def test_incremental_output_carries_batch_sink_schema(spark, tmp_path):
+    """Stream-written and batch-written sinks must have the SAME schema:
+    content_hash (downstream dedup key) and extracted_at included."""
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    pdf = gen_transcripts(n_convs=4, seed=42)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(input_dir)
+    incremental_extract(
+        spark, input_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"), n_buckets=4
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {"content_hash", "extracted_at"} <= set(out.columns)
+    # the hash is the batch formula: md5(conv \x1f turn \x1f text)
+    row = out.filter("error is null").limit(1).collect()[0]
+    import hashlib
+
+    want = hashlib.md5(
+        ("\x1f".join([row.conv_id, str(row.turn_idx), row.extracted_text])).encode()
+    ).hexdigest()
+    assert row.content_hash == want
+
+
+def test_conversation_progress_tolerates_all_null_turn_idx(spark, tmp_path):
+    """turn_idx is nullable: a conversation arriving with only null
+    turn_idx rows must update the ledger, not crash with int(NaN) and
+    poison the checkpoint replay."""
+    import pandas as pd
+
+    from artexin_spark.streaming import (
+        conversation_progress,
+        read_conversation_progress,
+    )
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    rows = [
+        ("c1", None, "user", "abc", None, None),
+        ("c1", None, "user", "defg", None, None),
+        ("c2", 3, "user", "hi", None, None),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+    conversation_progress(
+        spark, input_dir, str(tmp_path / "ckpt"), str(tmp_path / "led")
+    )
+    led = read_conversation_progress(spark, str(tmp_path / "led")).toPandas()
+    led = led.set_index("conv_id")
+    assert led.loc["c1"].turns_seen == 2 and led.loc["c1"].max_turn_idx == -1
+    assert led.loc["c2"].max_turn_idx == 3
