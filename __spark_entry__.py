@@ -1462,10 +1462,11 @@ u AS (
   UNION ALL SELECT doc_id, 'fr', s_fr FROM s
   UNION ALL SELECT doc_id, 'es', s_es FROM s
   UNION ALL SELECT doc_id, 'zh', s_zh FROM s),
-r AS (SELECT doc_id, lang,
+r AS (SELECT doc_id, lang, score,
         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
       FROM u)
-SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1
+SELECT doc_id, CASE WHEN score > 0 THEN lang END AS pred_lang
+FROM r WHERE rn = 1
 """
 
 _ORACLES["quality_score"] = f"""
@@ -1531,7 +1532,10 @@ pred AS (SELECT doc_id, lang AS pred_lang FROM lr WHERE rn = 1),
 ck AS (SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
        FROM documents),
-reps AS (SELECT min(doc_id) AS doc_id FROM ck GROUP BY content_key),
+pass AS (SELECT q.doc_id, q.quality, p.pred_lang, ck.content_key
+         FROM q JOIN pred p USING (doc_id) JOIN ck USING (doc_id)
+         WHERE q.quality >= 0.5 AND p.pred_lang = 'en'),
+reps AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY content_key),
 sh AS (SELECT doc_id,
         unnest(CASE WHEN len(toks) >= 3
           THEN list_distinct(list_transform(
@@ -1542,11 +1546,10 @@ sh AS (SELECT doc_id,
 ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
 contam AS (SELECT sh.doc_id FROM sh JOIN ev USING (s)
            GROUP BY sh.doc_id HAVING count(*) >= 2)
-SELECT q.doc_id, q.quality, p.pred_lang
-FROM q JOIN pred p USING (doc_id)
-WHERE q.quality >= 0.5 AND p.pred_lang = 'en'
-  AND q.doc_id IN (SELECT doc_id FROM reps)
-  AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+SELECT doc_id, quality, pred_lang
+FROM pass
+WHERE doc_id IN (SELECT doc_id FROM reps)
+  AND doc_id NOT IN (SELECT doc_id FROM contam)
 """
 
 _ORACLES["fingerprint"] = f"""

@@ -154,25 +154,29 @@ def banded_sigs(
     ``max_bucket`` drops degenerate buckets (boilerplate shingle storms)
     before any quadratic pairing step."""
     cols = [F.col(id_col)] + ([F.col("sig")] if carry_sig else [])
+    # balanced band boundaries floor(b·k/bands) cover EVERY signature slot
+    # (an integer width k//bands silently dropped the trailing k%bands
+    # slots from all band keys); identical slices when bands divides k.
+    # Requires k >= bands — validated where k is known (minhash_dedup).
+    k_sz = F.size("sig")
+
+    def _band_key(b):
+        start = F.floor(b * k_sz / bands).cast("int")
+        length = F.floor((b + 1) * k_sz / bands).cast("int") - start
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(F.col("sig"), start + 1, length),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        )
+
     banded = sigs.select(
         *cols,
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size("sig") / bands).cast("int") + 1,
-                                (F.size("sig") / bands).cast("int"),
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_key)
         ).alias("band_idx", "band_key"),
     )
     sizes = banded.groupBy("band_idx", "band_key").count()
@@ -272,6 +276,11 @@ def minhash_dedup(
     iterate or connected-components for full clustering). Single-pass:
     signatures feed the fused band+jaccard step exactly once, so nothing
     needs caching."""
+    if not 1 <= bands <= k:
+        # bands > k would make every band key md5('') — all docs collide,
+        # the max_bucket filter drops everything, and the job silently
+        # reports ZERO near-dups on duplicate-ridden data
+        raise ValueError(f"bands must be in [1, k]; got bands={bands}, k={k}")
     sigs = minhash_signatures(df, text_col, id_col, k, n)
     est = lsh_pairs_jaccard(sigs, id_col, bands)
     return est.filter(F.col("jaccard_est") >= threshold)
@@ -515,24 +524,43 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Banded join:
     two docs within hamming d < bands must agree exactly on ≥1 of the
     ``bands`` bit-blocks (pigeonhole) → self-join per band, verify true
-    hamming natively."""
+    hamming natively. ``bands=None`` picks max_hamming+1 — the smallest
+    (cheapest: fewest candidate rows) band count the pigeonhole argument
+    permits."""
     bits = SIMHASH_BITS
-    width = bits // bands
+    if bands is None:
+        bands = max_hamming + 1
+    if not 0 <= max_hamming < bands <= bits:
+        # the pigeonhole guarantee REQUIRES max_hamming < bands: at
+        # max_hamming >= bands a true near-dup pair can differ in every
+        # block and silently never become a candidate
+        raise ValueError(
+            f"need 0 <= max_hamming < bands <= {bits}; "
+            f"got max_hamming={max_hamming}, bands={bands}"
+        )
     sh = add_simhash(
         df.select(F.col(id_col).alias("id"), text_col), text_col, "sh", bits
     ).select("id", "sh")
+    # balanced block boundaries floor(b·bits/bands) partition EVERY bit
+    # (an integer width bits//bands leaves a tail of bits%bands bits out
+    # of all band keys when bands doesn't divide bits)
     banded = sh.select(
         "id",
         "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.substring("sh", b * width + 1, width),
+                lambda b: F.substring(
+                    "sh",
+                    F.floor(b * bits / bands).cast("int") + 1,
+                    F.floor((b + 1) * bits / bands).cast("int")
+                    - F.floor(b * bits / bands).cast("int"),
+                ),
             )
         ).alias("band_idx", "band_key"),
     )
@@ -573,7 +601,7 @@ def embedding_near_dup(
     """Pairs with cosine >= threshold. Brute-force pairwise (for the exact
     baseline / oracle); at scale use similarity.lsh_ann buckets as the
     candidate generator instead of the full cross join."""
-    from .similarity import dot_expr, norm_expr
+    from .similarity import cosine_from_parts, dot_expr, norm_expr
 
     a = emb.select(
         F.col(id_col).alias("id_a"),
@@ -589,7 +617,9 @@ def embedding_near_dup(
     return pairs.select(
         "id_a",
         "id_b",
-        (dot_expr("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
+        cosine_from_parts(
+            dot_expr("v_a", "v_b"), F.col("n_a"), F.col("n_b")
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 

@@ -45,6 +45,12 @@ def asof_join(
         F.lit(None).cast(r_type).alias("_r"),
     )
     keep = set(by + [on])
+    # NULL-timestamp right rows can never be an as-of match (NULL <= t is
+    # unknown in SQL, and DuckDB ASOF skips them) — but Spark's nulls-first
+    # ascending window order would sort them EARLIEST, so without this
+    # filter their values carry forward into every left row that has no
+    # true prior match
+    right = right.filter(F.col(on).isNotNull())
     r_side = right.select(
         *[
             (F.col(c) if c in keep else F.lit(None).cast(left.schema[c].dataType)).alias(c)

@@ -45,13 +45,25 @@ def norm_expr(a_col):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+
+def cosine_from_parts(dot, na, nb):
+    """cosine from precomputed dot and per-side norms, with the standard
+    zero-vector convention (similarity 0.0). The guard matters: Spark 4
+    runs ANSI mode by default, where one all-zeros embedding would raise
+    DIVIDE_BY_ZERO and kill the whole job — violating the engine's
+    one-poison-row-never-fails-a-job rule (SURVEY.md §4)."""
+    prod = na * nb
+    return F.when(prod == 0.0, F.lit(0.0)).otherwise(dot / prod)
+
 def cosine_expr(a_col, b_col):
     """Native cosine — matches DuckDB list_cosine_similarity. For joins,
     prefer precomputing norm_expr per SIDE (O(N+Q) norms) and dividing
     dot_expr by the product (O(N·Q) dots only); the float result is
     identical (same folds), this inline form just re-does the norms per
     pair."""
-    return dot_expr(a_col, b_col) / (norm_expr(a_col) * norm_expr(b_col))
+    return cosine_from_parts(
+        dot_expr(a_col, b_col), norm_expr(a_col), norm_expr(b_col)
+    )
 
 
 def cosine_topk(
@@ -77,7 +89,9 @@ def cosine_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        cosine_from_parts(
+            dot_expr("q_vec", "c_vec"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine"),
     )
     from pyspark.sql.window import Window
 
@@ -111,7 +125,9 @@ def cosine_topk_np(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0  # zero vector: cosine 0, not NaN
+    Qn = Q / qn
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Qn))
 
@@ -129,7 +145,9 @@ def cosine_topk_np(
             if not len(pdf):
                 continue
             C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0  # zero vector: cosine 0, not NaN
+            Cn = C / cn
             sims = Cn @ Qn_l.T  # (batch, Q)
             c_ids = pdf[id_col].to_numpy()
             n_take = min(k + 1, sims.shape[0])  # +1 absorbs self-match
@@ -271,7 +289,9 @@ def lsh_ann(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        cosine_from_parts(
+            dot_expr("q_vec", "c_vec"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     from pyspark.sql.window import Window
 
@@ -308,7 +328,9 @@ def ivf_assign(
         id_col,
         vec_col,
         "centroid_id",
-        (dot_expr(vec_col, "cent_vec") / (F.col("_vnorm") * F.col("cent_norm"))).alias("_cscore"),
+        cosine_from_parts(
+            dot_expr(vec_col, "cent_vec"), F.col("_vnorm"), F.col("cent_norm")
+        ).alias("_cscore"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc("centroid_id"))
     return (
@@ -354,7 +376,9 @@ def ivf_topk(
         "query_id",
         "centroid_id",
         "neighbor_id",
-        (dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        cosine_from_parts(
+            dot_expr("q_vec", "c_vec"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine"),
     )
     from pyspark.sql.window import Window
 

@@ -62,10 +62,15 @@ def best_lang_struct(text_col: str = "text"):
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     best = best_lang_struct(text_col)
+    score = best.getField("score")
     return df.select(
         F.col(id_col),
-        best.getField("lang").alias("pred_lang"),
-        best.getField("score").alias("lang_score"),
+        # zero evidence = no prediction: with every score tied at 0 the
+        # lexicographic tie-break would confidently label unknown/empty
+        # documents as the max lang STRING ('zh'), skewing any language
+        # mixture built on pred_lang
+        F.when(score > 0, best.getField("lang")).alias("pred_lang"),
+        score.alias("lang_score"),
     )
 
 
@@ -157,11 +162,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             lambda i: F.md5(F.array_join(F.slice(toks, i + 1, win), " ")),
         ),
     ).otherwise(F.array(F.md5(F.array_join(toks, " "))))
+    from .dedup import norm_md5
+
     return df.withColumn("_toks", tokens_col(text_col)).select(
         F.col(id_col),
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))).alias(
-            "content_md5"
-        ),
+        # norm_md5 IS the engine's content-identity contract (exact_dedup's
+        # key, oracle-pinned) — share it, never re-spell it
+        norm_md5(text_col).alias("content_md5"),
         F.array_min(windows).alias("winnow_fp"),
     )
 
@@ -201,27 +208,30 @@ def curate(
     column expressions, so they compute in ONE projection over one scan —
     never N self-joins of the corpus. The only shuffles are the keep-first
     hash-agg on the 32-char content key and contamination's count agg;
-    the eval shingle set broadcasts. Dedup-then-filter order: the group
-    representative is the global min id, so a rerun over an appended
-    corpus keeps the same representatives."""
+    the eval shingle set broadcasts. Filter-THEN-dedup order: the group
+    representative is the min id among PASSING copies — picking it before
+    the gate would drop a content group entirely whenever its global-min
+    copy happens to fail quality/lang while another copy passes."""
     from .dedup import contamination, norm_md5
 
+    best = best_lang_struct(text_col)
     base = df.select(
         F.col(id_col),
         quality_expr(text_col).alias("quality"),
-        best_lang_struct(text_col).getField("lang").alias("pred_lang"),
+        # same zero-evidence guard as lang_id: a marker-free document must
+        # not pass a langs=("zh",) gate on the tie-break artifact
+        F.when(best.getField("score") > 0, best.getField("lang")).alias("pred_lang"),
         norm_md5(text_col).alias("content_key"),
     )
-    reps = base.groupBy("content_key").agg(F.min(id_col).alias(id_col))
+    passing = base.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(langs))
+    )
+    reps = passing.groupBy("content_key").agg(F.min(id_col).alias(id_col))
     bad = contamination(
         df, eval_df, text_col, id_col, n=n, min_overlap=min_overlap
     ).select(F.col(id_col))
     return (
-        base.filter(
-            (F.col("quality") >= min_quality)
-            & F.col("pred_lang").isin(list(langs))
-        )
-        .join(reps.select(id_col), id_col, "left_semi")
+        passing.join(reps.select(id_col), id_col, "left_semi")
         .join(bad, id_col, "left_anti")
         .select(id_col, "quality", "pred_lang")
     )

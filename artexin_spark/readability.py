@@ -348,16 +348,19 @@ def process_images(doc: dom.Node, base_url: str) -> list[str]:
     left join assets → join back.
     """
     seen: list[str] = []
-    tags: list[dom.Node] = []
+    seen_idx: dict[str, int] = {}  # O(1) dupe lookup: sprite/tracker-heavy
+    tags: list[dom.Node] = []     # pages repeat one src thousands of times
     dupes: list[tuple[dom.Node, int]] = []
     for img in doc.find_all("img"):
         src = img.attrs.get("src")
         if src is None:
             img.decompose()
             continue
-        if src in seen:
-            dupes.append((img, seen.index(src)))
+        idx = seen_idx.get(src)
+        if idx is not None:
+            dupes.append((img, idx))
         else:
+            seen_idx[src] = len(seen)
             seen.append(src)
             tags.append(img)
 

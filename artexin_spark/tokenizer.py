@@ -26,10 +26,12 @@ import re
 WSRE = re.compile(r"\s+")
 NONWORD_RE = re.compile(r"^\W+$")
 
-# Sentence boundary: terminal punctuation (with optional closing quotes)
-# followed by whitespace. Replaces NLTK punkt (artexin/index.py:103).
-_SENT_RE = re.compile(r'(?<=[.!?])(?:(?=\s)|(?<=[.!?]["”’]))\s+')
-_SENT_SPLIT = re.compile(r'(?<=[.!?])["”’]?\s+')
+# Sentence boundary: whitespace preceded by terminal punctuation, with an
+# optional closing quote KEPT attached to its sentence (punkt behavior —
+# a split pattern consuming the quote would delete it from the output).
+# Two fixed-width lookbehinds in alternation: Python rejects one
+# variable-width lookbehind. Replaces NLTK punkt (artexin/index.py:103).
+_SENT_SPLIT = re.compile(r'(?:(?<=[.!?])|(?<=[.!?]["”’]))\s+')
 
 # Em-dash runs separate tokens (Treebank behavior on 'errors--not').
 _DASH_RE = re.compile(r"(--+|[–—]+)")

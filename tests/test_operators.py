@@ -515,3 +515,98 @@ def test_group_quota_caps_each_stratum_deterministically(spark, docs):
     b = sorted(r["doc_id"] for r in sp.group_quota(docs, 3).select("doc_id").collect())
     assert a == b  # rerun-stable
     assert out.columns == docs.columns  # helper column dropped
+
+
+# --- review-pass regression pins ---------------------------------------------
+
+
+def test_cosine_paths_tolerate_zero_vectors(spark):
+    """One all-zeros embedding must score 0.0 everywhere, never raise
+    DIVIDE_BY_ZERO (Spark 4 default ANSI mode) or emit NaN — the
+    one-poison-row rule applies to vectors too."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for out in (
+        similarity.cosine_topk(df, df, k=2),
+        similarity.cosine_topk_np(df, df, k=2),
+    ):
+        got = out.collect()
+        assert got and all(r.cosine == r.cosine for r in got)  # no NaN
+        assert all(r.cosine == 0.0 for r in got if 0 in (r.query_id, r.neighbor_id))
+    nd = dedup.embedding_near_dup(df, threshold=0.5).collect()
+    assert all(r.cosine == r.cosine for r in nd)
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """NULL <= t is unknown: a null-ts right row is never an as-of match
+    (DuckDB ASOF parity) — nulls-first window order must not let its
+    values carry into unmatched left rows."""
+    from artexin_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, None, 5.0), (1, 20, 9.0)], "k int, ts int, price double"
+    )
+    out = asof_join(left, right, on="ts", by=("k",), values=("price",)).collect()
+    assert out[0]["price_r"] is None
+
+
+def test_sentence_split_keeps_closing_quotes():
+    from artexin_spark.tokenizer import split_sentences
+
+    got = list(split_sentences('He said "Stop." Then he left.'))
+    assert got == ['He said "Stop."', "Then he left."]
+    got2 = list(split_sentences("End.” Next one."))
+    assert got2 == ["End.”", "Next one."]
+
+
+def test_minhash_band_params_validated_and_tail_slots_count(spark):
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_dedup(
+            spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+            k=8,
+            bands=16,
+        )
+    # k % bands != 0: the trailing signature slots must influence band keys
+    sigs = spark.createDataFrame(
+        [(1, list(range(10))), (2, list(range(9)) + [99])],
+        "doc_id long, sig array<long>",
+    )
+    banded = dedup.banded_sigs(sigs, bands=4, carry_sig=False).toPandas()
+    last = banded[banded.band_idx == 3]
+    keys = set(last.band_key)
+    assert len(keys) == 2  # docs differ ONLY in slot 10 → last band differs
+
+
+def test_simhash_pigeonhole_precondition_enforced(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_dedup(df, max_hamming=4, bands=4)
+
+
+def test_lang_id_zero_evidence_is_null_not_zh(spark):
+    df = spark.createDataFrame(
+        [(1, "ciao amico come stai oggi bene grazie"), (2, ""), (3, "the and is of")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.lang_id(df).collect()}
+    assert got[1].pred_lang is None and got[1].lang_score == 0.0
+    assert got[2].pred_lang is None
+    assert got[3].pred_lang == "en"
+
+
+def test_curate_keeps_group_when_passing_copy_exists(spark):
+    """Representative is picked among PASSING copies: an all-caps (quality-
+    failing) min-id copy must not drop its content group when a clean copy
+    passes the gate."""
+    # 8 words, no punctuation: the caps copy fails quality (0.2 words +
+    # 0.25 mwl + 0 punct + 0 caps = 0.45 < 0.5) while the clean copy
+    # passes (0.70); both share one content_key (norm_md5 lowercases)
+    good = "the quick brown fox jumps over lazy dog"
+    df = spark.createDataFrame(
+        [(1, good.upper()), (2, good), (3, "unrelated " + good.replace("fox", "cat"))],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(100, "zz yy xx ww vv uu")], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in textstats.curate(df, eval_df).collect())
+    assert 2 in kept  # the passing copy survives its failing twin
