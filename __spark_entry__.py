@@ -1232,10 +1232,13 @@ FROM documents GROUP BY lang, source
 
 # id-hash bucket shared by the sampling/split oracles (15 hex md5 chars →
 # exact BIGINT in both engines; mirrors operators/sampling.hash_bucket)
-_SQL_IDBUCKET = (
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
-    " % 1000000"
-)
+def _sql_idbucket(salt: str) -> str:
+    """Purpose-salted id-hash bucket (mirrors sampling.hash_bucket: ops
+    must not share one hash or composing them is degenerate)."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) % 1000000"
+    )
 
 _ORACLES["asof_join"] = """
 SELECT l.event_id, l.user_id,
@@ -1293,13 +1296,13 @@ FROM s2
 """
 
 _ORACLES["hash_sample"] = f"""
-SELECT doc_id FROM documents WHERE {_SQL_IDBUCKET} < 200000
+SELECT doc_id FROM documents WHERE {_sql_idbucket("sample:")} < 200000
 """
 
 _ORACLES["hash_split"] = f"""
 SELECT doc_id,
-       CASE WHEN {_SQL_IDBUCKET} < 800000 THEN 'train'
-            WHEN {_SQL_IDBUCKET} < 900000 THEN 'val'
+       CASE WHEN {_sql_idbucket("split:")} < 800000 THEN 'train'
+            WHEN {_sql_idbucket("split:")} < 900000 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """
@@ -1337,7 +1340,7 @@ FROM f GROUP BY doc_id ORDER BY doc_id
 
 _ORACLES["stratified_sample"] = f"""
 SELECT doc_id, source FROM documents
-WHERE {_SQL_IDBUCKET} < CASE source
+WHERE {_sql_idbucket("strata:")} < CASE source
   WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
   WHEN 'src2' THEN 250000 ELSE 100000 END
 """
@@ -1347,7 +1350,7 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents) WHERE rn <= 5
 """
 

@@ -24,7 +24,7 @@ from datetime import datetime, timedelta
 
 import pandas as pd
 
-from .preprocess import PREPS_BY_NAME, get_prep_names
+from .preprocess import preps_for
 from .readability import extract_turn
 
 BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
@@ -144,7 +144,7 @@ def golden_extract(pdf: pd.DataFrame) -> pd.DataFrame:
     out = []
     for row in pdf.itertuples(index=False):
         src = getattr(row, "source", "") or ""
-        preps = [PREPS_BY_NAME[n] for n in get_prep_names(src)] if src else ()
+        preps = preps_for(src)
         res = extract_turn(row.text, base_url=src, preprocessors=preps)
         out.append(
             {

@@ -124,10 +124,16 @@ def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
         F.lit(max_side)
         / F.greatest(F.col("meta.width"), F.col("meta.height")).cast("double"),
     )
+    # floor of 1: a 1×1025 asset at max_side=512 rounds its short side to
+    # 0 — an invalid resize target for the pixel op
     return df.select(
         "asset_id",
-        F.round(F.col("meta.width") * scale).cast("int").alias("target_w"),
-        F.round(F.col("meta.height") * scale).cast("int").alias("target_h"),
+        F.greatest(F.lit(1), F.round(F.col("meta.width") * scale).cast("int")).alias(
+            "target_w"
+        ),
+        F.greatest(F.lit(1), F.round(F.col("meta.height") * scale).cast("int")).alias(
+            "target_h"
+        ),
     )
 
 

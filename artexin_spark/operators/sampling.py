@@ -20,19 +20,28 @@ from pyspark.sql import DataFrame, functions as F
 # Spark and DuckDB (16 would hit the BIGINT sign bit)
 
 
-def hash_bucket(col, buckets: int):
-    """Deterministic bucket in [0, buckets) from any column's string form."""
+def hash_bucket(col, buckets: int, salt: str = ""):
+    """Deterministic bucket in [0, buckets) from any column's string form.
+
+    ``salt`` decorrelates hashes across PURPOSES: every op in this module
+    salts differently, because composing two ops driven by the SAME
+    id-hash is degenerate — e.g. hash_split over a hash_sample'd corpus
+    would put every surviving row in 'train' (sampled rows are exactly
+    the low buckets, and the train cutoff covers them all), silently
+    emptying val/test."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
+    key = c.cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % buckets
 
 
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows by id hash.
     Rerunning (anywhere, any engine) selects the same rows."""
-    return df.filter(hash_bucket(id_col, 1_000_000) < round(rate * 1_000_000))
+    return df.filter(
+        hash_bucket(id_col, 1_000_000, "sample:") < round(rate * 1_000_000)
+    )
 
 
 def hash_split(
@@ -48,7 +57,7 @@ def hash_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError("split weights must sum to 1, got %s" % total)
-    bucket = hash_bucket(id_col, 1_000_000)
+    bucket = hash_bucket(id_col, 1_000_000, "split:")
     expr = None
     cum = 0.0
     items = list(weights.items())
@@ -80,7 +89,7 @@ def stratified_sample(
     pure function of (id, stratum rate), so reruns and other engines
     select identical rows, and raising a stratum's rate strictly grows
     its sample (nested samples: rate 0.1 ⊂ rate 0.2)."""
-    bucket = hash_bucket(id_col, 1_000_000)
+    bucket = hash_bucket(id_col, 1_000_000, "strata:")
     cutoff = None
     for name, r in rates.items():
         cond = F.col(strata_col) == name
@@ -113,7 +122,7 @@ def group_quota(
     from pyspark.sql import Window
 
     w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), id_col
+        F.md5(F.concat(F.lit("quota:"), F.col(id_col).cast("string"))), id_col
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -41,13 +41,17 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _NAME_TITLE_RE = re.compile(rb"/Title\s*(?=[(<])")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+_WS_DELIM = _WS + _DELIM  # hoisted: the tokenizer loop tests per character
 
 
 def is_pdf(payload) -> bool:
     if payload is None:
         return False
     if isinstance(payload, str):
-        return payload.lstrip()[:5] == "%PDF-"
+        # SAME whitespace set as pdf_extract's header check: an
+        # unrestricted lstrip() also strips \x0b/unicode spaces, routing
+        # payloads into the PDF branch that pdf_extract then rejects
+        return payload.lstrip("\x00\t\n\x0c\r ")[:5] == "%PDF-"
     return payload.lstrip(b"\x00\t\n\x0c\r ")[:5] == b"%PDF-"
 
 
@@ -185,12 +189,12 @@ def _tokenize_content(data: bytes):
             i += 1
         elif c == b"/":  # name
             j = i + 1
-            while j < n and data[j : j + 1] not in _WS + _DELIM:
+            while j < n and data[j : j + 1] not in _WS_DELIM:
                 j += 1
             i = j
         else:  # number or operator
             j = i
-            while j < n and data[j : j + 1] not in _WS + _DELIM:
+            while j < n and data[j : j + 1] not in _WS_DELIM:
                 j += 1
             word = data[i:j]
             i = j if j > i else i + 1
@@ -255,7 +259,16 @@ def pdf_extract(payload) -> tuple[str, str]:
     if re.search(rb"/Encrypt\b", data):
         raise NotImplementedError("encrypted PDF unsupported")
 
+    # Two title candidates: an object that looks like the /Info dict
+    # (carries Producer/Creator/dates/Author alongside /Title) always
+    # wins over the first incidental /Title — outline (bookmark) dicts
+    # also carry /Title without /Type and usually precede Info in the
+    # file, so first-match-wins returned a chapter bookmark as the
+    # document title.
+    _INFO_MARKS = (b"/Producer", b"/Creator", b"/CreationDate", b"/ModDate",
+                   b"/Author", b"/Subject", b"/Keywords")
     title = ""
+    info_title = ""
     lines: list[str] = []
     for m in _OBJ_RE.finditer(data):
         body = m.group(3)
@@ -269,9 +282,9 @@ def pdf_extract(payload) -> tuple[str, str]:
                     continue  # corrupt stream: skip, keep other objects
             if b"BT" in raw:
                 lines.extend(_content_to_lines(raw))
-        elif b"/Title" in body and b"/Type" not in body or b"/Info" in body:
+        elif (b"/Title" in body and b"/Type" not in body) or b"/Info" in body:
             tm = _NAME_TITLE_RE.search(body)
-            if tm and not title:
+            if tm and (not title or not info_title):
                 j = tm.end()
                 if body[j : j + 1] == b"(":
                     t, _ = _parse_literal_string(body, j)
@@ -279,12 +292,15 @@ def pdf_extract(payload) -> tuple[str, str]:
                     t, _ = _parse_hex_string(body, j)
                 else:
                     t = b""
-                title = _decode_text(t).strip()
-    if not lines and b"BT" not in data:
-        # a PDF with no text operators at all (pure image scan): valid,
-        # empty text — the caller records 0-length extraction, not error
-        pass
-    return title, "\n".join(lines)
+                decoded = _decode_text(t).strip()
+                if decoded:
+                    if not info_title and any(mk in body for mk in _INFO_MARKS):
+                        info_title = decoded
+                    if not title:
+                        title = decoded
+    # a PDF with no text operators at all (pure image scan) is valid:
+    # empty text — the caller records 0-length extraction, not an error
+    return (info_title or title), "\n".join(lines)
 
 
 # ---------------------------------------------------------------------------

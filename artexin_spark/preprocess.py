@@ -61,10 +61,13 @@ def pp_wikipedia(doc: dom.Document) -> None:
                 if len(runs) == 1:
                     tnode.start, tnode.end = runs[0].start, runs[0].end
                 title.append(tnode)
-        artbody.insert(0, title)
-        artbody.detach()
+        # locate the body BEFORE detaching: on a body-less fragment the
+        # old order detached the article div and never re-attached it —
+        # the whole document silently extracted to '' with no error
         body = doc.find("body")
+        artbody.insert(0, title)
         if body is not None:
+            artbody.detach()
             body.clear()
             body.append(artbody)
 
@@ -182,3 +185,15 @@ def fixheaders_html(html: str) -> str:
     doc = dom.parse(html)
     pp_fixheaders(doc)
     return doc.to_html()
+
+
+def preps_for(source: str):
+    """Callable list for a source URL with EXACT get_preps dispatch
+    semantics — including the empty-source case, where the catch-all
+    still applies (the reference appends `.*` → fixheaders to every
+    match list, preprocessor_mappings.py:29-33). The single shared
+    resolver for the UDF batch loop and the golden generator: both sides
+    of the equality gate must dispatch identically BY CONSTRUCTION, and
+    an `if src` shortcut on either side would silently skip fixheaders
+    for every source-less transcript."""
+    return [PREPS_BY_NAME[n] for n in get_prep_names(source or "")]

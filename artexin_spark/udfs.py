@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .preprocess import PREPS_BY_NAME, get_prep_names
+from .preprocess import preps_for
 from .readability import extract_turn, get_title
 from . import dom
 from .tokenizer import count_text, split_sentences, split_words
@@ -63,13 +63,10 @@ def _run_extract_batch(
     prep_cache: dict[str, list] = {}
     for html, src, do_ext in zip(texts, sources, do_extract):
         src = src if isinstance(src, str) else ""
-        if src:
-            preps = prep_cache.get(src)
-            if preps is None:
-                preps = [PREPS_BY_NAME[n] for n in get_prep_names(src)]
-                prep_cache[src] = preps
-        else:
-            preps = ()
+        # '' dispatches too (catch-all fixheaders) — preprocess.preps_for
+        preps = prep_cache.get(src)
+        if preps is None:
+            preps = prep_cache[src] = preps_for(src)
         res = extract_turn(
             html,
             base_url=src,

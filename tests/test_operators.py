@@ -435,7 +435,7 @@ def test_hash_split_cutoffs_round_not_truncate(spark, docs):
     w = {"a": 0.3, "b": 0.3, "c": 0.4}
     got = {r["doc_id"]: r["split"] for r in sp.hash_split(docs, w).collect()}
     buckets = {r["doc_id"]: r["b"] for r in docs.select(
-        "doc_id", hash_bucket("doc_id", 1_000_000).alias("b")).collect()}
+        "doc_id", hash_bucket("doc_id", 1_000_000, "split:").alias("b")).collect()}
     for did, b in buckets.items():
         want = "a" if b < 300000 else ("b" if b < 600000 else "c")
         assert got[did] == want, (did, b, got[did])
@@ -610,3 +610,31 @@ def test_curate_keeps_group_when_passing_copy_exists(spark):
     eval_df = spark.createDataFrame([(100, "zz yy xx ww vv uu")], "doc_id long, text string")
     kept = sorted(r.doc_id for r in textstats.curate(df, eval_df).collect())
     assert 2 in kept  # the passing copy survives its failing twin
+
+
+def test_sampling_ops_use_decorrelated_hashes(spark):
+    """hash_split over a hash_sample'd corpus must still produce every
+    split: with one shared unsalted id-hash, the sampled rows are exactly
+    the low buckets and all land in 'train' (val/test silently empty)."""
+    from artexin_spark.operators import sampling as sp
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    sampled = sp.hash_sample(df, 0.2)
+    splits = sp.hash_split(sampled, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}, counts
+    # and the split proportions hold approximately within the sample
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9
+
+
+def test_resize_plan_never_emits_zero_dimension(spark):
+    from artexin_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, (1, 1025)), (2, (2048, 3))],
+        "asset_id long, meta struct<width:int,height:int>",
+    )
+    rp = multimodal.resize_plan(assets, max_side=512).toPandas()
+    assert (rp[["target_w", "target_h"]].min(axis=1) >= 1).all()

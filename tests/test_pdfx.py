@@ -98,3 +98,29 @@ def test_spark_mixed_html_pdf_batch(spark):
     assert out[0]["title"] == "H" and "html article body" in out[0]["extracted_text"]
     assert out[1]["title"] == "P" and out[1]["extracted_text"] == "pdf article body"
     assert out[2]["error"] is not None
+
+
+def test_info_title_beats_outline_bookmark_title():
+    """An outline (bookmark) dict carries /Title without /Type and often
+    precedes the /Info dict; the document title must come from Info."""
+    from artexin_spark.pdfx import pdf_extract
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"5 0 obj\n<< /Title (Chapter One Bookmark) /Parent 4 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Title (The Real Document Title) /Producer (x) >>\nendobj\n"
+        b"%%EOF"
+    )
+    title, _text = pdf_extract(pdf)
+    assert title == "The Real Document Title"
+
+
+def test_is_pdf_whitespace_set_matches_pdf_extract():
+    """is_pdf and pdf_extract must agree on leading whitespace, or a
+    payload routes into the PDF branch only to be rejected there."""
+    from artexin_spark.pdfx import is_pdf, pdf_extract
+
+    assert not is_pdf("\x0b%PDF-1.4 not really")
+    assert is_pdf(" \r\n%PDF-1.4\n%%EOF")
+    # and the str/bytes forms agree
+    assert is_pdf(b" %PDF-") == is_pdf(" %PDF-")

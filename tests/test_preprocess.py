@@ -95,3 +95,39 @@ def test_apply_preps_html_chain():
     html = "<body><h2>Only heading</h2><p>text</p></body>"
     out = apply_preps_html(html, "http://www.example.com/a")
     assert "<h1>Only heading</h1>" in out
+
+
+def test_pp_wikipedia_keeps_content_without_body():
+    """A body-less Wikipedia fragment must keep its article content —
+    the old order detached div#mw-content-text and never re-attached it,
+    silently extracting '' with no error."""
+    from artexin_spark.preprocess import get_preps
+    from artexin_spark.readability import extract_turn
+
+    frag = (
+        '<div id="mw-content-text"><p>A long enough article paragraph, '
+        "with commas, that scores well and should extract fine.</p></div>"
+    )
+    url = "https://en.wikipedia.org/wiki/Foo"
+    res = extract_turn(frag, base_url=url, preprocessors=get_preps(url))
+    assert res.error is None
+    assert "article paragraph" in res.text
+
+
+def test_empty_source_still_dispatches_catch_all():
+    """get_preps('') includes the catch-all fixheaders; the UDF batch loop
+    and the golden generator must both apply it (an `if src` shortcut on
+    either side silently skipped it for every source-less transcript)."""
+    import pandas as pd
+
+    from artexin_spark.preprocess import get_prep_names, preps_for
+    from artexin_spark.udfs import _run_extract_batch
+
+    assert get_prep_names("") == ["fixheaders"]
+    assert [f.__name__ for f in preps_for("")] == ["pp_fixheaders"]
+    html = "<h3>Only Heading</h3><p>Body text, long enough, with commas, here.</p>"
+    out = _run_extract_batch(
+        pd.Series([html]), pd.Series([None]), pd.Series([True])
+    )
+    # fixheaders promoted h3 -> h1, so get_title finds it
+    assert out.title[0] == "Only Heading"
