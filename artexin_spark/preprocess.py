@@ -31,12 +31,19 @@ def pp_fixheaders(doc: dom.Document) -> None:
     levels shift by the same amount. No-op when h1 already exists.
     Reference: preprocessors.py:28-56 (doctest-pinned).
     """
+    # ONE document walk instead of one find_all per level (this runs on
+    # every document via the catch-all dispatch — 6 walks was ~8% of
+    # per-turn wall). Renames only ever move tags to already-processed
+    # lower levels, so grouping up front is order-equivalent.
+    by_level: dict[str, list[dom.Node]] = {}
+    for elem in doc.find_all(HEADING_TAGS):
+        by_level.setdefault(elem.tag, []).append(elem)
     adjust = None
     for level, h in enumerate(HEADING_TAGS, start=1):
-        headings = doc.find_all(h)
+        headings = by_level.get(h)
         if headings and adjust is None:
             adjust = level - 1
-        if adjust:
+        if adjust and headings:
             for elem in headings:
                 elem.tag = "h%d" % (level - adjust)
 

@@ -157,3 +157,25 @@ def test_deeply_nested_inline_markup_extracts_without_recursion():
     assert "word word" in res.text
     assert res.spans
     assert "<span>" in res.html
+
+
+def test_link_char_counts_match_subtree_walks():
+    """The one-pass link-char map must equal the naive per-node subtree
+    sum (`sum(len(_norm_text(a)) for a in node.find_all("a"))`) for every
+    element — including nested <a>, which counts at both levels."""
+    from artexin_spark import corpus
+    from artexin_spark.readability import _link_char_counts, _norm_text
+
+    pages = list(corpus.gen_transcripts(n_convs=20, seed=7)["text"])
+    pages.append(
+        '<div><p>x <a href="u">one <a href="v">two</a></a></p>'
+        '<ul><li><a href="w">three</a></li></ul></div>'
+    )
+    for html in pages:
+        doc = dom.parse(html)
+        counts = _link_char_counts(doc)
+        for node in doc.iter():
+            if node.tag is None:
+                continue
+            naive = sum(len(_norm_text(a)) for a in node.find_all("a"))
+            assert counts.get(id(node), 0) == naive, (node.tag, html[:80])
