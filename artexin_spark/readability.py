@@ -386,11 +386,15 @@ def process_images(doc: dom.Node, base_url: str) -> list[str]:
     explode(img) → row_number over first occurrence → dropDuplicates →
     left join assets → join back.
     """
+    return _process_image_tags(doc.find_all("img"), base_url)
+
+
+def _process_image_tags(img_tags: list[dom.Node], base_url: str) -> list[str]:
     seen: list[str] = []
     seen_idx: dict[str, int] = {}  # O(1) dupe lookup: sprite/tracker-heavy
     tags: list[dom.Node] = []     # pages repeat one src thousands of times
     dupes: list[tuple[dom.Node, int]] = []
-    for img in doc.find_all("img"):
+    for img in img_tags:
         src = img.attrs.get("src")
         if src is None:
             img.decompose()
@@ -425,6 +429,26 @@ def process_images(doc: dom.Node, base_url: str) -> list[str]:
         else:
             tag.attrs["src"] = names[idx]
     return images
+
+
+def _apply_links_images(
+    article: dom.Node, base_url: str, do_strip_links: bool, with_images: bool
+) -> list[str]:
+    """strip_links + process_images in ONE article-subtree walk (each used
+    to walk it separately). Reference order preserved (strip_links then
+    images, pack.py:226,229): unwrapping an <a> lifts its children in
+    place, so <img> document order and membership are unchanged."""
+    want_images = with_images and bool(base_url)
+    if not want_images:
+        if do_strip_links:
+            strip_links(article)
+        return []
+    nodes = article.find_all(("a", "img"))
+    if do_strip_links:
+        for tag in nodes:
+            if tag.tag == "a" and not (tag.attrs.get("href") or "").startswith("#"):
+                tag.unwrap()
+    return _process_image_tags([n for n in nodes if n.tag == "img"], base_url)
 
 
 # --- document assembly -------------------------------------------------------
@@ -507,10 +531,9 @@ def extract_turn(
             article = build_article(doc)
         else:
             article = doc.body
-        if do_strip_links:
-            strip_links(article)
-        if with_images and base_url:
-            result.images = process_images(article, base_url)
+        result.images = _apply_links_images(
+            article, base_url, do_strip_links, with_images
+        )
         result.n_images = len(result.images)
         result.text, spans = collect_text_spans(article)
         result.spans = spans
