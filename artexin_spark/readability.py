@@ -205,6 +205,86 @@ def strip_unlikely(doc: dom.Document) -> None:
             stack.extend(reversed(node.children))
 
 
+def _strip_collect_count(doc: dom.Document):
+    """strip_unlikely + candidate collection + link-char counts fused into
+    ONE pre+post-order DFS (they were three full-tree walks). Pre-visit
+    mutates exactly like strip_unlikely; post-visit computes the same
+    bottom-up totals as _link_char_counts over the now-final children.
+    Candidates keep strip-then-walk pre-order (score ties pick the first
+    encountered max, so order is behavior); div qualification is decided
+    AFTER the walk, when the div's children are post-strip."""
+    cands: list[dom.Node] = []
+    counts: dict[int, int] = {}
+    stack: list[tuple[dom.Node, bool]] = [
+        (kid, False) for kid in reversed(doc.children)
+    ]
+    while stack:
+        node, post = stack.pop()
+        if post:
+            total = 0
+            for kid in node.children:
+                if kid.tag is None:
+                    continue
+                total += counts.get(id(kid), 0)
+                if kid.tag == "a":
+                    total += len(_norm_text(kid))
+            counts[id(node)] = total
+            continue
+        tag = node.tag
+        if tag is None:
+            continue
+        if tag in STRIP_TAGS:
+            node.decompose()
+            continue
+        attrs = node.attrs
+        if attrs and tag not in ("html", "body"):
+            hint = "%s %s" % (attrs.get("class") or "", attrs.get("id") or "")
+            if hint != " " and UNLIKELY_RE.search(hint) and not MAYBE_RE.search(hint):
+                node.decompose()
+                continue
+        if tag in ("p", "td", "pre", "div"):
+            cands.append(node)
+        stack.append((node, True))
+        for kid in reversed(node.children):
+            stack.append((kid, False))
+    # the root itself is a scorable parent (top-level <p> under a fragment)
+    total = 0
+    for kid in doc.children:
+        if kid.tag is None:
+            continue
+        total += counts.get(id(kid), 0)
+        if kid.tag == "a":
+            total += len(_norm_text(kid))
+    counts[id(doc)] = total
+    blocks = [n for n in cands if n.tag != "div" or _is_div_as_paragraph(n)]
+    return blocks, counts
+
+
+def _score_blocks(blocks: list[dom.Node]) -> dict[int, tuple[dom.Node, float]]:
+    """The scoring half of score_candidates, over a pre-collected ordered
+    block list (comma/length → parent ×1, grandparent ×0.5)."""
+    scores: dict[int, list] = {}
+
+    def ensure(node):
+        key = id(node)
+        if key not in scores:
+            scores[key] = [node, _base_score(node.tag) + class_weight(node)]
+        return scores[key]
+
+    for node in blocks:
+        text = _norm_text(node)
+        if len(text) < MIN_TEXT_LEN:
+            continue
+        content = 1.0 + text.count(",") + min(len(text) / 100.0, 3.0)
+        parent = node.parent
+        if parent is not None and parent.tag is not None:
+            ensure(parent)[1] += content
+            grand = parent.parent
+            if grand is not None and grand.tag is not None:
+                ensure(grand)[1] += content / 2.0
+    return {k: (n, s) for k, (n, s) in scores.items()}
+
+
 def _is_div_as_paragraph(node: dom.Node) -> bool:
     """A div with no block-level element children behaves like a <p>."""
     if node.tag != "div":
@@ -255,6 +335,11 @@ def select_best(doc: dom.Document):
     # all link-char counts in ONE linear pass (candidates overlap —
     # parent + grandparent — so per-candidate subtree walks repeat work)
     counts = _link_char_counts(doc)
+    best, finals = _finalize(scored, counts)
+    return best, finals, counts
+
+
+def _finalize(scored, counts):
     finals = {
         k: (n, s * (1.0 - link_density(n, counts))) for k, (n, s) in scored.items()
     }
@@ -262,13 +347,31 @@ def select_best(doc: dom.Document):
     for node, final in finals.values():
         if final > best_score:
             best, best_score = node, final
-    return best, finals, counts
+    return best, finals
 
 
 def build_article(doc: dom.Document) -> dom.Node:
     """Winner + qualifying siblings merged in document order
     (SURVEY.md §7.3). Returns the article container node."""
     best, finals, counts = select_best(doc)
+    return _merge_article(doc, best, finals, counts)
+
+
+def strip_and_build(doc: dom.Document) -> dom.Node:
+    """strip_unlikely + build_article with the tree walks fused (the hot
+    path used by extract_turn). Behavior-identical to calling
+    strip_unlikely(doc) then build_article(doc) — pinned by a
+    differential test over the corpus."""
+    blocks, counts = _strip_collect_count(doc)
+    scored = _score_blocks(blocks)
+    if not scored:
+        best, finals = None, {}
+    else:
+        best, finals = _finalize(scored, counts)
+    return _merge_article(doc, best, finals, counts)
+
+
+def _merge_article(doc, best, finals, counts) -> dom.Node:
     if best is None:
         return doc.body
     best_final = finals[id(best)][1]
@@ -527,8 +630,7 @@ def extract_turn(
             prep(doc)
         result.title = get_title(doc)
         if do_extract:
-            strip_unlikely(doc)
-            article = build_article(doc)
+            article = strip_and_build(doc)
         else:
             article = doc.body
         result.images = _apply_links_images(

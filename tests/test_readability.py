@@ -179,3 +179,40 @@ def test_link_char_counts_match_subtree_walks():
                 continue
             naive = sum(len(_norm_text(a)) for a in node.find_all("a"))
             assert counts.get(id(node), 0) == naive, (node.tag, html[:80])
+
+
+def test_strip_and_build_matches_sequential_composition():
+    """The fused strip+score+merge pass must produce the identical article
+    (text, spans, serialized html) as strip_unlikely() followed by
+    build_article() — including score ties (first-encountered max wins)
+    and fragments whose scored parent is the document root."""
+    from artexin_spark import corpus
+    from artexin_spark.readability import (
+        build_article,
+        collect_text_spans,
+        strip_and_build,
+        strip_unlikely,
+    )
+
+    pages = list(corpus.gen_transcripts(n_convs=30, seed=11)["text"])
+    pages += [
+        # top-level <p> under the root: parent is [document]
+        "<p>a top level paragraph, with commas, long enough to be scored "
+        "as a candidate block in the election.</p>",
+        # exact tie between two identical candidates: order decides
+        "<div><p>twin paragraph, with body text long enough to score "
+        "here.</p></div><div><p>twin paragraph, with body text long "
+        "enough to score here.</p></div>",
+        # div-as-paragraph whose only block child is stripped boilerplate
+        "<div>bare div text, long enough to matter, with commas included."
+        "<nav>menu</nav></div>",
+        "",
+        "<a href='u'>just a link</a>",
+    ]
+    for html in pages:
+        d1, d2 = dom.parse(html), dom.parse(html)
+        strip_unlikely(d1)
+        a1 = build_article(d1)
+        a2 = strip_and_build(d2)
+        assert collect_text_spans(a1) == collect_text_spans(a2), html[:80]
+        assert a1.to_html() == a2.to_html(), html[:80]

@@ -1,0 +1,111 @@
+"""Long-running differential fuzz campaign (out-of-band hardening tool).
+
+Deeper and wider than the CI-speed hypothesis arms in
+tests/test_properties.py: random tag-soup built from the same scanner
+branch atoms plus random fragments, at much higher example counts and
+longer sequences. Checks, per example:
+
+  1. dom._fast_parse tree == dom.parse_stdlib tree (node-for-node)
+  2. extract_turn is total (never raises; errors in-band)
+  3. span recovery on entity-free, non-swallowed payloads:
+     fix_ws(join of source slices) == extracted text
+
+Usage:  python tools/fuzz_campaign.py [n_examples] [seed]
+Exits non-zero on the first divergence, printing a repro.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+from artexin_spark import dom  # noqa: E402
+from artexin_spark.readability import extract_turn  # noqa: E402
+from artexin_spark.tokenizer import fix_ws  # noqa: E402
+
+ATOMS = [
+    "text ", "& ", "&amp; ", "&#65;", "&nosuch;", "🎉", "&#x41;", "&#9b",
+    "&#", "&#x", "&l", "&lt", "&lt;", "&;", "&#;", "&#xzz;",
+    "<div>", "</div>", "<p class='a b'>", "</p>", "<br/>", "<img src=x>",
+    '<a href="q>r">', "</a>", "<script>a<b</script>", "</script>",
+    "<style>c>d</style>", "<!-- c -->", "<!--", "<!DOCTYPE h>", "<?pi?>",
+    "<", ">", "</", "<3", "< div>", "<a b='", "\n",
+    "</>", "<//>", "</ x>", "</x y>", "<script>", "<style>",
+    "<b</script>", "</script foo>", "<a/b>", "<a / >", "<a/>",
+    "<a=b>", "<em>", "</em>", "'", '"', "=", "/",
+    "<![CDATA[x]]>", "<![CDATA[a>b]]>", "<![if x]>", "<![endif]>",
+    "<![foo]>", "<!DOCTYPE x [<!y>]>", '<!DOCTYPE x "a>b">',
+    "<!ENTITY e 'v'>", "<!-- c --\t>", "-->", "--\t>", "\x00",
+    # extra branch pokes beyond the CI set
+    "<a b=c d>", '<a b="c" b="d">', "<a  b\t=\nc>", "<A HREF=X>", "</A>",
+    "<h1>", "</h1>", "<h3>", "</h3>", "<td>", "</td>", "<table>", "</table>",
+    "<ul>", "<li>", "</li>", "</ul>", "<nav>", "</nav>", "<footer>",
+    "</footer>", "<title>t</title>", "<a href=#f>", "<a href=/x>",
+    "<img>", "<img src=''>", "<input type=x>", "<meta charset=u>",
+    "&#0;", "&#1114112;", "&#xD800;", "&#10;", "&#x20;", ", ", ". ",
+    "words with, commas and length to score ", "<div id=nav>", "<div id=main>",
+    "<span>", "</span>", "<pre>", "</pre>", "<blockquote>", "</blockquote>",
+    "<!doctype html>", "<?", "<!", "<!>", "<! >", "<a\x00b>", "\r\n", "\t",
+]
+
+
+def sig(d):
+    return [
+        (n.tag, n.text, n.start, n.end, dict(n.attrs) if n.attrs else {})
+        for n in d.iter()
+    ]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1337
+    rng = random.Random(seed)
+    checked_spans = 0
+    for i in range(n):
+        k = rng.randint(0, 60)
+        parts = [rng.choice(ATOMS) for _ in range(k)]
+        # occasionally splice raw random characters to leave atom space
+        if rng.random() < 0.25:
+            junk = "".join(
+                chr(rng.randint(1, 0x2FF)) for _ in range(rng.randint(1, 12))
+            )
+            parts.insert(rng.randint(0, len(parts)), junk)
+        src = "".join(parts)
+        try:
+            fast = dom._fast_parse(src)
+        except Exception as err:  # noqa: BLE001
+            print("FAST PARSE RAISED %r on %r" % (err, src))
+            return 1
+        slow = dom.parse_stdlib(src)
+        if sig(fast) != sig(slow):
+            print("TREE DIVERGENCE on %r" % src)
+            for a, b in zip(sig(fast), sig(slow)):
+                mark = "  " if a == b else "->"
+                print(mark, a, "|", b)
+            return 1
+        try:
+            res = extract_turn(src, with_html=False)
+        except Exception as err:  # noqa: BLE001
+            print("EXTRACT RAISED %r on %r" % (err, src))
+            return 1
+        if (
+            res.error is None
+            and "&" not in src
+            and "</>" not in src
+            and "<![" not in src
+        ):
+            got = fix_ws(" ".join(src[s:e] for s, e in res.spans))
+            if got != res.text:
+                print("SPAN MISMATCH on %r\n  spans->%r\n  text ->%r" % (src, got, res.text))
+                return 1
+            checked_spans += 1
+        if (i + 1) % 5000 == 0:
+            print("…%d/%d ok (%d span-checked)" % (i + 1, n, checked_spans), flush=True)
+    print("PASS: %d examples, %d span-checked, 0 divergences" % (n, checked_spans))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
