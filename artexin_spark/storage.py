@@ -40,12 +40,23 @@ def lineage_path(sink: str) -> str:
     return os.path.join(sink, "_lineage")
 
 
+# Sink codec: zstd, explicitly. Measured on the fat extracted_text column
+# (BENCH experiment, 48k turns / 16 cores): encode wall is identical across
+# snappy/lz4/zstd/uncompressed (~0.47 s min-of-3 each — the encoder is not
+# the write bottleneck), but zstd files are 28% smaller than snappy and 4×
+# smaller than uncompressed. At the 10^12-turn target (~2 PB written) the
+# size difference IS the cost: every downstream scan, the lineage read-back,
+# and resume re-reads pay it. Free CPU-wise, so it's the default.
+SINK_CODEC = "zstd"
+
+
 def write_data(df: DataFrame, sink: str) -> None:
     """Dynamic-partition-overwrite write: only the part_key directories
     present in ``df`` are replaced — idempotent bucket re-runs."""
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("compression", SINK_CODEC)
         .partitionBy("part_key")
         .parquet(data_path(sink))
     )
@@ -119,9 +130,9 @@ def write_run_data(df: DataFrame, sink: str, run_id: str) -> None:
     """Write one run's output as immutable bucket-partitioned files under
     its own run directory. mode=overwrite makes a retried run idempotent
     (the retry owns the whole dir); nothing is readable until commit."""
-    df.write.mode("overwrite").partitionBy("part_key").parquet(
-        run_data_path(sink, run_id)
-    )
+    df.write.mode("overwrite").option("compression", SINK_CODEC).partitionBy(
+        "part_key"
+    ).parquet(run_data_path(sink, run_id))
 
 
 def _read_manifest(spark: SparkSession, sink: str) -> DataFrame | None:
@@ -267,6 +278,7 @@ def compact_snapshot(
             max(1, n_buckets_live) * files_per_bucket, F.col("part_key"), spread
         )
         .write.mode("overwrite")
+        .option("compression", SINK_CODEC)
         .partitionBy("part_key")
         .parquet(run_data_path(sink, rid))
     )
