@@ -12,11 +12,11 @@ Layout:
     dom.py          lightweight stdlib HTML DOM with source char offsets
     urlx.py         URL algebra (split/normalize/absolutize/escape/hash)
     readability.py  from-scratch Arc90-style main-content scorer
-    tokenize.py     sentence/word tokenization + term & pair counts
+    tokenizer.py    sentence/word tokenization + term & pair counts
     preprocess.py   HTML preprocessors + URL-pattern dispatch
     udfs.py         Arrow pandas_udf wrappers around the pure functions
     pipeline.py     read -> salt -> extract -> hash -> sink with lineage
-    io.py           Iceberg-shaped parquet source/sink + manifests
+    storage.py      Iceberg-shaped parquet sink + lineage/snapshot manifests
     corpus.py       deterministic synthetic transcript corpus (seed=42)
     operators/      training-data-pipeline ops (dedup, knn, text stats)
 """

@@ -21,7 +21,11 @@ def main() -> None:
     ap.add_argument("--sink", required=True, help="output sink directory")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--source-col", default=None)
+    # default matches run_extract's library default: pick up a "source"
+    # column when the table has one (soft fallback to lit("") when absent).
+    # None here would silently disable source-dispatched preprocessors and
+    # image resolution for tables that DO carry a source column.
+    ap.add_argument("--source-col", default="source")
     ap.add_argument("--run-id", default=None)
     ap.add_argument(
         "--snapshot",

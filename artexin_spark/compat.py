@@ -114,9 +114,11 @@ def collect(
 ) -> dict:
     """The per-record pipeline (pack.py:157-251) minus network/zip: returns
     the reference's meta-dict contract
-    {url, domain, timestamp, title, images[, error]} — title override from
-    ``meta`` wins (pack.py:238), any failure is trapped in-band into
-    meta['error'] with a timestamp (pack.py:205-213)."""
+    {url, domain, timestamp, title, images: int[, error]} — ``images`` is the
+    image COUNT (pack.py:239), title override from ``meta`` wins
+    (pack.py:238), any failure is trapped in-band into meta['error'] with a
+    timestamp (pack.py:205-213). Extra non-reference keys: image_urls, text,
+    spans, hash (= md5 of the url, pack.py:107)."""
     meta = dict(meta or {})
     meta["url"] = url
     meta["domain"] = domain_of(url)
@@ -134,10 +136,13 @@ def collect(
         return meta
     meta["timestamp"] = now
     meta["title"] = meta.get("title") or res.title  # override wins (pack.py:238)
-    meta["images"] = res.images
+    meta["images"] = len(res.images)  # the contract is a COUNT (pack.py:239,
+    #                                   docstring pack.py:173 "number of images")
+    meta["image_urls"] = res.images  # resolved URLs, extra key (not in reference)
     meta["text"] = res.text
     meta["spans"] = res.spans
-    meta["hash"] = hash_data(url or res.text)
+    meta["hash"] = hash_data(url)  # checksum of the page URL, even when empty
+    #                                (pack.py:107 hash_data(meta['url']))
     return meta
 
 

@@ -145,7 +145,12 @@ def golden_extract(pdf: pd.DataFrame) -> pd.DataFrame:
     for row in pdf.itertuples(index=False):
         src = getattr(row, "source", "") or ""
         preps = preps_for(src)
-        res = extract_turn(row.text, base_url=src, preprocessors=preps)
+        # with_html=False: matches the UDF path being compared against
+        # (udfs.py) and skips the ~10% document-render cost for a field
+        # the golden frame never stores
+        res = extract_turn(
+            row.text, base_url=src, preprocessors=preps, with_html=False
+        )
         out.append(
             {
                 "conv_id": row.conv_id,

@@ -382,11 +382,16 @@ def dedup_clusters(
     (simhash, embedding cosine, exact) shares this labeling tail."""
     if pairs is None:
         pairs = minhash_dedup(df, text_col, id_col, k, n, bands, threshold)
-    cc = connected_components(pairs)
-    out = df.select(F.col(id_col)).join(
-        cc, F.col(id_col) == cc["id"], "left"
+    # rename the component frame's columns before joining: an input whose
+    # key is literally named "id" would otherwise make every post-join
+    # reference to it ambiguous (AMBIGUOUS_REFERENCE)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("__cc_id"), F.col("cluster_id").alias("__cc_cluster")
     )
-    cluster = F.coalesce(cc["cluster_id"], F.col(id_col))
+    out = df.select(F.col(id_col)).join(
+        cc, F.col(id_col) == F.col("__cc_id"), "left"
+    )
+    cluster = F.coalesce(F.col("__cc_cluster"), F.col(id_col))
     return out.select(
         F.col(id_col),
         cluster.alias("cluster_id"),

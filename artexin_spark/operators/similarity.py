@@ -131,10 +131,14 @@ def cosine_topk_np(
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Qn))
 
+    # id columns keep the INPUT's type (string/int/long ids all work —
+    # hardcoding LongType made the Arrow serializer reject string ids that
+    # the oracle twin cosine_topk accepts)
+    id_type = corpus.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )

@@ -294,7 +294,8 @@ def expire_snapshots(spark: SparkSession, sink: str, keep_last: int = 1) -> list
     if man is None:
         return []
     ids = [r[0] for r in man.select("snapshot_id").distinct().collect()]
-    keep_ids = sorted(ids)[-keep_last:]
+    # keep_last=0 means drop everything: [-0:] would slice the WHOLE list
+    keep_ids = sorted(ids)[-keep_last:] if keep_last > 0 else []
     kept = man.filter(F.col("snapshot_id").isin(keep_ids))
     live_runs = {r[0] for r in kept.select("run_id").distinct().collect()}
     all_runs = {r[0] for r in man.select("run_id").distinct().collect()}

@@ -26,7 +26,7 @@ def main() -> None:
         print("Processing: %s" % url)
         meta = collect(html, url=url, prep=list(get_preps(url)))
         print("  title=%r images=%d error=%r" % (
-            meta.get("title"), len(meta.get("images", [])), meta.get("error")))
+            meta.get("title"), meta.get("images", 0), meta.get("error")))
     took = time.time() - start
     print("Took %s seconds (avg: %s seconds)" % (took, took / len(PAGES)))
 

@@ -21,6 +21,10 @@ def test_collect_meta_contract():
     assert meta["domain"] == "www.example.com"
     assert meta["title"] == "Page Title"
     assert "error" not in meta
+    # pack.py:239 — images is a COUNT; pack.py:107 — hash is md5 of the URL
+    assert meta["images"] == 0 and isinstance(meta["images"], int)
+    import hashlib
+    assert meta["hash"] == hashlib.md5(meta["url"].encode()).hexdigest()
 
 
 def test_collect_title_override_wins():

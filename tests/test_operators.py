@@ -638,3 +638,33 @@ def test_resize_plan_never_emits_zero_dimension(spark):
     )
     rp = multimodal.resize_plan(assets, max_side=512).toPandas()
     assert (rp[["target_w", "target_h"]].min(axis=1) >= 1).all()
+
+
+def test_cosine_topk_np_string_ids(spark, emb):
+    """The numpy path must carry the INPUT's id type through the Arrow
+    boundary (regression: hardcoded LongType rejected string ids that the
+    SQL twin accepts)."""
+    s = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    a = similarity.cosine_topk(s, s.limit(5), k=3).toPandas()
+    b = similarity.cosine_topk_np(s, s.limit(5), k=3).toPandas()
+    m = a.merge(b, on=["query_id", "rank"], suffixes=("_sql", "_np"))
+    assert len(m) == len(a) == len(b) > 0
+    assert (m.neighbor_id_sql == m.neighbor_id_np).all()
+    assert m.query_id.str.startswith("doc-").all()
+
+
+def test_dedup_clusters_id_col_named_id(spark):
+    """id_col='id' must not collide with connected_components' output
+    columns (regression: AMBIGUOUS_REFERENCE)."""
+    d = spark.createDataFrame(
+        [(1, "same text here, repeated for the pair, long enough to shingle"),
+         (2, "same text here, repeated for the pair, long enough to shingle"),
+         (3, "entirely different content that matches nothing else at all")],
+        "id long, body string",
+    )
+    out = dedup.dedup_clusters(d, text_col="body", id_col="id", k=8, bands=4,
+                               threshold=0.5).toPandas()
+    assert len(out) == 3
+    got = dict(zip(out.id, out.cluster_id))
+    assert got[1] == got[2] == 1 and got[3] == 3
+    assert set(out[out.is_duplicate].id) == {2}

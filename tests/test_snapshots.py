@@ -217,3 +217,17 @@ def test_commit_skips_claimed_snapshot_ids(spark, corpus_pdf, tmp_path):
     )
     assert per == 1  # never a union of two committers' mappings
     assert sink_io.read_snapshot(spark, sink, 3).count() == df.count()
+
+
+def test_expire_snapshots_keep_last_zero_drops_all(spark, corpus_pdf, tmp_path):
+    """keep_last=0 means drop every snapshot (regression: [-0:] sliced the
+    whole list and kept everything while reporting success)."""
+    sink = str(tmp_path / "snapsink_zero")
+    df = spark.createDataFrame(corpus_pdf)
+    r1 = run_extract(spark, df.limit(20), sink, n_buckets=4, snapshot=True)
+    r2 = run_extract(spark, df, sink, n_buckets=4, snapshot=True)
+    dead = sink_io.expire_snapshots(spark, sink, keep_last=0)
+    assert set(dead) == {r1["run_id"], r2["run_id"]}
+    assert not os.path.isdir(sink_io.run_data_path(sink, r1["run_id"]))
+    assert not os.path.isdir(sink_io.run_data_path(sink, r2["run_id"]))
+    assert sink_io.latest_snapshot_id(spark, sink) is None
