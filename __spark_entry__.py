@@ -701,11 +701,22 @@ def q_stream_windowed(spark, sf_dir):
             "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,turn_idx,0)"
         ).alias("ts"),
     )
+    import shutil
+
     base = tempfile.mkdtemp(prefix="artexin_windowed_")
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    tr.write.mode("overwrite").parquet(inp)
-    windowed_turn_counts(spark, inp, outp, ckpt, window="10 minutes", delay="1 minutes")
-    return spark.read.parquet(outp)
+    try:
+        tr.write.mode("overwrite").parquet(inp)
+        windowed_turn_counts(
+            spark, inp, outp, ckpt, window="10 minutes", delay="1 minutes"
+        )
+        # materialize before deleting the temp tree (the returned frame
+        # must not lazily re-read a dir this query just leaked; repeated
+        # gate runs were accumulating full parquet copies in /tmp)
+        out = spark.read.parquet(outp)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -850,6 +861,8 @@ def q_stateful_progress(spark, sf_dir):
         read_conversation_progress,
     )
 
+    import shutil
+
     base = tempfile.mkdtemp(prefix="q_stateful_")
     src, ckpt, led = (os.path.join(base, d) for d in ("in", "ckpt", "led"))
     os.makedirs(src)
@@ -865,13 +878,18 @@ def q_stateful_progress(spark, sf_dir):
             F.lit(None).cast("timestamp").alias("ts"),
         )
 
-    slice_df(0, F.col("text")).write.mode("append").parquet(src)
-    conversation_progress(spark, src, ckpt, led)  # drain 1: state created
-    slice_df(1, F.concat(F.col("text"), F.lit(" v2"))).write.mode("append").parquet(src)
-    conversation_progress(spark, src, ckpt, led)  # drain 2: state resumed
-    return read_conversation_progress(spark, led).select(
-        "conv_id", "turns_seen", "chars_seen", "max_turn_idx"
-    )
+    try:
+        slice_df(0, F.col("text")).write.mode("append").parquet(src)
+        conversation_progress(spark, src, ckpt, led)  # drain 1: state created
+        slice_df(1, F.concat(F.col("text"), F.lit(" v2"))).write.mode("append").parquet(src)
+        conversation_progress(spark, src, ckpt, led)  # drain 2: state resumed
+        out = read_conversation_progress(spark, led).select(
+            "conv_id", "turns_seen", "chars_seen", "max_turn_idx"
+        )
+        # materialize before deleting the temp tree (see q_stream_windowed)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_pdf_extract(spark, sf_dir):
@@ -968,19 +986,25 @@ def q_stream_extract(spark, sf_dir):
     tr = _transcripts_from_docs(spark, sf_dir).filter(
         F.col("conv_id").cast("int") < 200
     )
+    import shutil
+
     base = tempfile.mkdtemp(prefix="artexin_stream_")
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    tr.write.mode("overwrite").parquet(inp)
-    incremental_extract(spark, inp, outp, ckpt, n_buckets=8)
-    out = spark.read.parquet(outp)
-    return out.select(
-        "conv_id",
-        "turn_idx",
-        "title",
-        "extracted_text",
-        "n_images",
-        F.col("error").cast("string").alias("error"),
-    )
+    try:
+        tr.write.mode("overwrite").parquet(inp)
+        incremental_extract(spark, inp, outp, ckpt, n_buckets=8)
+        out = spark.read.parquet(outp).select(
+            "conv_id",
+            "turn_idx",
+            "title",
+            "extracted_text",
+            "n_images",
+            F.col("error").cast("string").alias("error"),
+        )
+        # materialize before deleting the temp tree (see q_stream_windowed)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_time_travel(spark, sf_dir):
@@ -1395,11 +1419,17 @@ _ORACLES["simhash"] = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 200),
 tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
 bits AS (
-  SELECT doc_id, g.p,
-    CASE WHEN sum(CASE WHEN strpos('89abcdef', substr(md5(tok), g.p, 1)) > 0
+  -- LEFT JOIN from t: a token-free doc (pure punctuation/CJK text) must
+  -- still emit a row — the engine's add_simhash gives it bit_sum 0 per
+  -- bit, i.e. the all-zero simhash, and dropping it from the GROUP BY
+  -- would make the two sides disagree on row count
+  SELECT t.doc_id, g.p,
+    CASE WHEN sum(CASE WHEN tok.tok IS NULL THEN 0
+                       WHEN strpos('89abcdef', substr(md5(tok.tok), g.p, 1)) > 0
                        THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
-  FROM tok, generate_series(1, 32) g(p)
-  GROUP BY doc_id, g.p)
+  FROM t CROSS JOIN generate_series(1, 32) g(p)
+  LEFT JOIN tok ON tok.doc_id = t.doc_id
+  GROUP BY t.doc_id, g.p)
 SELECT doc_id, string_agg(b, '' ORDER BY p) AS simhash FROM bits GROUP BY doc_id
 """
 

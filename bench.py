@@ -110,11 +110,19 @@ def materialize_transcripts(spark, sf_dir: str, turns_per_doc: int) -> str:
 
 
 def _max_file_bytes(path: str) -> int:
-    return max(
+    sizes = [
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
         if f.endswith(".parquet")
-    )
+    ]
+    if not sizes:
+        # a _SUCCESS-only dir (empty source table) would otherwise die as
+        # an opaque "max() arg is an empty sequence"
+        raise RuntimeError(
+            f"materialized transcript table at {path} has no parquet part "
+            "files — is the source documents table empty?"
+        )
+    return max(sizes)
 
 
 def main() -> None:

@@ -1,13 +1,15 @@
 """Scaling-efficiency evidence (BASELINE.json north rule).
 
 No real cluster exists in this sandbox, so per the driver's protocol the
-same extraction job runs at two parallelism levels — local[8] (N) and
-local[32] (4N) — on identical input, each in a FRESH JVM (subprocess), and
-efficiency = (T_8 / T_32) / 4. Also measures post-salting skew from the
-pipeline's lineage wall-times on a hot-conversation corpus.
+same extraction job runs at two parallelism levels — local[N] and
+local[4N], default N=4 (override with SCALE_N) — on identical input, each
+in a FRESH JVM (subprocess), and efficiency = (T_N / T_4N) / 4. Also
+measures post-salting skew from the pipeline's lineage wall-times on a
+hot-conversation corpus, and a no-Spark multiprocessing control that
+isolates the host's own scaling ceiling.
 
-Writes BENCH/scaling.json and regenerates the results table in
-BENCH/BASELINE.md. Run: python bench/scaling.py [turns_per_doc]
+Writes BENCH/scaling.json (the prose in BENCH/BASELINE.md is maintained
+by hand from it). Run: python bench/scaling.py [turns_per_doc]
 """
 
 from __future__ import annotations
@@ -16,6 +18,18 @@ import json
 import os
 import subprocess
 import sys
+
+
+def _run_checked(argv, **kw):
+    """subprocess.run(capture_output=True) that REPRINTS the child's
+    stdout/stderr on failure — a multi-hour scaling run must not die with
+    a bare CalledProcessError while the actual Spark traceback is held
+    captive in the discarded capture buffers."""
+    out = subprocess.run(argv, capture_output=True, text=True, **kw)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-8000:] + "\n")
+        raise subprocess.CalledProcessError(out.returncode, argv)
+    return out
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,13 +47,7 @@ def run_bench(cpus: int, turns_per_doc: int, extract_only: bool = False) -> dict
     )
     if extract_only:
         env["BENCH_ONLY"] = "extract"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        check=True,
-    )
+    out = _run_checked([sys.executable, os.path.join(REPO, "bench.py")], env=env)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -66,9 +74,7 @@ print(json.dumps({
 }))
 shutil.rmtree(sink); spark.stop()
 """
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True, cwd=REPO
-    )
+    out = _run_checked([sys.executable, "-c", code], cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -111,9 +117,7 @@ print(json.dumps({"turns_per_sec_N": round(lo, 1),
                   "turns_per_sec_4N": round(hi, 1),
                   "efficiency": round(hi / lo / (%(hi)d / %(lo)d), 3)}))
 """ % {"repo": REPO, "sf": SF_DIR, "lo": n_low, "hi": n_high}
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True, cwd=REPO
-    )
+    out = _run_checked([sys.executable, "-c", code], cwd=REPO)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -44,10 +44,20 @@ def main(only: list[str] | None = None) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd filter must not run zero queries and exit 0
+            print("UNKNOWN query name(s): %s" % ", ".join(unknown))
+            print("known: %s" % ", ".join(sorted(qs)))
+            spark.stop()
+            return 2
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as err:
@@ -85,7 +95,9 @@ def main(only: list[str] | None = None) -> int:
                     print("  spark :", s.loc[i].to_dict())
                     print("  oracle:", o.loc[i].to_dict())
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    skipped = len(qs) - n_run
+    tail = f" ({skipped} not run: filtered)" if skipped else ""
+    print(f"\n{n_run - len(failures)}/{n_run} queries match{tail}")
     spark.stop()
     return 1 if failures else 0
 

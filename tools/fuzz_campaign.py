@@ -19,7 +19,7 @@ from __future__ import annotations
 import random
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 from artexin_spark import dom  # noqa: E402
 from artexin_spark.readability import extract_turn  # noqa: E402
