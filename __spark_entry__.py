@@ -734,6 +734,24 @@ def q_ann_ivf(spark, sf_dir):
     return out.select("query_id", "centroid_id", "neighbor_id", "rank")
 
 
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (the bucketed scale path next to
+    `ann_ivf`): per-table sign-bit bucket join → exact cosine within
+    candidates → windowed top-k. At 10^9 vectors the (table, bucket)
+    key partitions the corpus so each query touches ~N/2^planes rows
+    per table instead of N. Non-multiprobe path here (the probing
+    variant is pinned by tests/test_operators.py); hyperplanes are
+    md5-derived (similarity._hyperplanes) so the DuckDB oracle carries
+    them as literals and reproduces the buckets exactly — sign margins
+    verified ≥4e-4 on this corpus, 9 orders above float-sum noise."""
+    emb = _emb(spark, sf_dir)
+    out = sim.lsh_ann(
+        emb, emb.filter("vec_id < 5"), k=5, planes=8, tables=2, dim=64,
+        multiprobe=False,
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_prep_dispatch(spark, sf_dir):
     """Preprocessor dispatch (preprocessor_mappings.py:29-54 semantics):
     every matching pattern concatenates in order, catch-all fixheaders
@@ -1130,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "prep_dispatch": q_prep_dispatch,
         "returned_orders": q_returned_orders,
         "never_returned": q_never_returned,
@@ -1833,6 +1852,48 @@ r AS (SELECT query_id, centroid_id, neighbor_id,
 SELECT query_id, centroid_id, neighbor_id, rank FROM r WHERE rank <= 5
 """
 
+
+def _ann_lsh_oracle_sql(tables: int = 2, planes: int = 8, dim: int = 64,
+                        seed: int = 42) -> str:
+    """DuckDB twin of q_ann_lsh: the md5-derived hyperplanes (identical
+    floats to similarity._hyperplanes, carried as literals) recompute
+    each vector's per-table sign-bit bucket in SQL, then candidates =
+    bucket collisions, exact cosine ranking within them."""
+    rows = []
+    for t in range(tables):
+        H = sim._hyperplanes(planes, dim, seed + t)
+        for p in range(planes):
+            vec = ",".join(repr(float(x)) for x in H[p])
+            rows.append(f"({t},{p},[{vec}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH h(tbl, plane, hp) AS (VALUES {values}),
+bits AS (
+  SELECT e.vec_id, h.tbl, h.plane,
+         CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hp) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN h),
+buckets AS (
+  SELECT vec_id, tbl, string_agg(bit, '' ORDER BY plane) AS bucket
+  FROM bits GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+           AS cosine
+  FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+            JOIN embeddings en ON en.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
 _ORACLES["prep_dispatch"] = """
 WITH u AS (
   SELECT doc_id,
@@ -1948,4 +2009,5 @@ FROM documents WHERE doc_id < 1000
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["multimodal_decode"] = _multimodal_expected_values_sql()
+    out["ann_lsh"] = _ann_lsh_oracle_sql()
     return out

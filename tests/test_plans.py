@@ -70,6 +70,18 @@ def test_asset_lookup_broadcasts(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ann_lsh_broadcasts_queries(spark):
+    """Hyperplane-LSH ANN: the query side (tiny) must broadcast into the
+    bucket equi-join; a cartesian/BNLJ regression here would scan the
+    full corpus per query at 10^9 vectors."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_ann_lsh(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_lsh_dedup_has_no_cartesian(spark):
     """The LSH self-join must stay an equi-join on (band_idx, band_key) —
     a plan regression to cartesian/BNLJ is the classic 10^12-row killer."""
