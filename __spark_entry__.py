@@ -1060,6 +1060,49 @@ def q_time_travel(spark, sf_dir):
         shutil.rmtree(sink, ignore_errors=True)
 
 
+def q_incremental_read(spark, sf_dir):
+    """Incremental scan (storage.read_incremental — Iceberg's
+    changes-since-snapshot): snapshot 1 commits all 8 buckets, snapshot 2
+    is a compaction ('replace', data unchanged), snapshot 3 overwrites
+    buckets {0,1} with +1'd char counts. Reading the delta since snapshot
+    1 must return ONLY buckets {0,1} at their snapshot-3 state: leaking
+    the compaction re-emits all buckets, missing the operation skip or
+    the since-base breaks the values."""
+    import shutil
+    import tempfile
+
+    from artexin_spark import storage as sink_io
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 1000")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("part_key"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    sink = tempfile.mkdtemp(prefix="artexin_inc_")
+    try:
+        sink_io.write_run_data(base, sink, "run-base")
+        sink_io.commit_snapshot(spark, sink, "run-base")
+        sink_io.compact_snapshot(spark, sink)
+        upd = base.filter(F.col("part_key") < 2).withColumn(
+            "n_chars", F.col("n_chars") + 1
+        )
+        sink_io.write_run_data(upd, sink, "run-upd")
+        sink_io.commit_snapshot(spark, sink, "run-upd")
+        out = (
+            sink_io.read_incremental(spark, sink, since_snapshot_id=1)
+            .groupBy("part_key")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(out, "part_key int, n_rows long, sum_chars long")
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction as a snapshot commit: two runs (half, then
     full) leave the live table spanning two run directories; compact_
@@ -1160,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_progress": q_stateful_progress,
         "time_travel": q_time_travel,
         "compaction": q_compaction,
+        "incremental_read": q_incremental_read,
     }
 
 
@@ -1995,6 +2039,14 @@ SELECT CAST(2 AS BIGINT),
        CAST(count(*) AS BIGINT),
        CAST(sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
 FROM documents WHERE doc_id < 1000
+"""
+
+_ORACLES["incremental_read"] = """
+SELECT CAST(doc_id % 8 AS INTEGER) AS part_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text) + 1) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id < 1000 AND doc_id % 8 IN (0, 1)
+GROUP BY 1
 """
 
 _ORACLES["compaction"] = """

@@ -114,7 +114,8 @@ def completed_buckets(spark: SparkSession, sink: str) -> DataFrame | None:
 # ---------------------------------------------------------------------------
 
 SNAPSHOT_SCHEMA = (
-    "snapshot_id long, part_key int, run_id string, committed_at timestamp"
+    "snapshot_id long, part_key int, run_id string, committed_at timestamp, "
+    "operation string"
 )
 
 
@@ -158,13 +159,21 @@ def list_snapshots(spark: SparkSession, sink: str) -> DataFrame | None:
         F.max("committed_at").alias("committed_at"),
         F.count("*").alias("n_buckets"),
         F.countDistinct("run_id").alias("n_runs"),
+        F.coalesce(F.max("operation"), F.lit("overwrite")).alias("operation"),
     )
 
 
-def commit_snapshot(spark: SparkSession, sink: str, run_id: str) -> int:
+def commit_snapshot(
+    spark: SparkSession, sink: str, run_id: str, operation: str = "overwrite"
+) -> int:
     """Publish ``run_id``'s buckets as a new snapshot: its buckets replace
     the parent snapshot's mapping for the same keys; untouched buckets
-    carry forward. Returns the new snapshot id (parent+1, starting at 1)."""
+    carry forward. Returns the new snapshot id (parent+1, starting at 1).
+
+    ``operation`` is recorded on the manifest rows (Iceberg's snapshot
+    summary operation): 'overwrite' for data commits, 'replace' for
+    layout-only rewrites (compaction) — incremental readers skip
+    'replace' snapshots because their data is unchanged."""
     new_keys = spark.read.parquet(run_data_path(sink, run_id)).select(
         "part_key"
     ).distinct()  # partition-column only: resolved from directory names
@@ -205,7 +214,8 @@ def commit_snapshot(spark: SparkSession, sink: str, run_id: str) -> int:
         (
             mapping.withColumn("snapshot_id", F.lit(snap_id).cast("long"))
             .withColumn("committed_at", F.current_timestamp())
-            .select("snapshot_id", "part_key", "run_id", "committed_at")
+            .withColumn("operation", F.lit(operation))
+            .select("snapshot_id", "part_key", "run_id", "committed_at", "operation")
             .write.mode("append")
             .parquet(snapshots_path(sink))
         )
@@ -229,19 +239,89 @@ def read_snapshot(
     mapping = man.filter(F.col("snapshot_id") == snapshot_id).select(
         "part_key", "run_id"
     )
-    by_run: dict[str, list[int]] = {}
-    for row in mapping.collect():  # one small row per bucket, driver-side
-        by_run.setdefault(row["run_id"], []).append(row["part_key"])
-    if not by_run:
+    pairs = [(row["run_id"], row["part_key"]) for row in mapping.collect()]
+    if not pairs:
         raise ValueError(f"snapshot {snapshot_id} not found in {sink}")
+    return _read_mapping(spark, sink, pairs)
+
+
+def _read_mapping(spark: SparkSession, sink: str, pairs: list[tuple[str, int]]):
+    """Union of pruned per-run reads for (run_id, part_key) pairs — only
+    the named run dirs open, each filtered to its buckets (partition
+    prune on the directory column)."""
+    by_run: dict[str, list[int]] = {}
+    for rid, key in pairs:  # one small row per bucket, driver-side
+        by_run.setdefault(rid, []).append(key)
     parts = []
     for rid, keys in sorted(by_run.items()):
         df = spark.read.parquet(run_data_path(sink, rid))
-        parts.append(df.filter(F.col("part_key").isin(keys)))  # partition prune
+        parts.append(df.filter(F.col("part_key").isin(keys)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_incremental(
+    spark: SparkSession,
+    sink: str,
+    since_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental scan (Iceberg's changes-since-snapshot): the rows of
+    every bucket whose DATA changed in (since, to], read at ``to``'s
+    mapping. The hourly-ingest consumer pattern at 100 TB — process only
+    what moved, never rescan history.
+
+    A bucket counts as changed when a non-'replace' snapshot in the range
+    remapped it (data commits overwrite whole buckets — bucket is the
+    change granule, exactly the resume granule). 'replace' snapshots
+    (compaction) rewrite every bucket's files without changing data and
+    are skipped, so compacting never re-emits the table downstream; rows
+    from old manifests without the operation column count as data commits.
+    A bucket changed twice in the range is emitted once, at ``to`` state.
+    Raises when ``since`` was expired — the delta base is gone and a full
+    re-read is the only correct answer (same contract as Iceberg)."""
+    man = _read_manifest(spark, sink)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {sink}")
+    rows = man.select(
+        "snapshot_id", "part_key", "run_id", "operation"
+    ).collect()  # manifest is buckets × snapshots — tiny, driver-side
+    ids = sorted({r["snapshot_id"] for r in rows})
+    if to_snapshot_id is None:
+        to_snapshot_id = ids[-1]
+    if since_snapshot_id != 0 and since_snapshot_id not in ids:
+        raise ValueError(
+            f"snapshot {since_snapshot_id} not in {sink} (expired?) — "
+            "incremental base is gone, do a full read_snapshot instead"
+        )
+    if to_snapshot_id not in ids:
+        raise ValueError(f"snapshot {to_snapshot_id} not found in {sink}")
+    mapping: dict[int, dict[int, str]] = {}
+    ops: dict[int, str] = {}
+    for r in rows:
+        mapping.setdefault(r["snapshot_id"], {})[r["part_key"]] = r["run_id"]
+        ops[r["snapshot_id"]] = r["operation"] or "overwrite"
+    changed: set[int] = set()
+    prev: dict[int, str] = mapping.get(since_snapshot_id, {})
+    for sid in ids:
+        if sid <= since_snapshot_id:
+            continue
+        if sid > to_snapshot_id:
+            break
+        cur = mapping[sid]
+        if ops[sid] != "replace":
+            changed.update(
+                k for k, rid in cur.items() if prev.get(k) != rid
+            )
+        prev = cur
+    to_map = mapping[to_snapshot_id]
+    pairs = [(to_map[k], k) for k in sorted(changed) if k in to_map]
+    if not pairs:
+        live = read_snapshot(spark, sink, to_snapshot_id)
+        return live.filter(F.lit(False))  # empty, same schema
+    return _read_mapping(spark, sink, pairs)
 
 
 def compact_snapshot(
@@ -282,7 +362,7 @@ def compact_snapshot(
         .partitionBy("part_key")
         .parquet(run_data_path(sink, rid))
     )
-    return commit_snapshot(spark, sink, rid)
+    return commit_snapshot(spark, sink, rid, operation="replace")
 
 
 def expire_snapshots(spark: SparkSession, sink: str, keep_last: int = 1) -> list[str]:

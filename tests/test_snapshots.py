@@ -219,6 +219,55 @@ def test_commit_skips_claimed_snapshot_ids(spark, corpus_pdf, tmp_path):
     assert sink_io.read_snapshot(spark, sink, 3).count() == df.count()
 
 
+def test_incremental_read_changed_buckets_only(spark, tmp_path):
+    """Incremental scan semantics (Iceberg changes-since-snapshot):
+    only buckets remapped by DATA commits in (since, to] are returned,
+    at the ``to`` state; compaction ('replace') never re-emits; a bucket
+    changed twice emits once with the latest content; an expired base
+    raises instead of silently returning a wrong delta."""
+
+    def commit(run_id, buckets, tag):
+        df = spark.createDataFrame(
+            [(b * 10 + i, b, tag) for b in buckets for i in range(2)],
+            "id long, part_key int, tag string",
+        )
+        sink_io.write_run_data(df, sink, run_id)
+        return sink_io.commit_snapshot(spark, sink, run_id)
+
+    sink = str(tmp_path / "inc_sink")
+    assert commit("r1", [0, 1, 2, 3], "v1") == 1
+    # delta of the base snapshot against itself is empty
+    assert sink_io.read_incremental(spark, sink, 1).count() == 0
+
+    assert sink_io.compact_snapshot(spark, sink) == 2
+    # replace-only range: data unchanged, nothing re-emitted
+    assert sink_io.read_incremental(spark, sink, 1, 2).count() == 0
+
+    assert commit("r2", [1, 2], "v2") == 3
+    inc = sink_io.read_incremental(spark, sink, 1).toPandas()
+    assert sorted(inc.part_key.unique()) == [1, 2]
+    assert set(inc.tag) == {"v2"} and len(inc) == 4
+
+    # bucket 1 changes AGAIN: emitted once, at the ``to`` state
+    assert commit("r3", [1], "v3") == 4
+    inc2 = sink_io.read_incremental(spark, sink, 1).toPandas()
+    assert sorted(inc2.part_key.unique()) == [1, 2]
+    assert set(inc2[inc2.part_key == 1].tag) == {"v3"}
+    assert set(inc2[inc2.part_key == 2].tag) == {"v2"}
+    # bounded range (1, 3]: bucket 1 at snapshot-3 state, not snapshot-4
+    inc3 = sink_io.read_incremental(spark, sink, 1, 3).toPandas()
+    assert set(inc3[inc3.part_key == 1].tag) == {"v2"}
+
+    # since=0 = everything, at latest state
+    full = sink_io.read_incremental(spark, sink, 0).toPandas()
+    assert sorted(full.part_key.unique()) == [0, 1, 2, 3]
+
+    # expired base must raise, not under-report
+    sink_io.expire_snapshots(spark, sink, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        sink_io.read_incremental(spark, sink, 1)
+
+
 def test_expire_snapshots_keep_last_zero_drops_all(spark, corpus_pdf, tmp_path):
     """keep_last=0 means drop every snapshot (regression: [-0:] sliced the
     whole list and kept everything while reporting success)."""
