@@ -1103,6 +1103,47 @@ def q_incremental_read(spark, sf_dir):
         shutil.rmtree(sink, ignore_errors=True)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Row-level MERGE INTO the snapshot sink (storage.merge_upsert):
+    base commit = every doc; updates replace the doc_id%16==0 rows with
+    +100'd char counts and insert doc_id+100000 clones of the first 100
+    docs. Only touched buckets rewrite; the query returns the merged
+    table, so a dropped survivor, doubled match, or lost insert breaks
+    row count and values against the documents-derived oracle."""
+    import shutil
+    import tempfile
+
+    from artexin_spark import storage as sink_io
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 1000")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("part_key"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    sink = tempfile.mkdtemp(prefix="artexin_merge_")
+    try:
+        sink_io.write_run_data(base, sink, "run-base")
+        sink_io.commit_snapshot(spark, sink, "run-base")
+        changed = base.filter(F.col("doc_id") % 16 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 100
+        )
+        inserted = base.filter("doc_id < 100").withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        sid = sink_io.merge_upsert(
+            spark, sink, changed.unionByName(inserted), ["doc_id"]
+        )
+        out = (
+            sink_io.read_snapshot(spark, sink, sid)
+            .select("doc_id", "part_key", "n_chars")
+            .collect()
+        )
+        return spark.createDataFrame(out, "doc_id long, part_key int, n_chars long")
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction as a snapshot commit: two runs (half, then
     full) leave the live table spanning two run directories; compact_
@@ -1204,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "compaction": q_compaction,
         "incremental_read": q_incremental_read,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -2047,6 +2089,19 @@ SELECT CAST(doc_id % 8 AS INTEGER) AS part_key,
        CAST(sum(length(text) + 1) AS BIGINT) AS sum_chars
 FROM documents WHERE doc_id < 1000 AND doc_id % 8 IN (0, 1)
 GROUP BY 1
+"""
+
+_ORACLES["merge_upsert"] = """
+SELECT doc_id,
+       CAST(doc_id % 8 AS INTEGER) AS part_key,
+       CAST(length(text) + CASE WHEN doc_id % 16 = 0 THEN 100 ELSE 0 END
+            AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 1000
+UNION ALL
+SELECT doc_id + 100000,
+       CAST(doc_id % 8 AS INTEGER),
+       CAST(length(text) AS BIGINT)
+FROM documents WHERE doc_id < 100
 """
 
 _ORACLES["compaction"] = """

@@ -258,7 +258,11 @@ def _read_mapping(spark: SparkSession, sink: str, pairs: list[tuple[str, int]]):
         parts.append(df.filter(F.col("part_key").isin(keys)))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns = add-column schema evolution (Iceberg's
+        # default evolution mode): runs committed before a column existed
+        # read back with NULL in it; a snapshot whose runs all predate the
+        # column keeps the old schema (its union never sees the column)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -322,6 +326,56 @@ def read_incremental(
         live = read_snapshot(spark, sink, to_snapshot_id)
         return live.filter(F.lit(False))  # empty, same schema
     return _read_mapping(spark, sink, pairs)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    sink: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Row-level MERGE INTO the live snapshot (Iceberg MERGE analogue,
+    copy-on-write): rows in ``updates`` replace live rows with equal
+    ``key_cols``; unmatched keys insert. ``updates`` must carry
+    ``part_key`` under the table's own bucketing and be unique per key
+    (enforce upstream — the last-writer of a duplicate key is undefined),
+    and keys must be non-null (SQL null-equality would silently duplicate).
+
+    Only the buckets ``updates`` touches are rewritten: their live rows
+    read back (pruned per-run), survivors anti-joined against the update
+    keys, and the union committed as one new run — every untouched
+    bucket's files carry forward in the manifest without being opened.
+    At 10^12 rows a merge costs O(touched buckets + updates), not a
+    table rewrite; the anti-join broadcasts whenever updates are small.
+    New columns in ``updates`` widen the table (add-column evolution);
+    old rows read back NULL in them."""
+    import uuid as _uuid
+
+    man = _read_manifest(spark, sink)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {sink}")
+    latest = man.agg(F.max("snapshot_id")).collect()[0][0]
+    to_map = {
+        r["part_key"]: r["run_id"]
+        for r in man.filter(F.col("snapshot_id") == latest)
+        .select("part_key", "run_id")
+        .collect()
+    }
+    touched = sorted(
+        r["part_key"] for r in updates.select("part_key").distinct().collect()
+    )
+    pairs = [(to_map[k], k) for k in touched if k in to_map]
+    if pairs:
+        live = _read_mapping(spark, sink, pairs)
+        survivors = live.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    rid = "merge-" + _uuid.uuid4().hex[:10]
+    write_run_data(merged, sink, rid)
+    return commit_snapshot(spark, sink, rid)
 
 
 def compact_snapshot(

@@ -268,6 +268,49 @@ def test_incremental_read_changed_buckets_only(spark, tmp_path):
         sink_io.read_incremental(spark, sink, 1)
 
 
+def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, unmatched keys inserted,
+    buckets the updates never touch carry forward in the manifest without
+    a rewrite, and a new column in the updates widens the table with
+    NULLs in old rows (add-column evolution)."""
+    sink = str(tmp_path / "merge_sink")
+    base = spark.createDataFrame(
+        [(b * 10 + i, b, "old") for b in range(4) for i in range(3)],
+        "id long, part_key int, tag string",
+    )
+    sink_io.write_run_data(base, sink, "r-base")
+    sink_io.commit_snapshot(spark, sink, "r-base")
+
+    updates = spark.createDataFrame(
+        # replace id=11 (bucket 1), insert id=99 (bucket 1), insert a
+        # whole new bucket 7; carry a column the base never had
+        [(11, 1, "new", 1.5), (99, 1, "new", 2.5), (70, 7, "new", 3.5)],
+        "id long, part_key int, tag string, score double",
+    )
+    sid = sink_io.merge_upsert(spark, sink, updates, ["id"])
+    live = sink_io.read_snapshot(spark, sink, sid).toPandas()
+
+    assert len(live) == 12 + 2  # 1 replaced in place, 2 inserted
+    assert set(live[live.id == 11].tag) == {"new"}
+    assert set(live[live.part_key == 7].id) == {70}
+    assert set(live[live.part_key == 0].tag) == {"old"}
+    # evolution: old rows read NULL in the new column, updates keep theirs
+    assert live[live.id == 11].score.iloc[0] == 1.5
+    assert live[live.id == 0].score.isna().all()
+
+    # untouched buckets still map to the base run — no rewrite happened
+    man = sink_io._read_manifest(spark, sink).filter(
+        F.col("snapshot_id") == sid
+    ).toPandas()
+    by_key = dict(zip(man.part_key, man.run_id))
+    assert by_key[0] == "r-base" and by_key[2] == "r-base"
+    assert by_key[1].startswith("merge-") and by_key[7].startswith("merge-")
+
+    # time travel: the pre-merge snapshot still reads the old rows only
+    pre = sink_io.read_snapshot(spark, sink, 1).toPandas()
+    assert len(pre) == 12 and "score" not in pre.columns
+
+
 def test_expire_snapshots_keep_last_zero_drops_all(spark, corpus_pdf, tmp_path):
     """keep_last=0 means drop every snapshot (regression: [-0:] sliced the
     whole list and kept everything while reporting success)."""
