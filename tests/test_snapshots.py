@@ -188,6 +188,17 @@ def test_snapshot_model_random_sequence(spark, tmp_path):
         # and row contents follow the mapping (2 rows per bucket, run-tagged)
         live = sink_io.read_snapshot(spark, sink, latest).toPandas()
         assert len(live) == 2 * len(model[latest])
+        # incremental scan vs the model: for every surviving base, the
+        # delta to latest is exactly the buckets whose row tags changed
+        # (run ids never recur, so tag-equality == untouched-by-data-
+        # commits; compaction keeps tags and must contribute nothing)
+        for a in sorted(model)[:-1]:
+            exp = {k for k in model[latest] if model[a].get(k) != model[latest][k]}
+            inc = sink_io.read_incremental(spark, sink, a, latest).toPandas()
+            assert set(inc.part_key.unique()) == exp, (step, a)
+            for k, grp in inc.groupby("part_key"):
+                assert set(grp.run_id) == {model[latest][k]}, (step, a, k)
+                assert len(grp) == 2, (step, a, k)
 
 
 def test_commit_skips_claimed_snapshot_ids(spark, corpus_pdf, tmp_path):
