@@ -599,6 +599,45 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + top-k: segment-filtered customers ⨝
+    orders ⨝ lineitem, revenue per order, top 10. The limit pushes into
+    the sort (TakeOrderedAndProject — no global sort of the agg output),
+    the customer filter reaches its scan, and DECIMAL revenue keeps the
+    ranking exact cross-engine (ties broken by l_orderkey in BOTH
+    engines so the top-10 SET is deterministic)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    cutoff = F.lit("1998-06-01")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
 def q_region_revenue(spark, sf_dir):
     """Join breadth: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region with
     the small dims broadcast (plan: one shuffle join on the fact keys,
@@ -1224,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "image_index": q_image_index,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
         "extract_spans": q_extract_spans,
@@ -1765,6 +1805,28 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["shipping_priority"] = """
+WITH agg AS (
+  SELECT l_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderpriority,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+               AS DOUBLE), 4) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+FROM agg
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
 """
 
 _ORACLES["region_revenue"] = """
