@@ -548,6 +548,72 @@ def q_rollup_events(spark, sf_dir):
     )
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE over (event_type, event_date): all four grouping sets in ONE
+    pass — Catalyst expands to a single Expand + partial/final hash agg,
+    one shuffle instead of four scans of the fact table. grouping()
+    flags disambiguate subtotal rows from genuine NULL keys so the
+    coalesce sentinels can't collide cross-engine."""
+    ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    return (
+        ev.cube("event_type", "event_date")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("event_date").cast("int").alias("g_date"),
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(
+                F.date_format("event_date", "yyyy-MM-dd"), F.lit("ALL")
+            ).alias("event_date"),
+            "g_type",
+            "g_date",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of doc length per language
+    (curation's length-distribution stats). Spark's `percentile` is the
+    exact sort-based agg and matches DuckDB quantile_cont semantics, so
+    the stats path stays oracle-gated; approx_percentile/HLL sketches
+    remain a scale option but can't be value-hashed cross-engine."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def q_topk_terms_per_source(spark, sf_dir):
+    """Top-3 terms per source: explode → partial+final hash agg on
+    (source, term), then rank inside each source. Two shuffles by
+    design — the first is cut hard by map-side partial aggregation on
+    the fat exploded stream, the second repartitions only the already-
+    aggregated (source, term, n) triples. Ties broken by term ASC so
+    the top-k SET is deterministic in both engines."""
+    toks = dd.tokens_col("text")
+    ex = _docs(spark, sf_dir).select(
+        "source", F.explode(toks).alias("term")
+    )
+    counts = ex.groupBy("source", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    return counts.select(
+        "source", "term", "n", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
 def q_image_index(spark, sf_dir):
     """First-appearance imageNNNN indexing (extract.py:240-273) as a
     relational plan: dedup by src keeping min position, number by it."""
@@ -1261,6 +1327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "rollup_events": q_rollup_events,
+        "events_cube": q_events_cube,
+        "length_percentiles": q_length_percentiles,
+        "topk_terms_per_source": q_topk_terms_per_source,
         "image_index": q_image_index,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -1768,6 +1837,38 @@ _ORACLES["rollup_events"] = """
 SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY ROLLUP (event_type)
+"""
+
+_ORACLES["events_cube"] = """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS event_date, value
+           FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(event_date, '%Y-%m-%d'), 'ALL') AS event_date,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(event_date) AS INT) AS g_date,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM e GROUP BY CUBE (event_type, event_date)
+"""
+
+_ORACLES["length_percentiles"] = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+_ORACLES["topk_terms_per_source"] = f"""
+WITH t AS (SELECT source, unnest(toks) AS term
+           FROM (SELECT source, {_SQL_TOKS} AS toks FROM documents)),
+c AS (SELECT source, term, count(*) AS n FROM t GROUP BY source, term),
+r AS (SELECT source, term, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, term ASC) AS rk
+      FROM c)
+SELECT source, term, n, rk FROM r WHERE rk <= 3
 """
 
 _ORACLES["image_index"] = f"""

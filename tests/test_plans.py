@@ -217,3 +217,31 @@ def test_read_snapshot_partition_prunes(spark, tmp_path):
     pf = re.findall(r"PartitionFilters: \[[^\]]*part_key[^\]]*IN[^\]]*\]", plan)
     assert len(pf) == 2, plan  # both run-dir scans prune by bucket
     assert "PushedFilters: [In(part_key" not in plan  # partition, not row, level
+
+
+def test_events_cube_is_one_expand_one_shuffle(spark):
+    """CUBE must plan as a single Expand feeding partial+final hash agg —
+    ONE shuffle for all four grouping sets, never one scan/agg per set
+    (at 100 TB the fact table is read exactly once)."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_cube(spark, SF))
+    assert plan.count("Expand") >= 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "props" not in m.group(1), plan  # fat column pruned
+
+
+def test_topk_per_group_limits_before_shuffle(spark):
+    """The per-group top-k must apply WindowGroupLimit on the MAP side
+    (below the rank exchange): only ≤k rows per (source) per task cross
+    the wire, not the whole (source, term) aggregate."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_topk_terms_per_source(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    # two WindowGroupLimit nodes: partial (pre-shuffle) + final
+    assert plan.count("WindowGroupLimit") >= 2, plan
