@@ -1165,6 +1165,46 @@ def q_time_travel(spark, sf_dir):
         shutil.rmtree(sink, ignore_errors=True)
 
 
+def q_stats_skipping(spark, sf_dir):
+    """Manifest column stats + data skipping (storage.py, Iceberg's
+    manifest evaluation): commit records per-bucket min/max of doc_id,
+    the range read opens ONLY the overlapping buckets (plan-gated in
+    tests/test_snapshots.py) and applies the residual filter, so the
+    values equal a plain SQL range scan — at 10^12 rows the probe costs
+    O(matching buckets), not a table scan."""
+    import shutil
+    import tempfile
+
+    from artexin_spark import storage as sink_io
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") / 64).cast("int").alias("part_key"),
+    )
+    sink = tempfile.mkdtemp(prefix="artexin_ss_")
+    try:
+        sink_io.write_run_data(d, sink, "r1")
+        sink_io.commit_snapshot(spark, sink, "r1", stats_cols=["doc_id"])
+        out = (
+            sink_io.read_snapshot(spark, sink, where=("doc_id", 120, 340))
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.min("doc_id").cast("long").alias("min_id"),
+                F.max("doc_id").cast("long").alias("max_id"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            out, "lang string, n long, sum_chars long, min_id long, max_id long"
+        )
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def q_incremental_read(spark, sf_dir):
     """Incremental scan (storage.read_incremental — Iceberg's
     changes-since-snapshot): snapshot 1 commits all 8 buckets, snapshot 2
@@ -1354,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "compaction": q_compaction,
         "incremental_read": q_incremental_read,
+        "stats_skipping": q_stats_skipping,
         "merge_upsert": q_merge_upsert,
     }
 
@@ -2244,6 +2285,14 @@ SELECT CAST(2 AS BIGINT),
        CAST(count(*) AS BIGINT),
        CAST(sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT)
 FROM documents WHERE doc_id < 1000
+"""
+
+_ORACLES["stats_skipping"] = """
+SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE doc_id BETWEEN 120 AND 340
+GROUP BY lang
 """
 
 _ORACLES["incremental_read"] = """

@@ -20,6 +20,7 @@ when a catalog is configured — the pipeline code doesn't change.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,8 +116,12 @@ def completed_buckets(spark: SparkSession, sink: str) -> DataFrame | None:
 
 SNAPSHOT_SCHEMA = (
     "snapshot_id long, part_key int, run_id string, committed_at timestamp, "
-    "operation string"
+    "operation string, stats string"
 )
+# ``stats`` is Iceberg's manifest column stats at bucket granularity: a JSON
+# object {col: {"min": v, "max": v}} computed at commit time, NULL when the
+# committer didn't ask for stats (older manifests read back NULL through the
+# declared schema — unknown stats are never pruned, only ever conservative).
 
 
 def snapshots_path(sink: str) -> str:
@@ -164,7 +169,11 @@ def list_snapshots(spark: SparkSession, sink: str) -> DataFrame | None:
 
 
 def commit_snapshot(
-    spark: SparkSession, sink: str, run_id: str, operation: str = "overwrite"
+    spark: SparkSession,
+    sink: str,
+    run_id: str,
+    operation: str = "overwrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Publish ``run_id``'s buckets as a new snapshot: its buckets replace
     the parent snapshot's mapping for the same keys; untouched buckets
@@ -173,10 +182,34 @@ def commit_snapshot(
     ``operation`` is recorded on the manifest rows (Iceberg's snapshot
     summary operation): 'overwrite' for data commits, 'replace' for
     layout-only rewrites (compaction) — incremental readers skip
-    'replace' snapshots because their data is unchanged."""
-    new_keys = spark.read.parquet(run_data_path(sink, run_id)).select(
-        "part_key"
-    ).distinct()  # partition-column only: resolved from directory names
+    'replace' snapshots because their data is unchanged.
+
+    ``stats_cols`` asks the commit to record per-bucket min/max of those
+    columns in the manifest (Iceberg's manifest column stats) so
+    ``read_snapshot(where=...)`` can skip whole buckets without opening a
+    file. Real Iceberg harvests these from parquet footers for free; here
+    they cost one column-pruned scan of the new run at commit time —
+    carried-forward buckets keep the stats of the commit that wrote them.
+    Intended for numeric/string sort-ish keys; a commit without stats
+    leaves the column NULL (never pruned, always correct)."""
+    run_df = spark.read.parquet(run_data_path(sink, run_id))
+    if stats_cols:
+        per_col = [
+            F.struct(
+                F.min(c).alias("min"), F.max(c).alias("max")
+            ).alias(c)
+            for c in stats_cols
+        ]
+        new_keys = run_df.groupBy("part_key").agg(
+            F.to_json(F.struct(*per_col)).alias("stats")
+        )
+    else:
+        # partition-column only: resolved from directory names, no file read
+        new_keys = (
+            run_df.select("part_key")
+            .distinct()
+            .withColumn("stats", F.lit(None).cast("string"))
+        )
     new_map = new_keys.withColumn("run_id", F.lit(run_id))
     # Optimistic concurrency on the snapshot id: an O_EXCL marker file
     # arbitrates each id, so two concurrent committers can never both
@@ -197,8 +230,12 @@ def commit_snapshot(
             parent_id = man.agg(F.max("snapshot_id")).collect()[0][0] or 0
             carried = (
                 man.filter(F.col("snapshot_id") == parent_id)
-                .select("part_key", "run_id")
-                .join(F.broadcast(new_keys), "part_key", "left_anti")
+                .select("part_key", "run_id", "stats")
+                .join(
+                    F.broadcast(new_keys.select("part_key")),
+                    "part_key",
+                    "left_anti",
+                )
             )
         # probe FORWARD past claimed ids: a marker whose manifest rows never
         # landed (crashed committer) must not pin the retry loop to one id —
@@ -215,7 +252,14 @@ def commit_snapshot(
             mapping.withColumn("snapshot_id", F.lit(snap_id).cast("long"))
             .withColumn("committed_at", F.current_timestamp())
             .withColumn("operation", F.lit(operation))
-            .select("snapshot_id", "part_key", "run_id", "committed_at", "operation")
+            .select(
+                "snapshot_id",
+                "part_key",
+                "run_id",
+                "committed_at",
+                "operation",
+                "stats",
+            )
             .write.mode("append")
             .parquet(snapshots_path(sink))
         )
@@ -225,24 +269,73 @@ def commit_snapshot(
     ) from last_err
 
 
+def _stats_may_match(stats_json, where) -> bool:
+    """Iceberg's manifest evaluator, bucket-granular: False ONLY when the
+    recorded [min, max] of the predicate column provably excludes the
+    range — missing/NULL/unparseable/cross-typed stats keep the bucket
+    (pruning is an optimization, never a correctness lever)."""
+    col, lo, hi = where
+    if not stats_json:
+        return True
+    try:
+        st = json.loads(stats_json).get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            return True
+        if lo is not None and st["max"] < lo:
+            return False
+        if hi is not None and st["min"] > hi:
+            return False
+    except (ValueError, TypeError):
+        return True  # NaN tokens, cross-type compare: unknown → keep
+    return True
+
+
 def read_snapshot(
-    spark: SparkSession, sink: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    sink: str,
+    snapshot_id: int | None = None,
+    where: tuple | None = None,
 ) -> DataFrame:
     """Manifest-driven read of one snapshot (latest when None) — the time-
     travel read. Only the run dirs the manifest names are opened, each
-    pruned to the buckets the snapshot maps to it."""
+    pruned to the buckets the snapshot maps to it.
+
+    ``where=(col, lo, hi)`` (either bound None = unbounded) additionally
+    skips every bucket whose manifest stats prove no row can match — the
+    data-skipping read: at 10^12 rows a range probe on a stats-tracked
+    column opens only the overlapping buckets' files. The residual row
+    filter is applied either way, so the result is exactly the rows
+    matching the predicate whether or not stats exist."""
     man = _read_manifest(spark, sink)
     if man is None:
         raise FileNotFoundError(f"no committed snapshot in {sink}")
     if snapshot_id is None:
         snapshot_id = man.agg(F.max("snapshot_id")).collect()[0][0]
     mapping = man.filter(F.col("snapshot_id") == snapshot_id).select(
-        "part_key", "run_id"
+        "part_key", "run_id", "stats"
     )
-    pairs = [(row["run_id"], row["part_key"]) for row in mapping.collect()]
-    if not pairs:
+    rows = mapping.collect()
+    if not rows:
         raise ValueError(f"snapshot {snapshot_id} not found in {sink}")
-    return _read_mapping(spark, sink, pairs)
+    kept = [
+        (r["run_id"], r["part_key"])
+        for r in rows
+        if where is None or _stats_may_match(r["stats"], where)
+    ]
+    if not kept:  # every bucket pruned: empty result, live schema
+        full = _read_mapping(
+            spark, sink, [(r["run_id"], r["part_key"]) for r in rows]
+        )
+        out = full.filter(F.lit(False))
+    else:
+        out = _read_mapping(spark, sink, kept)
+    if where is not None:
+        col, lo, hi = where
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
+    return out
 
 
 def _read_mapping(spark: SparkSession, sink: str, pairs: list[tuple[str, int]]):

@@ -159,7 +159,11 @@ def test_snapshot_model_random_sequence(spark, tmp_path):
             "id long, part_key int, run_id string",
         )
         sink_io.write_run_data(df, sink, run_id)
-        sid = sink_io.commit_snapshot(spark, sink, run_id)
+        # half the commits record manifest stats, half don't — where-reads
+        # below must stay exact across stats-tracked, stats-less, carried,
+        # and compaction-nulled buckets alike
+        stats_cols = ["id"] if rng.random() < 0.5 else None
+        sid = sink_io.commit_snapshot(spark, sink, run_id, stats_cols=stats_cols)
         parent = dict(model.get(latest, {}))
         parent.update({b: run_id for b in buckets})
         latest = sid
@@ -188,6 +192,23 @@ def test_snapshot_model_random_sequence(spark, tmp_path):
         # and row contents follow the mapping (2 rows per bucket, run-tagged)
         live = sink_io.read_snapshot(spark, sink, latest).toPandas()
         assert len(live) == 2 * len(model[latest])
+        # stats-pruned range read == model rows in range, regardless of
+        # which buckets happen to carry stats at this step
+        lo = rng.randint(-5, 60)
+        hi = lo + rng.randint(0, 30)
+        got = sorted(
+            r["id"]
+            for r in sink_io.read_snapshot(
+                spark, sink, latest, where=("id", lo, hi)
+            ).collect()
+        )
+        want_ids = sorted(
+            b * 10 + i
+            for b in model[latest]
+            for i in range(2)
+            if lo <= b * 10 + i <= hi
+        )
+        assert got == want_ids, (step, lo, hi)
         # incremental scan vs the model: for every surviving base, the
         # delta to latest is exactly the buckets whose row tags changed
         # (run ids never recur, so tag-equality == untouched-by-data-
@@ -334,3 +355,93 @@ def test_expire_snapshots_keep_last_zero_drops_all(spark, corpus_pdf, tmp_path):
     assert not os.path.isdir(sink_io.run_data_path(sink, r1["run_id"]))
     assert not os.path.isdir(sink_io.run_data_path(sink, r2["run_id"]))
     assert sink_io.latest_snapshot_id(spark, sink) is None
+
+
+def test_stats_may_match_is_conservative():
+    """Pure manifest-evaluator semantics: prune ONLY on provable
+    exclusion; every unknown keeps the bucket."""
+    m = sink_io._stats_may_match
+    st = '{"doc_id": {"min": 100, "max": 199}}'
+    assert m(st, ("doc_id", 150, 160))       # overlap inside
+    assert m(st, ("doc_id", 199, None))      # touches max
+    assert m(st, (  "doc_id", None, 100))    # touches min
+    assert not m(st, ("doc_id", 200, None))  # strictly above
+    assert not m(st, ("doc_id", None, 99))   # strictly below
+    assert m(None, ("doc_id", 0, 1))         # no stats recorded
+    assert m("", ("doc_id", 0, 1))
+    assert m('{"other": {"min": 1, "max": 2}}', ("doc_id", 0, 1))
+    assert m('{"doc_id": {"min": null, "max": null}}', ("doc_id", 0, 1))
+    assert m("not json", ("doc_id", 0, 1))
+    # cross-typed bound vs stored value: unknown → keep
+    assert m('{"doc_id": {"min": "a", "max": "z"}}', ("doc_id", 0, 1))
+    # string stats with string bounds DO prune
+    st_s = '{"lang": {"min": "de", "max": "fr"}}'
+    assert m(st_s, ("lang", "en", "en"))
+    assert not m(st_s, ("lang", "zh", None))
+
+
+def test_stats_pruned_read_skips_buckets_and_matches_full_scan(spark, tmp_path):
+    """End-to-end data skipping: commit with stats_cols, range-read with
+    where= — only overlapping buckets survive manifest evaluation, the
+    plan's partition filter names just those buckets, and the rows equal
+    the brute-force filtered full scan."""
+    sink = str(tmp_path / "stats_sink")
+    # part_key correlates with id ranges: bucket k holds ids [100k, 100k+100)
+    df = spark.range(800).selectExpr(
+        "id", "cast(id / 100 as int) part_key", "concat('d', id) payload"
+    )
+    sink_io.write_run_data(df, sink, "r1")
+    sink_io.commit_snapshot(spark, sink, "r1", stats_cols=["id"])
+
+    man = sink_io._read_manifest(spark, sink)
+    rows = man.collect()
+    assert all(r["stats"] for r in rows), rows  # every bucket got stats
+    where = ("id", 250, 420)
+    kept = sorted(
+        r["part_key"] for r in rows if sink_io._stats_may_match(r["stats"], where)
+    )
+    assert kept == [2, 3, 4]  # 5 of 8 buckets provably excluded
+
+    out = sink_io.read_snapshot(spark, sink, where=where)
+    full = sink_io.read_snapshot(spark, sink).filter("id between 250 and 420")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert sorted(int(k) for k in m.group(1).split(",")) == [2, 3, 4], plan
+
+
+def test_stats_carry_forward_and_null_stats_stay_readable(spark, tmp_path):
+    """A later commit without stats must not break skipping on untouched
+    buckets (their carried stats still describe their data), and its own
+    NULL-stats buckets are always read (conservative), never lost."""
+    sink = str(tmp_path / "carry_sink")
+    df = spark.range(400).selectExpr(
+        "id", "cast(id / 100 as int) part_key", "concat('d', id) payload"
+    )
+    sink_io.write_run_data(df, sink, "r1")
+    sink_io.commit_snapshot(spark, sink, "r1", stats_cols=["id"])
+    # r2 rewrites bucket 0 only, WITHOUT stats, with shifted ids
+    upd = spark.range(1000, 1010).selectExpr(
+        "id", "cast(0 as int) part_key", "concat('u', id) payload"
+    )
+    sink_io.write_run_data(upd, sink, "r2")
+    sink_io.commit_snapshot(spark, sink, "r2")
+
+    rows = sink_io._read_manifest(spark, sink).filter("snapshot_id = 2").collect()
+    by_key = {r["part_key"]: r["stats"] for r in rows}
+    assert by_key[0] is None  # no stats asked for on r2
+    assert by_key[1] is not None  # carried forward from r1's commit
+
+    # range hitting only bucket 3's ids: buckets 1,2 prune via carried
+    # stats; bucket 0 (unknown stats) is opened but filtered to nothing
+    out = sink_io.read_snapshot(spark, sink, where=("id", 350, 360))
+    assert sorted(r["id"] for r in out.collect()) == list(range(350, 361))
+    # all buckets pruned -> empty result with the table schema
+    none = sink_io.read_snapshot(spark, sink, where=("id", 5000, 6000))
+    assert none.count() == 0
+    assert set(none.columns) == {"id", "payload", "part_key"}
