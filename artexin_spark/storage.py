@@ -237,6 +237,20 @@ def commit_snapshot(
                     "left_anti",
                 )
             )
+        # a 'replace' commit rewrites layout over byte-identical data, so
+        # the parent's per-bucket stats still describe the new files —
+        # inherit them instead of nulling (compaction must not degrade
+        # data skipping); a data commit ('overwrite') never inherits
+        new_map_eff = new_map
+        if man is not None and operation == "replace" and not stats_cols:
+            parent_stats = man.filter(
+                F.col("snapshot_id") == parent_id
+            ).select("part_key", F.col("stats").alias("_pstats"))
+            new_map_eff = (
+                new_map.drop("stats")
+                .join(F.broadcast(parent_stats), "part_key", "left")
+                .withColumnRenamed("_pstats", "stats")
+            )
         # probe FORWARD past claimed ids: a marker whose manifest rows never
         # landed (crashed committer) must not pin the retry loop to one id —
         # ids may skip, exactly as Iceberg burns ids on failed commits
@@ -247,7 +261,11 @@ def commit_snapshot(
         except FileExistsError as err:
             last_err = err  # id taken (possibly in-flight): recompute parent
             continue
-        mapping = new_map if carried is None else carried.unionByName(new_map)
+        mapping = (
+            new_map_eff
+            if carried is None
+            else carried.unionByName(new_map_eff)
+        )
         (
             mapping.withColumn("snapshot_id", F.lit(snap_id).cast("long"))
             .withColumn("committed_at", F.current_timestamp())
@@ -472,12 +490,23 @@ def merge_upsert(
 
 
 def compact_snapshot(
-    spark: SparkSession, sink: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    sink: str,
+    files_per_bucket: int = 1,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite the live snapshot into one fresh run with ``files_per_bucket``
     files per bucket (small-file compaction — resume-heavy tables accrete a
     file per retried run) and commit it as a new snapshot covering every
-    bucket. Data is byte-identical; only layout changes."""
+    bucket. Data is byte-identical; only layout changes. Manifest stats
+    survive: the 'replace' commit inherits the parent's per-bucket min/max
+    (still exact over identical data), so data skipping never degrades
+    across compactions.
+
+    ``sort_by`` additionally sorts rows within each output partition
+    (Iceberg's sort-order rewrite): parquet row groups then carry tight
+    min/max on those columns, so engine-level predicate pushdown skips
+    row groups INSIDE the files our manifest couldn't prune."""
     import uuid as _uuid
 
     live = read_snapshot(spark, sink)
@@ -500,11 +529,13 @@ def compact_snapshot(
     spread = F.pmod(
         F.xxhash64(*[F.col(c) for c in live.columns]), F.lit(files_per_bucket)
     )
+    out = live.repartition(
+        max(1, n_buckets_live) * files_per_bucket, F.col("part_key"), spread
+    )
+    if sort_by:
+        out = out.sortWithinPartitions("part_key", *sort_by)
     (
-        live.repartition(
-            max(1, n_buckets_live) * files_per_bucket, F.col("part_key"), spread
-        )
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("compression", SINK_CODEC)
         .partitionBy("part_key")
         .parquet(run_data_path(sink, rid))

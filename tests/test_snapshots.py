@@ -445,3 +445,33 @@ def test_stats_carry_forward_and_null_stats_stay_readable(spark, tmp_path):
     none = sink_io.read_snapshot(spark, sink, where=("id", 5000, 6000))
     assert none.count() == 0
     assert set(none.columns) == {"id", "payload", "part_key"}
+
+
+def test_compaction_inherits_stats_and_sorts_within_buckets(spark, tmp_path):
+    """A 'replace' commit rewrites byte-identical data, so the parent's
+    per-bucket stats still hold — compaction must inherit them (data
+    skipping never degrades) — and sort_by must leave each bucket's file
+    internally ordered (tight parquet row-group min/max)."""
+    import glob as _glob
+
+    sink = str(tmp_path / "compact_stats")
+    df = spark.range(400).selectExpr(
+        "id", "cast(id / 100 as int) part_key", "concat('d', id) payload"
+    ).orderBy(F.rand(7))  # scrambled so the sort is observable
+    sink_io.write_run_data(df, sink, "r1")
+    sink_io.commit_snapshot(spark, sink, "r1", stats_cols=["id"])
+    sid = sink_io.compact_snapshot(spark, sink, sort_by=["id"])
+
+    rows = sink_io._read_manifest(spark, sink).filter(
+        F.col("snapshot_id") == sid
+    ).collect()
+    assert rows and all(r["stats"] for r in rows), rows  # inherited, not null
+    # skipping still prunes to the one overlapping bucket, values exact
+    out = sink_io.read_snapshot(spark, sink, where=("id", 150, 160))
+    assert sorted(r["id"] for r in out.collect()) == list(range(150, 161))
+    # each compacted bucket file is internally sorted by id
+    run_dir = sink_io.run_data_path(sink, rows[0]["run_id"])
+    files = _glob.glob(os.path.join(run_dir, "part_key=1", "*.parquet"))
+    assert files
+    ids = [r["id"] for r in spark.read.parquet(files[0]).collect()]
+    assert ids == sorted(ids) and len(ids) == 100
