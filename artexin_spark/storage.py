@@ -191,8 +191,31 @@ def commit_snapshot(
     they cost one column-pruned scan of the new run at commit time —
     carried-forward buckets keep the stats of the commit that wrote them.
     Intended for numeric/string sort-ish keys; a commit without stats
-    leaves the column NULL (never pruned, always correct)."""
+    leaves the column NULL (never pruned, always correct).
+
+    Commits enforce Iceberg's schema compatibility: a shared column whose
+    TYPE differs from the live snapshot's fails here (fail fast, one
+    writer) instead of at some future reader's union; added and missing
+    columns remain legal (add-column evolution, NULL-filled)."""
     run_df = spark.read.parquet(run_data_path(sink, run_id))
+    try:
+        live_schema = read_snapshot(spark, sink).schema
+    except (FileNotFoundError, ValueError):
+        live_schema = None  # first commit: nothing to conflict with
+    if live_schema is not None:
+        live_types = {f.name: f.dataType for f in live_schema.fields}
+        conflicts = [
+            f"{f.name}: {live_types[f.name].simpleString()} -> "
+            f"{f.dataType.simpleString()}"
+            for f in run_df.schema.fields
+            if f.name in live_types and f.dataType != live_types[f.name]
+        ]
+        if conflicts:
+            raise ValueError(
+                f"run {run_id} changes column types vs the live snapshot "
+                f"({'; '.join(conflicts)}) — rewrite the run or cast; "
+                "only add-column evolution is supported"
+            )
     if stats_cols:
         per_col = [
             F.struct(
@@ -578,6 +601,45 @@ def expire_snapshots(spark: SparkSession, sink: str, keep_last: int = 1) -> list
     for rid in dead:
         shutil.rmtree(run_data_path(sink, rid), ignore_errors=True)
     return dead
+
+
+def remove_orphan_runs(
+    spark: SparkSession, sink: str, min_age_s: float = 3600.0
+) -> list[str]:
+    """Delete run directories no manifest row references (Iceberg's
+    remove-orphan-files maintenance): a writer that crashed between
+    ``write_run_data`` and ``commit_snapshot`` leaves a data dir that is
+    invisible to every reader — correct, but paying storage forever at
+    10^12-row scale. ``expire_snapshots`` can't see these (it walks the
+    manifest); this walks the data dir instead. ``min_age_s`` (directory
+    mtime) guards the race against a writer that is mid-commit right
+    now — production callers keep a generous grace window."""
+    import shutil
+    import time
+
+    man = _read_manifest(spark, sink)
+    referenced: set[str] = (
+        set()
+        if man is None
+        else {r[0] for r in man.select("run_id").distinct().collect()}
+    )
+    removed: list[str] = []
+    root = data_path(sink)
+    if not os.path.isdir(root):
+        return removed
+    now = time.time()
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("run="):
+            continue
+        rid = name[len("run="):]
+        full = os.path.join(root, name)
+        if rid in referenced or not os.path.isdir(full):
+            continue
+        if now - os.path.getmtime(full) < min_age_s:
+            continue  # possibly an in-flight writer: not yet an orphan
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(rid)
+    return removed
 
 
 def write_bucketed_table(

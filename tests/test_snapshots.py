@@ -475,3 +475,59 @@ def test_compaction_inherits_stats_and_sorts_within_buckets(spark, tmp_path):
     assert files
     ids = [r["id"] for r in spark.read.parquet(files[0]).collect()]
     assert ids == sorted(ids) and len(ids) == 100
+
+
+def test_remove_orphan_runs_gcs_only_uncommitted_dirs(spark, tmp_path):
+    """Crashed writers (data written, never committed) leak run dirs that
+    expire_snapshots can't see (it walks the manifest). remove_orphan_runs
+    walks the data dir: orphans past the grace window go, committed runs
+    and fresh in-flight writes stay."""
+    sink = str(tmp_path / "orphan_sink")
+    df = spark.range(40).selectExpr("id", "cast(id % 4 as int) part_key")
+    sink_io.write_run_data(df, sink, "good")
+    sink_io.commit_snapshot(spark, sink, "good")
+    sink_io.write_run_data(df, sink, "crashed")  # no commit
+    want = sorted(r["id"] for r in sink_io.read_snapshot(spark, sink).collect())
+
+    # grace window protects the possibly-in-flight writer
+    assert sink_io.remove_orphan_runs(spark, sink, min_age_s=3600) == []
+    assert os.path.isdir(sink_io.run_data_path(sink, "crashed"))
+    # past the window it is an orphan
+    assert sink_io.remove_orphan_runs(spark, sink, min_age_s=0) == ["crashed"]
+    assert not os.path.isdir(sink_io.run_data_path(sink, "crashed"))
+    assert os.path.isdir(sink_io.run_data_path(sink, "good"))
+    got = sorted(r["id"] for r in sink_io.read_snapshot(spark, sink).collect())
+    assert got == want
+
+
+def test_commit_rejects_column_type_conflict(spark, tmp_path):
+    """Schema enforcement at the commit point: a run that changes a shared
+    column's TYPE fails fast (one writer sees it) instead of poisoning
+    every future reader's union; add-column evolution stays legal."""
+    sink = str(tmp_path / "schema_sink")
+    df = spark.range(20).selectExpr(
+        "id", "cast(id % 2 as int) part_key", "cast(id * 10 as long) n_chars"
+    )
+    sink_io.write_run_data(df, sink, "r1")
+    sink_io.commit_snapshot(spark, sink, "r1")
+
+    bad = spark.range(5).selectExpr(
+        "id", "cast(id % 2 as int) part_key", "cast(id as string) n_chars"
+    )
+    sink_io.write_run_data(bad, sink, "r2")
+    with pytest.raises(ValueError, match="n_chars.*bigint.*string"):
+        sink_io.commit_snapshot(spark, sink, "r2")
+
+    # add-column evolution still commits fine
+    ok = spark.range(5).selectExpr(
+        "id", "cast(0 as int) part_key",
+        "cast(id as long) n_chars", "concat('x', id) extra"
+    )
+    sink_io.write_run_data(ok, sink, "r3")
+    sid = sink_io.commit_snapshot(spark, sink, "r3")
+    live = sink_io.read_snapshot(spark, sink, sid)
+    assert "extra" in live.columns
+    # r3 replaced bucket 0 (5 rows); r1's bucket 1 (10 rows) carried,
+    # reading NULL in the added column
+    assert live.count() == 15
+    assert live.filter(F.col("extra").isNull()).count() == 10
