@@ -704,6 +704,40 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Explicit skew salting (operators.joins.salted_join): the fact side
+    carries a deterministic row salt, the dim side replicates n_salt
+    times, and one hot key's rows spread over n_salt shuffle partitions
+    instead of pinning one task — the manual pattern behind AQE's skew
+    split, for when a poison key exceeds what a runtime split can fix.
+    Values must equal the plain equi-join (oracle), salt invisible."""
+    from artexin_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        salted_join(li, pt, ["partkey"], n_salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
 def q_region_revenue(spark, sf_dir):
     """Join breadth: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region with
     the small dims broadcast (plan: one shuffle join on the fact keys,
@@ -1374,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "region_revenue": q_region_revenue,
+        "skew_salted_join": q_skew_salted_join,
         "strip_links": q_strip_links,
         "extract_spans": q_extract_spans,
         "conv_rollup": q_conv_rollup,
@@ -1969,6 +2004,15 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
 FROM agg
 ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
 LIMIT 10
+"""
+
+_ORACLES["skew_salted_join"] = """
+SELECT p_brand, count(*) AS n,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+          (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+        AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
 """
 
 _ORACLES["region_revenue"] = """

@@ -120,3 +120,33 @@ def range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_b")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing equi-join (the explicit salting pattern the 100 TB
+    north rule calls for when AQE's runtime skew split isn't enough —
+    e.g. one poison key holding >1 executor-heap of fact rows). The fact
+    side gets a deterministic per-row salt (whole-row xxhash64, stable
+    under task retries); the dim side is replicated ``n_salt`` times, so
+    a hot key's rows spread over ``n_salt`` shuffle partitions instead of
+    pinning one task. Dim replication costs |dim| × n_salt — use for
+    MEDIUM dims too big to broadcast; broadcast small ones instead.
+
+    Only 'inner' and 'left' are safe (each fact row carries exactly one
+    salt; a right/full join would see dim rows n_salt times)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    f = fact.withColumn("_salt", salt.cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return f.join(d, on + ["_salt"], how).drop("_salt")

@@ -668,3 +668,41 @@ def test_dedup_clusters_id_col_named_id(spark):
     got = dict(zip(out.id, out.cluster_id))
     assert got[1] == got[2] == 1 and got[3] == 3
     assert set(out[out.is_duplicate].id) == {2}
+
+
+def test_salted_join_matches_plain_join_and_left_nulls(spark):
+    """salted_join == plain join row-for-row (salt must be invisible),
+    including unmatched-left NULLs; hot-key rows actually spread over
+    multiple salts; right/full rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from artexin_spark.operators.joins import salted_join
+
+    # one poison key (k=1) with 500 rows, plus a tail; dim misses k=9
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 10)],
+        "k int, v int",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(9)], "k int, name string"
+    )
+
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, ["k"], n_salt=8, how=how)
+        want = fact.join(dim, ["k"], how)
+        g = sorted(map(tuple, got.collect()))
+        w = sorted(map(tuple, want.collect()))
+        assert g == w, how
+    # the hot key's rows really take multiple salts (skew actually splits)
+    n_salts = (
+        fact.filter("k = 1")
+        .select(
+            F.pmod(F.xxhash64("k", "v"), F.lit(8)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, ["k"], how="right")

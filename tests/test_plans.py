@@ -245,3 +245,21 @@ def test_topk_per_group_limits_before_shuffle(spark):
     assert "WindowGroupLimit" in plan, plan
     # two WindowGroupLimit nodes: partial (pre-shuffle) + final
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """With broadcast off (the regime salting exists for), the join's
+    hash partitioning must include the salt column — proof the hot key's
+    rows land on n_salt different reducers, not one."""
+    from artexin_spark.operators.joins import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.range(1000).selectExpr("cast(id % 3 as int) k", "id v")
+        dim = spark.range(3).selectExpr("cast(id as int) k", "id * 10 d")
+        plan = _plan(salted_join(fact, dim, ["k"], n_salt=8))
+        assert "hashpartitioning(k" in plan and "_salt" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

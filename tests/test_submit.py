@@ -1,0 +1,44 @@
+"""The north rule's invocation path, driven for real: bench/run.sh zips
+the package and spark-submits --py-files the SAME artifact a cluster
+runs. A fresh JVM/interpreter pair proves the job carries no hidden
+dependence on the test session's state."""
+
+import json
+import os
+import subprocess
+
+from artexin_spark import storage as sink_io
+from artexin_spark.corpus import gen_transcripts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "transcripts")
+    pdf = gen_transcripts(n_convs=12, seed=5, with_source=True)
+    spark.createDataFrame(pdf).write.parquet(src)
+    sink = str(tmp_path / "sink")
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_DRIVER_MEM="3g",
+        SPARK_SHUFFLE_PARTITIONS="8",
+    )
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "bench", "run.sh"), src, sink,
+         "--buckets", "4", "--snapshot"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["rows"] == len(pdf)
+    assert stats["snapshot_id"] == 1
+
+    # the submitted job's sink reads back in THIS session: same layout
+    out = sink_io.read_snapshot(spark, sink)
+    assert out.count() == len(pdf)
+    assert {"conv_id", "turn_idx", "extracted_text"} <= set(out.columns)
