@@ -548,6 +548,46 @@ def q_rollup_events(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """JSON column processing: extract a typed field from the events
+    ``props`` JSON payload JVM-side (get_json_object — no Python, no
+    UDF) and aggregate it. The extraction is a scan-side projection, so
+    at 100 TB the JSON never leaves the mappers un-aggregated."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long→wide): partial+final agg on (date, type) crushes the
+    fact table to |dates|×5 rows, then the pivot agg re-shuffles only
+    that tiny set — the second exchange is negligible at any scale. The
+    explicit values list keeps the schema static (no distinct pre-pass
+    job over the corpus) and absent cells coalesce to 0 so the wide
+    table is dense."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    wide = (
+        ev.filter(F.col("event_type").isin(types))
+        .groupBy("event_date")
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE over (event_type, event_date): all four grouping sets in ONE
     pass — Catalyst expands to a single Expand + partial/final hash agg,
@@ -1402,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rollup_events": q_rollup_events,
         "events_cube": q_events_cube,
+        "json_props": q_json_props,
+        "events_pivot": q_events_pivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
         "image_index": q_image_index,
@@ -1913,6 +1955,25 @@ _ORACLES["rollup_events"] = """
 SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY ROLLUP (event_type)
+"""
+
+_ORACLES["json_props"] = """
+WITH e AS (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+_ORACLES["events_pivot"] = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY event_date
 """
 
 _ORACLES["events_cube"] = """
