@@ -1946,8 +1946,8 @@ WITH g AS (SELECT event_id, user_id, ts,
        THEN 1 ELSE 0 END AS new_sess
   FROM events)
 SELECT event_id, user_id,
-  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM g
 """
 
@@ -1959,18 +1959,18 @@ FROM events GROUP BY ROLLUP (event_type)
 
 _ORACLES["json_props"] = """
 WITH e AS (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
-SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k,
+SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM e GROUP BY event_type
 """
 
 _ORACLES["events_pivot"] = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
 GROUP BY event_date
@@ -2393,7 +2393,7 @@ FROM documents WHERE doc_id < 1000
 """
 
 _ORACLES["stats_skipping"] = """
-SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents
 WHERE doc_id BETWEEN 120 AND 340
