@@ -198,3 +198,65 @@ def test_extract_turn_spans_recover_text_on_entity_free_soup(atoms):
     if res.error is not None:
         return
     assert fix_ws(" ".join(src[s:e] for s, e in res.spans)) == res.text
+
+
+_bound = st.one_of(st.none(), st.integers(-120, 120))
+
+
+@given(
+    st.lists(st.integers(-100, 100), min_size=0, max_size=20),
+    _bound,
+    _bound,
+)
+@settings(max_examples=300)
+def test_stats_pruning_sound_and_complete_numeric(values, lo, hi):
+    """Manifest evaluator (storage._stats_may_match) vs brute force:
+    NEVER prunes a bucket containing a matching row (soundness), and
+    always prunes when [min,max] is provably disjoint from the range
+    (completeness on clean stats)."""
+    import json
+
+    from artexin_spark.storage import _stats_may_match
+
+    stats = json.dumps(
+        {
+            "c": {
+                "min": min(values) if values else None,
+                "max": max(values) if values else None,
+            }
+        }
+    )
+    keep = _stats_may_match(stats, ("c", lo, hi))
+    match_exists = any(
+        (lo is None or v >= lo) and (hi is None or v <= hi) for v in values
+    )
+    if match_exists:
+        assert keep  # pruning a matching bucket would drop rows
+    if values:
+        disjoint = (hi is not None and min(values) > hi) or (
+            lo is not None and max(values) < lo
+        )
+        if disjoint:
+            assert not keep  # clean stats must actually prune
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=12),
+    st.one_of(st.none(), st.text(max_size=6)),
+    st.one_of(st.none(), st.text(max_size=6)),
+)
+@settings(max_examples=200)
+def test_stats_pruning_sound_strings(values, lo, hi):
+    """Same soundness over string stats (lexicographic ranges), through
+    the real JSON round-trip the manifest uses."""
+    import json
+
+    from artexin_spark.storage import _stats_may_match
+
+    stats = json.dumps({"c": {"min": min(values), "max": max(values)}})
+    keep = _stats_may_match(stats, ("c", lo, hi))
+    match_exists = any(
+        (lo is None or v >= lo) and (hi is None or v <= hi) for v in values
+    )
+    if match_exists:
+        assert keep
