@@ -548,6 +548,30 @@ def q_rollup_events(spark, sf_dir):
     )
 
 
+def q_tumbling_window(spark, sf_dir):
+    """Batch tumbling-window aggregation (F.window, 15-minute buckets):
+    the same windowing primitive the streaming path uses, here as one
+    hash agg over the bucketed timestamp — the window struct is a pure
+    projection, so the fact table shuffles once, already bucketed."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_json_props(spark, sf_dir):
     """JSON column processing: extract a typed field from the events
     ``props`` JSON payload JVM-side (get_json_object — no Python, no
@@ -1443,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "events_cube": q_events_cube,
         "json_props": q_json_props,
+        "tumbling_window": q_tumbling_window,
         "events_pivot": q_events_pivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
@@ -1955,6 +1980,18 @@ _ORACLES["rollup_events"] = """
 SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY ROLLUP (event_type)
+"""
+
+_ORACLES["tumbling_window"] = """
+WITH e AS (SELECT to_timestamp(900 * CAST(floor(epoch(ts) / 900) AS BIGINT))
+                    AS w_start_ts,
+                  event_type, value
+           FROM events)
+SELECT strftime(w_start_ts, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM e GROUP BY w_start_ts, event_type
 """
 
 _ORACLES["json_props"] = """

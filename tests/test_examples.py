@@ -34,3 +34,15 @@ def test_extract_html_example(tmp_path):
     html = open(out).read()
     assert "<title>Earth Day Global Mosaic</title>" in html
     assert "navigation" not in html  # boilerplate stripped from the document
+
+
+def test_snapshot_maintenance_example():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "snapshot_maintenance.py")],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "merge committed snapshot" in r.stdout
+    assert "incremental since snapshot 2" in r.stdout
+    assert "live turns after maintenance" in r.stdout
