@@ -168,8 +168,17 @@ def run_extract(
     Returns run counters {run_id, buckets, rows, errors}.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    # bucket spec: first write pins it; later writes adopt it when
+    # n_buckets is omitted and fail fast on a conflict — a resume under a
+    # different shuffle-partition conf must never silently re-bucket
+    # (bucket REPLACEMENT with a different spec strands stale rows)
+    spec = sink_io.read_bucket_spec(sink)
     if n_buckets is None:
-        n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if spec is not None:
+            n_buckets = int(spec["n_buckets"])
+        else:
+            n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sink_io.ensure_bucket_spec(sink, n_buckets)
 
     out = extract_df(spark, df, n_buckets=n_buckets, source_col=source_col)
     # this run's bucket set, from the RAW input (narrow conv_id/turn_idx

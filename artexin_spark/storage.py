@@ -603,6 +603,55 @@ def expire_snapshots(spark: SparkSession, sink: str, keep_last: int = 1) -> list
     return dead
 
 
+def bucket_spec_path(sink: str) -> str:
+    return os.path.join(sink, "_bucket_spec.json")
+
+
+def read_bucket_spec(sink: str) -> dict | None:
+    try:
+        with open(bucket_spec_path(sink)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def ensure_bucket_spec(
+    sink: str,
+    n_buckets: int,
+    bucket_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> dict:
+    """Pin the sink's bucketing (Iceberg's partition spec): created on
+    first write, validated on every later one. Without this a resume
+    under a different ``spark.sql.shuffle.partitions`` silently derives a
+    different default bucket count — rows re-bucket, partial-run bucket
+    REPLACEMENT then leaves stale rows in buckets the new run didn't
+    claim. Conflicts fail fast at the writer; spec evolution = rewrite
+    the table (exactly Iceberg's rule for changing bucket counts)."""
+    spec = read_bucket_spec(sink)
+    if spec is None:
+        spec = {
+            "n_buckets": int(n_buckets),
+            "bucket_cols": list(bucket_cols),
+            "bucket_fn": "pmod(xxhash64(bucket_cols), n_buckets)",
+        }
+        os.makedirs(sink, exist_ok=True)
+        tmp = bucket_spec_path(sink) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh, indent=2)
+        os.replace(tmp, bucket_spec_path(sink))
+        return spec
+    if int(spec["n_buckets"]) != int(n_buckets) or list(
+        spec.get("bucket_cols", [])
+    ) != list(bucket_cols):
+        raise ValueError(
+            f"sink {sink} is bucketed as {spec['n_buckets']} × "
+            f"{spec.get('bucket_cols')}; this run asked for {n_buckets} × "
+            f"{list(bucket_cols)} — pass the recorded spec (or omit "
+            "n_buckets to adopt it); re-bucketing requires a table rewrite"
+        )
+    return spec
+
+
 def remove_orphan_runs(
     spark: SparkSession, sink: str, min_age_s: float = 3600.0
 ) -> list[str]:

@@ -40,6 +40,14 @@ def incremental_extract(
 
     Exactly-once per input file via the streaming checkpoint; re-invoking
     after new files land processes only the delta."""
+    # same spec pinning as the batch sink: appends across invocations must
+    # all carry ONE bucketing or downstream bucket-keyed consumers break
+    from . import storage as _sink_io
+
+    spec = _sink_io.read_bucket_spec(output_dir)
+    if spec is not None:
+        n_buckets = int(spec["n_buckets"])
+    _sink_io.ensure_bucket_spec(output_dir, n_buckets)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)

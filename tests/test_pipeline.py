@@ -257,3 +257,28 @@ def test_fully_resumed_run_is_clean_noop(spark, corpus_pdf, tmp_path):
     res2 = run_extract(spark, df, snap_sink, n_buckets=16, resume=True, snapshot=True)
     assert res2["rows"] == 0 and res2["snapshot_id"] == sid
     assert sink_io.latest_snapshot_id(spark, snap_sink) == sid  # no empty commit
+
+
+def test_bucket_spec_pins_resume_bucketing(spark, corpus_pdf, tmp_path):
+    """First write records the sink's bucket spec; a resume that omits
+    n_buckets ADOPTS it even under a different shuffle-partition conf
+    (the silent-re-bucketing hazard), and an explicit conflict fails
+    fast instead of stranding stale rows in unclaimed buckets."""
+    import pytest as _pytest
+
+    from artexin_spark import storage as sink_io
+
+    sink = str(tmp_path / "spec_sink")
+    df = spark.createDataFrame(corpus_pdf)
+    run_extract(spark, df, sink, n_buckets=8)
+    assert sink_io.read_bucket_spec(sink)["n_buckets"] == 8
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")  # default would be 10
+    try:
+        stats = run_extract(spark, df, sink, resume=True)  # n_buckets omitted
+        assert stats["rows"] == 0  # fully resumed — and no re-bucketed run
+        with _pytest.raises(ValueError, match="bucketed as 8"):
+            run_extract(spark, df, sink, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
