@@ -548,6 +548,19 @@ def q_rollup_events(spark, sf_dir):
     )
 
 
+def q_distinct_users(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group (two-phase: partial distinct-set
+    per mapper, exact merge at reducers) alongside a plain count — the
+    mixed-distinct plan Catalyst expands for. approx_count_distinct is
+    the 100 TB default when ±2% is fine, but it can't be value-gated
+    cross-engine, so the gated path is the exact one."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_tumbling_window(spark, sf_dir):
     """Batch tumbling-window aggregation (F.window, 15-minute buckets):
     the same windowing primitive the streaming path uses, here as one
@@ -726,6 +739,26 @@ def q_pricing_summary(spark, sf_dir):
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join customers→orders (keeping
+    order-less customers), count per customer, then the distribution of
+    those counts. Two agg levels, the second over already-tiny
+    (custkey, count) pairs; the outer join keeps nulls flowing so the
+    zero bucket is real data, not a special case."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 
@@ -1468,12 +1501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "json_props": q_json_props,
         "tumbling_window": q_tumbling_window,
+        "distinct_users": q_distinct_users,
         "events_pivot": q_events_pivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
         "image_index": q_image_index,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "skew_salted_join": q_skew_salted_join,
         "strip_links": q_strip_links,
@@ -1982,6 +2017,12 @@ SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
 FROM events GROUP BY ROLLUP (event_type)
 """
 
+_ORACLES["distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
 _ORACLES["tumbling_window"] = """
 WITH e AS (SELECT to_timestamp(900 * CAST(floor(epoch(ts) / 900) AS BIGINT))
                     AS w_start_ts,
@@ -2080,6 +2121,17 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
 """
 
 _ORACLES["shipping_priority"] = """
