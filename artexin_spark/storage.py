@@ -168,6 +168,30 @@ def list_snapshots(spark: SparkSession, sink: str) -> DataFrame | None:
     )
 
 
+def _check_schema_compatible(spark, sink, new_schema, what: str) -> None:
+    """Iceberg's schema enforcement at the WRITE point: a shared column
+    whose type differs from the live snapshot's raises here (one writer
+    sees a clear error) instead of poisoning a future reader's union.
+    Added/missing columns stay legal (add-column evolution)."""
+    try:
+        live_schema = read_snapshot(spark, sink).schema
+    except (FileNotFoundError, ValueError):
+        return  # first commit: nothing to conflict with
+    live_types = {f.name: f.dataType for f in live_schema.fields}
+    conflicts = [
+        f"{f.name}: {live_types[f.name].simpleString()} -> "
+        f"{f.dataType.simpleString()}"
+        for f in new_schema.fields
+        if f.name in live_types and f.dataType != live_types[f.name]
+    ]
+    if conflicts:
+        raise ValueError(
+            f"{what} changes column types vs the live snapshot "
+            f"({'; '.join(conflicts)}) — rewrite or cast; "
+            "only add-column evolution is supported"
+        )
+
+
 def commit_snapshot(
     spark: SparkSession,
     sink: str,
@@ -198,24 +222,7 @@ def commit_snapshot(
     writer) instead of at some future reader's union; added and missing
     columns remain legal (add-column evolution, NULL-filled)."""
     run_df = spark.read.parquet(run_data_path(sink, run_id))
-    try:
-        live_schema = read_snapshot(spark, sink).schema
-    except (FileNotFoundError, ValueError):
-        live_schema = None  # first commit: nothing to conflict with
-    if live_schema is not None:
-        live_types = {f.name: f.dataType for f in live_schema.fields}
-        conflicts = [
-            f"{f.name}: {live_types[f.name].simpleString()} -> "
-            f"{f.dataType.simpleString()}"
-            for f in run_df.schema.fields
-            if f.name in live_types and f.dataType != live_types[f.name]
-        ]
-        if conflicts:
-            raise ValueError(
-                f"run {run_id} changes column types vs the live snapshot "
-                f"({'; '.join(conflicts)}) — rewrite the run or cast; "
-                "only add-column evolution is supported"
-            )
+    _check_schema_compatible(spark, sink, run_df.schema, f"run {run_id}")
     if stats_cols:
         per_col = [
             F.struct(
@@ -488,6 +495,9 @@ def merge_upsert(
     man = _read_manifest(spark, sink)
     if man is None:
         raise FileNotFoundError(f"no committed snapshot in {sink}")
+    # fail with the write-point error BEFORE the union would raise a raw
+    # Spark type error mid-merge
+    _check_schema_compatible(spark, sink, updates.schema, "merge updates")
     latest = man.agg(F.max("snapshot_id")).collect()[0][0]
     to_map = {
         r["part_key"]: r["run_id"]

@@ -531,3 +531,17 @@ def test_commit_rejects_column_type_conflict(spark, tmp_path):
     # reading NULL in the added column
     assert live.count() == 15
     assert live.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_merge_rejects_type_conflict_with_clear_error(spark, tmp_path):
+    sink = str(tmp_path / "merge_schema_sink")
+    df = spark.range(20).selectExpr(
+        "id", "cast(id % 2 as int) part_key", "cast(id as long) n"
+    )
+    sink_io.write_run_data(df, sink, "r1")
+    sink_io.commit_snapshot(spark, sink, "r1")
+    bad = spark.range(3).selectExpr(
+        "id", "cast(id % 2 as int) part_key", "cast(id as string) n"
+    )
+    with pytest.raises(ValueError, match="merge updates.*n: bigint -> string"):
+        sink_io.merge_upsert(spark, sink, bad, ["id"])
