@@ -548,6 +548,46 @@ def q_rollup_events(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding windows (F.window, 30-min length / 15-min slide): every
+    event lands in exactly two overlapping windows. Catalyst plans this
+    as one explode over the per-row window list then a hash agg — rows
+    duplicate ×(length/slide), which is why the 100 TB rule of thumb is
+    to aggregate FIRST per slide then roll slides into windows; here the
+    direct form is gated for semantics."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "30 minutes", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "n",
+        )
+    )
+
+
+def q_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, 30-min gap): Catalyst's
+    gap-merge aggregation — one shuffle on user_id, sessions assembled
+    inside the window operator, no self-join. Oracle reproduces Spark's
+    exact half-open semantics: an event at prev_ts + gap starts a NEW
+    session (windows are [start, last+gap))."""
+    ev = _events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_start"
+            ),
+            "user_id",
+            "n",
+        )
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """Exact COUNT(DISTINCT) per group (two-phase: partial distinct-set
     per mapper, exact merge at reducers) alongside a plain count — the
@@ -1502,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "tumbling_window": q_tumbling_window,
         "distinct_users": q_distinct_users,
+        "session_window": q_session_window,
+        "sliding_window": q_sliding_window,
         "events_pivot": q_events_pivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
@@ -2015,6 +2057,38 @@ _ORACLES["rollup_events"] = """
 SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY ROLLUP (event_type)
+"""
+
+_ORACLES["sliding_window"] = """
+WITH starts AS (
+  SELECT to_timestamp(900 * CAST(floor(epoch(ts) / 900) AS BIGINT)) AS s
+  FROM events
+  UNION ALL
+  SELECT to_timestamp(900 * (CAST(floor(epoch(ts) / 900) AS BIGINT) - 1))
+  FROM events
+)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n
+FROM starts GROUP BY s
+"""
+
+_ORACLES["session_window"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, user_id,
+       count(*) AS n
+FROM s GROUP BY user_id, sid
 """
 
 _ORACLES["distinct_users"] = """
