@@ -645,11 +645,20 @@ def ensure_bucket_spec(
             "bucket_fn": "pmod(xxhash64(bucket_cols), n_buckets)",
         }
         os.makedirs(sink, exist_ok=True)
-        tmp = bucket_spec_path(sink) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(spec, fh, indent=2)
-        os.replace(tmp, bucket_spec_path(sink))
-        return spec
+        # O_EXCL: of two concurrent first-writers exactly one pins the
+        # spec; the loser falls through to validation against it (a
+        # last-writer-wins replace would let conflicting specs race past
+        # the check)
+        try:
+            fd = os.open(
+                bucket_spec_path(sink), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            spec = read_bucket_spec(sink)  # lost the race: validate below
+        else:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(spec, fh, indent=2)
+            return spec
     if int(spec["n_buckets"]) != int(n_buckets) or list(
         spec.get("bucket_cols", [])
     ) != list(bucket_cols):
