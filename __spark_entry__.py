@@ -1230,6 +1230,76 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL pixel math through the Arrow binary path: w×h uint8 rasters
+    decode to ndarrays, numpy nearest-neighbour downsamples to max side
+    24, and the content fingerprint (md5 of resized pixels) is gated
+    against a single-node replay of the same math — proving the Spark
+    plumbing (binary transport, batching, in-band errors) is lossless,
+    which is the part a PIL swap-in would keep."""
+    assets = mm.synth_rasters(spark, n=50, seed=7)
+    out = mm.resize_assets(assets, max_side=24)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "px_sum",
+        "px_md5",
+        F.substring("error", 1, 20).alias("error_head"),
+    )
+
+
+def _multimodal_resize_expected_values_sql() -> str:
+    """Single-node replay of synth_rasters + resize (the golden path);
+    the gate then proves Spark's Arrow round trip changes nothing."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        w, h = rng.choice(mm.RASTER_DIMS)
+        payload = mm.make_fake_raster(w, h, seed=i)
+        if i % 10 == 9:
+            payload = payload[: len(payload) // 2]
+        try:
+            px = mm.resize_raster(mm.decode_raster(payload), 24)
+            rows.append(
+                (
+                    i,
+                    px.shape[1],
+                    px.shape[0],
+                    int(px.sum()),
+                    hashlib.md5(px.tobytes()).hexdigest(),
+                    None,
+                )
+            )
+        except ValueError as err:
+            rows.append((i, None, None, None, None, str(err)[:20]))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    values = ",\n".join(
+        "(%s)" % ", ".join(lit(v) for v in row) for row in rows
+    )
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_md5 AS VARCHAR) AS px_md5,
+       CAST(error_head AS VARCHAR) AS error_head
+FROM (VALUES
+{values}
+) AS t(asset_id, width, height, px_sum, px_md5, error_head)
+"""
+
+
 def _multimodal_expected_values_sql() -> str:
     """Replays synth_assets' seeded RNG call sequence (independent of
     decode_image) to build the expected decode output as a VALUES list."""
@@ -1568,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed": q_stream_windowed,
         "asset_resolution": q_asset_resolution,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "pdf_extract": q_pdf_extract,
         "stateful_progress": q_stateful_progress,
         "time_travel": q_time_travel,
@@ -2596,5 +2667,6 @@ FROM documents WHERE doc_id < 1000
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["multimodal_decode"] = _multimodal_expected_values_sql()
+    out["multimodal_resize"] = _multimodal_resize_expected_values_sql()
     out["ann_lsh"] = _ann_lsh_oracle_sql()
     return out

@@ -182,3 +182,113 @@ def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Raster path: REAL pixel math on synthetic rasters. Unlike the header-only
+# fake codec above, these payloads carry an actual w×h uint8 grayscale
+# bitmap, so resize is genuine vectorized numpy work — the full Arrow
+# binary→ndarray→transform→binary round trip a PIL-backed pipeline would
+# run, with only the container format faked (swap decode_raster for a real
+# decoder and nothing else changes).
+# ---------------------------------------------------------------------------
+
+FAKE_RAW_MAGIC = b"FAKERAW1"
+
+
+def make_fake_raster(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic grayscale raster: magic + dims + w×h uint8 pixels
+    (PCG64-seeded — numpy guarantees cross-version reproducibility)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    return FAKE_RAW_MAGIC + _struct.pack("<II", width, height) + px.tobytes()
+
+
+def decode_raster(payload) -> np.ndarray:
+    if payload is None or len(payload) < 16:
+        raise ValueError("truncated raster payload")
+    payload = bytes(payload)
+    if payload[:8] != FAKE_RAW_MAGIC:
+        raise ValueError("not a FAKERAW payload")
+    w, h = _struct.unpack("<II", payload[8:16])
+    body = payload[16 : 16 + w * h]
+    if len(body) != w * h:
+        raise ValueError("raster body shorter than dims claim")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+
+
+def resize_raster(px: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbour downsample so max(h, w) == max_side, aspect
+    preserved; images already small pass through untouched (no upscale)."""
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
+    h, w = px.shape
+    scale = max(h, w) / max_side
+    if scale <= 1:
+        return px
+    nh, nw = max(1, round(h / scale)), max(1, round(w / scale))
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return px[yi][:, xi]
+
+
+RESIZE_OUT_SCHEMA = (
+    "asset_id long, width int, height int, px_sum long, px_md5 string, "
+    "error string"
+)
+
+
+def resize_assets(df: DataFrame, max_side: int = 24) -> DataFrame:
+    """Arrow-batched mapInPandas resize: decode → numpy nearest-neighbour
+    → content fingerprint. Poison payloads land in the in-band error
+    column (the 10^12-row contract); per-element handling inside the
+    batch is unavoidable for variable-size binaries, but all pixel math
+    is vectorized numpy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    px = resize_raster(decode_raster(payload), max_side)
+                    rows.append(
+                        (
+                            aid,
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            int(px.sum()),
+                            hashlib.md5(px.tobytes()).hexdigest(),
+                            None,
+                        )
+                    )
+                except Exception as err:  # noqa: BLE001 — in-band channel
+                    rows.append((aid, None, None, None, None, str(err)[:80]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "px_sum", "px_md5", "error",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        run, RESIZE_OUT_SCHEMA
+    )
+
+
+RASTER_DIMS = [(32, 20), (80, 60), (200, 120), (64, 64)]
+
+
+def synth_rasters(spark, n: int = 50, seed: int = 7) -> DataFrame:
+    """Deterministic raster asset table; every ~10th payload is poison
+    (truncated) so the error channel is exercised."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    for i in range(n):
+        w, h = rng.choice(RASTER_DIMS)
+        payload = make_fake_raster(w, h, seed=i)
+        if i % 10 == 9:
+            payload = payload[: len(payload) // 2]  # poison: truncated body
+        rows.append((i, bytearray(payload)))
+    return spark.createDataFrame(rows, "asset_id long, payload binary")

@@ -706,3 +706,49 @@ def test_salted_join_matches_plain_join_and_left_nulls(spark):
     assert n_salts == 8
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(fact, dim, ["k"], how="right")
+
+
+def test_raster_roundtrip_and_nearest_neighbour_resize():
+    """Raster codec + resize math single-node: decode inverts make, the
+    downsample picks exactly the nearest-neighbour source pixels, aspect
+    is preserved, and small images pass through untouched."""
+    import numpy as np
+
+    from artexin_spark.operators import multimodal as mm
+
+    px = mm.decode_raster(mm.make_fake_raster(200, 120, seed=3))
+    assert px.shape == (120, 200) and px.dtype == np.uint8
+
+    small = mm.resize_raster(px, 24)
+    assert small.shape == (14, 24)  # 200→24 ⇒ scale 8.33, 120/8.33 ≈ 14
+    yi = (np.arange(14) * (120 / 14)).astype(int)
+    xi = (np.arange(24) * (200 / 24)).astype(int)
+    assert (small == px[yi][:, xi]).all()  # exact NN selection, no blur
+
+    tiny = mm.decode_raster(mm.make_fake_raster(10, 8, seed=1))
+    assert mm.resize_raster(tiny, 24) is tiny  # never upscales
+
+
+def test_resize_assets_spark_matches_single_node_and_flags_poison(spark):
+    """The Arrow path end-to-end: every good raster's resized fingerprint
+    equals the single-node replay; every poison payload lands in .error."""
+    import hashlib
+
+    from artexin_spark.operators import multimodal as mm
+
+    out = {
+        r["asset_id"]: r
+        for r in mm.resize_assets(mm.synth_rasters(spark, 30, seed=7), 24).collect()
+    }
+    import random
+
+    rng = random.Random(7)
+    for i in range(30):
+        w, h = rng.choice(mm.RASTER_DIMS)
+        payload = mm.make_fake_raster(w, h, seed=i)
+        if i % 10 == 9:
+            assert out[i]["error"] is not None and out[i]["px_md5"] is None
+            continue
+        px = mm.resize_raster(mm.decode_raster(payload), 24)
+        assert out[i]["px_md5"] == hashlib.md5(px.tobytes()).hexdigest()
+        assert out[i]["error"] is None

@@ -208,7 +208,7 @@ _bound = st.one_of(st.none(), st.integers(-120, 120))
     _bound,
     _bound,
 )
-@settings(max_examples=300)
+@settings(max_examples=300, deadline=None)
 def test_stats_pruning_sound_and_complete_numeric(values, lo, hi):
     """Manifest evaluator (storage._stats_may_match) vs brute force:
     NEVER prunes a bucket containing a matching row (soundness), and
@@ -245,7 +245,7 @@ def test_stats_pruning_sound_and_complete_numeric(values, lo, hi):
     st.one_of(st.none(), st.text(max_size=6)),
     st.one_of(st.none(), st.text(max_size=6)),
 )
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)
 def test_stats_pruning_sound_strings(values, lo, hi):
     """Same soundness over string stats (lexicographic ranges), through
     the real JSON round-trip the manifest uses."""
@@ -260,3 +260,21 @@ def test_stats_pruning_sound_strings(values, lo, hi):
     )
     if match_exists:
         assert keep
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 400))
+@settings(max_examples=400, deadline=None)
+def test_pdf_dispatch_is_total_on_mutated_payloads(junk, cut):
+    """extract_turn with a %PDF- prefixed payload — truncated, spliced,
+    or pure garbage — must land failures in .error, never raise: one
+    poison byte string can't fail a 10^12-row job (same in-band error
+    contract as the HTML path, pack.py:205-213)."""
+    from artexin_spark.pdfx import build_simple_pdf
+    from artexin_spark.readability import extract_turn
+
+    base = build_simple_pdf("Hello fuzz page").encode("latin-1")
+    mutated = base[:cut] + junk + base[cut + len(junk):]
+    if not mutated.startswith(b"%PDF-"):
+        mutated = b"%PDF-" + mutated[5:]
+    res = extract_turn(mutated.decode("latin-1"))
+    assert res is not None  # returned, not raised
