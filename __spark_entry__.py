@@ -1249,6 +1249,64 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio leg of the multimodal plumbing: int16 PCM payloads decode to
+    ndarrays, numpy computes RMS / zero-crossing rate / peak, truncated
+    payloads land in the error column — gated against a single-node
+    replay of the identical math."""
+    assets = mm.synth_audio(spark, n=40, seed=11)
+    out = mm.audio_features(assets)
+    return out.select(
+        "asset_id",
+        "duration_ms",
+        "rms",
+        "zcr",
+        "peak",
+        F.substring("error", 1, 20).alias("error_head"),
+    )
+
+
+def _multimodal_audio_expected_values_sql() -> str:
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        sr, ns = rng.choice(mm.PCM_SHAPES)
+        payload = mm.make_fake_pcm(sr, ns, seed=i)
+        if i % 8 == 7:
+            payload = payload[: len(payload) // 3]
+        try:
+            f = mm.pcm_features(*mm.decode_pcm(payload))
+            rows.append(
+                (i, f["duration_ms"], f["rms"], f["zcr"], f["peak"], None)
+            )
+        except ValueError as err:
+            rows.append((i, None, None, None, None, str(err)[:20]))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    values = ",\n".join(
+        "(%s)" % ", ".join(lit(v) for v in row) for row in rows
+    )
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(duration_ms AS INTEGER) AS duration_ms,
+       CAST(rms AS DOUBLE) AS rms,
+       CAST(zcr AS DOUBLE) AS zcr,
+       CAST(peak AS DOUBLE) AS peak,
+       CAST(error_head AS VARCHAR) AS error_head
+FROM (VALUES
+{values}
+) AS t(asset_id, duration_ms, rms, zcr, peak, error_head)
+"""
+
+
 def _multimodal_resize_expected_values_sql() -> str:
     """Single-node replay of synth_rasters + resize (the golden path);
     the gate then proves Spark's Arrow round trip changes nothing."""
@@ -1639,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_resolution": q_asset_resolution,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
         "pdf_extract": q_pdf_extract,
         "stateful_progress": q_stateful_progress,
         "time_travel": q_time_travel,
@@ -2668,5 +2727,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["multimodal_decode"] = _multimodal_expected_values_sql()
     out["multimodal_resize"] = _multimodal_resize_expected_values_sql()
+    out["multimodal_audio"] = _multimodal_audio_expected_values_sql()
     out["ann_lsh"] = _ann_lsh_oracle_sql()
     return out

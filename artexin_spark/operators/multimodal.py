@@ -292,3 +292,106 @@ def synth_rasters(spark, n: int = 50, seed: int = 7) -> DataFrame:
             payload = payload[: len(payload) // 2]  # poison: truncated body
         rows.append((i, bytearray(payload)))
     return spark.createDataFrame(rows, "asset_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Audio path: same pattern as the raster path — real signal math on
+# synthetic PCM. Payload carries actual int16 mono samples; features are
+# genuine vectorized numpy (RMS, zero-crossing rate, peak). Swap
+# decode_pcm for a real container demuxer and the math stays.
+# ---------------------------------------------------------------------------
+
+FAKE_PCM_MAGIC = b"FAKEPCM1"
+
+
+def make_fake_pcm(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    """Deterministic mono int16 'waveform': a seeded sine + noise mix."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 110.0 * (1 + (seed % 7))
+    wave = 0.6 * np.sin(2 * np.pi * freq * t / sample_rate)
+    wave = wave + 0.1 * rng.standard_normal(n_samples)
+    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    return (
+        FAKE_PCM_MAGIC
+        + _struct.pack("<II", sample_rate, n_samples)
+        + pcm.tobytes()
+    )
+
+
+def decode_pcm(payload) -> tuple[int, np.ndarray]:
+    if payload is None or len(payload) < 16:
+        raise ValueError("truncated pcm payload")
+    payload = bytes(payload)
+    if payload[:8] != FAKE_PCM_MAGIC:
+        raise ValueError("not a FAKEPCM payload")
+    sr, n = _struct.unpack("<II", payload[8:16])
+    body = payload[16 : 16 + 2 * n]
+    if len(body) != 2 * n:
+        raise ValueError("pcm body shorter than header claims")
+    return sr, np.frombuffer(body, dtype="<i2")
+
+
+def pcm_features(sr: int, samples: np.ndarray) -> dict:
+    """Vectorized audio features; all-numpy, deterministic."""
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {
+        "duration_ms": int(round(1000.0 * n / sr)) if sr else None,
+        "rms": round(float(np.sqrt(np.mean(x * x))) if n else 0.0, 6),
+        "zcr": round(zc / (n - 1), 6) if n > 1 else 0.0,
+        "peak": round(float(np.max(np.abs(x))) if n else 0.0, 6),
+    }
+
+
+AUDIO_OUT_SCHEMA = (
+    "asset_id long, duration_ms int, rms double, zcr double, peak double, "
+    "error string"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction with the in-band
+    error channel — the audio leg of the multimodal plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    f = pcm_features(*decode_pcm(payload))
+                    rows.append(
+                        (aid, f["duration_ms"], f["rms"], f["zcr"],
+                         f["peak"], None)
+                    )
+                except Exception as err:  # noqa: BLE001 — in-band channel
+                    rows.append((aid, None, None, None, None, str(err)[:80]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "duration_ms", "rms", "zcr", "peak", "error",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        run, AUDIO_OUT_SCHEMA
+    )
+
+
+PCM_SHAPES = [(8000, 4000), (16000, 8000), (16000, 1600), (44100, 4410)]
+
+
+def synth_audio(spark, n: int = 40, seed: int = 11) -> DataFrame:
+    """Deterministic audio asset table; every ~8th payload truncated."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    for i in range(n):
+        sr, ns = rng.choice(PCM_SHAPES)
+        payload = make_fake_pcm(sr, ns, seed=i)
+        if i % 8 == 7:
+            payload = payload[: len(payload) // 3]
+        rows.append((i, bytearray(payload)))
+    return spark.createDataFrame(rows, "asset_id long, payload binary")

@@ -752,3 +752,25 @@ def test_resize_assets_spark_matches_single_node_and_flags_poison(spark):
         px = mm.resize_raster(mm.decode_raster(payload), 24)
         assert out[i]["px_md5"] == hashlib.md5(px.tobytes()).hexdigest()
         assert out[i]["error"] is None
+
+
+def test_audio_features_spark_matches_single_node_and_flags_poison(spark):
+    import random
+
+    from artexin_spark.operators import multimodal as mm
+
+    out = {
+        r["asset_id"]: r
+        for r in mm.audio_features(mm.synth_audio(spark, 16, seed=11)).collect()
+    }
+    rng = random.Random(11)
+    for i in range(16):
+        sr, ns = rng.choice(mm.PCM_SHAPES)
+        payload = mm.make_fake_pcm(sr, ns, seed=i)
+        if i % 8 == 7:
+            assert out[i]["error"] is not None and out[i]["rms"] is None
+            continue
+        f = mm.pcm_features(*mm.decode_pcm(payload))
+        assert out[i]["rms"] == f["rms"] and out[i]["zcr"] == f["zcr"]
+        assert out[i]["duration_ms"] == f["duration_ms"]
+        assert out[i]["error"] is None
