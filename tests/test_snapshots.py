@@ -545,3 +545,79 @@ def test_merge_rejects_type_conflict_with_clear_error(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge updates.*n: bigint -> string"):
         sink_io.merge_upsert(spark, sink, bad, ["id"])
+
+
+def test_snapshot_model_with_merge_row_level(spark, tmp_path):
+    """Row-level model check including MERGE: a seeded random sequence of
+    bucket-overwrite commits, row-level merges (update + insert),
+    compactions, and expiries against a pure-Python dict of the table's
+    exact rows. After every op the live snapshot must equal the model
+    row-for-row, and a stats-pruned range read must stay exact."""
+    import random
+
+    rng = random.Random(99)
+    sink = str(tmp_path / "merge_model_sink")
+    K = 4  # buckets: part_key = id % K
+    model: dict[int, str] = {}  # id -> val
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(i, i % K, v) for i, v in rows], "id long, part_key int, val string"
+        )
+
+    def check(step):
+        live = {
+            r["id"]: r["val"]
+            for r in sink_io.read_snapshot(spark, sink).collect()
+        }
+        assert live == model, (step, len(live), len(model))
+        lo = rng.randint(-5, 120)
+        hi = lo + rng.randint(0, 60)
+        got = sorted(
+            r["id"]
+            for r in sink_io.read_snapshot(
+                spark, sink, where=("id", lo, hi)
+            ).collect()
+        )
+        assert got == sorted(i for i in model if lo <= i <= hi), (step, lo, hi)
+
+    # initial commit: ids 0..59
+    first = [(i, "r0") for i in range(60)]
+    sink_io.write_run_data(to_df(first), sink, "r0")
+    sink_io.commit_snapshot(spark, sink, "r0", stats_cols=["id"])
+    model.update(dict(first))
+    check("init")
+
+    for step in range(8):
+        op = rng.choice(["overwrite", "merge", "merge", "compact", "expire"])
+        if op == "overwrite":
+            # rewrite 1-2 whole buckets with fresh ids in their key space
+            buckets = sorted(rng.sample(range(K), rng.randint(1, 2)))
+            rows = [
+                (b + K * j, f"ow{step}")
+                for b in buckets
+                for j in range(rng.randint(3, 12))
+            ]
+            rid = f"ow-{step}"
+            sink_io.write_run_data(to_df(rows), sink, rid)
+            stats = ["id"] if rng.random() < 0.5 else None
+            sink_io.commit_snapshot(spark, sink, rid, stats_cols=stats)
+            for i in list(model):
+                if i % K in buckets:
+                    del model[i]  # bucket REPLACEMENT drops all old rows
+            model.update(dict(rows))
+        elif op == "merge":
+            upd = [
+                (i, f"mg{step}")
+                for i in rng.sample(sorted(model), min(len(model), 5))
+            ]
+            ins = [
+                (200 + 10 * step + j, f"mg{step}") for j in range(rng.randint(0, 3))
+            ]
+            sink_io.merge_upsert(spark, sink, to_df(upd + ins), ["id"])
+            model.update(dict(upd + ins))
+        elif op == "compact":
+            sink_io.compact_snapshot(spark, sink, sort_by=["id"])
+        else:
+            sink_io.expire_snapshots(spark, sink, keep_last=1)
+        check(step)
