@@ -1266,6 +1266,71 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+def q_multimodal_video(spark, sf_dir):
+    """Video leg: frame stacks decode to (n,h,w) ndarrays, every-10th
+    frame is stride-sliced (a view, no copy), per-frame luminance and
+    content md5 are gated against single-node replay. One asset row fans
+    out to its sampled frames; poison rows emit one error row each."""
+    assets = mm.synth_videos(spark, n=12, seed=13)
+    out = mm.sample_video_frames(assets, every_n=10)
+    return out.select(
+        "asset_id",
+        "frame_idx",
+        "mean_lum",
+        "frame_md5",
+        F.substring("error", 1, 20).alias("error_head"),
+    )
+
+
+def _multimodal_video_expected_values_sql() -> str:
+    import hashlib
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(12):
+        w, h, nf = rng.choice(mm.VIDEO_SHAPES)
+        payload = mm.make_fake_video(w, h, nf, seed=i)
+        if i % 6 == 5:
+            payload = payload[: len(payload) // 2]
+        try:
+            stack = mm.decode_video(payload)[::10]
+            lums = stack.reshape(len(stack), -1).mean(axis=1)
+            for j, (frame, lum) in enumerate(zip(stack, lums)):
+                rows.append(
+                    (
+                        i,
+                        j * 10,
+                        round(float(lum), 6),
+                        hashlib.md5(frame.tobytes()).hexdigest(),
+                        None,
+                    )
+                )
+        except ValueError as err:
+            rows.append((i, None, None, None, str(err)[:20]))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    values = ",\n".join(
+        "(%s)" % ", ".join(lit(v) for v in row) for row in rows
+    )
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(mean_lum AS DOUBLE) AS mean_lum,
+       CAST(frame_md5 AS VARCHAR) AS frame_md5,
+       CAST(error_head AS VARCHAR) AS error_head
+FROM (VALUES
+{values}
+) AS t(asset_id, frame_idx, mean_lum, frame_md5, error_head)
+"""
+
+
 def _multimodal_audio_expected_values_sql() -> str:
     import random
 
@@ -1698,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
         "pdf_extract": q_pdf_extract,
         "stateful_progress": q_stateful_progress,
         "time_travel": q_time_travel,
@@ -2728,5 +2794,6 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_decode"] = _multimodal_expected_values_sql()
     out["multimodal_resize"] = _multimodal_resize_expected_values_sql()
     out["multimodal_audio"] = _multimodal_audio_expected_values_sql()
+    out["multimodal_video"] = _multimodal_video_expected_values_sql()
     out["ann_lsh"] = _ann_lsh_oracle_sql()
     return out

@@ -395,3 +395,102 @@ def synth_audio(spark, n: int = 40, seed: int = 11) -> DataFrame:
             payload = payload[: len(payload) // 3]
         rows.append((i, bytearray(payload)))
     return spark.createDataFrame(rows, "asset_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Video path: completes the triple. Payload carries n_frames × h × w uint8
+# frames; frame sampling is real ndarray slicing (reshape + stride), per-
+# frame stats are vectorized over the sampled stack. Swap decode_video for
+# an ffmpeg demux and the sampling/stats math stays.
+# ---------------------------------------------------------------------------
+
+FAKE_VID_MAGIC = b"FAKEVID1"
+
+
+def make_fake_video(
+    width: int, height: int, n_frames: int, seed: int = 0
+) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(
+        0, 256, size=(n_frames, height, width), dtype=np.uint8
+    )
+    return (
+        FAKE_VID_MAGIC
+        + _struct.pack("<III", width, height, n_frames)
+        + frames.tobytes()
+    )
+
+
+def decode_video(payload) -> np.ndarray:
+    """→ (n_frames, h, w) uint8 stack."""
+    if payload is None or len(payload) < 20:
+        raise ValueError("truncated video payload")
+    payload = bytes(payload)
+    if payload[:8] != FAKE_VID_MAGIC:
+        raise ValueError("not a FAKEVID payload")
+    w, h, n = _struct.unpack("<III", payload[8:20])
+    body = payload[20 : 20 + w * h * n]
+    if len(body) != w * h * n:
+        raise ValueError("video body shorter than header claims")
+    return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w)
+
+
+VIDEO_OUT_SCHEMA = (
+    "asset_id long, frame_idx int, mean_lum double, frame_md5 string, "
+    "error string"
+)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Arrow-batched frame sampling: decode → stride-slice every_n-th
+    frame (ndarray view, no copy) → per-frame mean luminance + content
+    md5. One input row fans out to its sampled frames; poison payloads
+    produce a single error row so nothing is silently dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    stack = decode_video(payload)[::every_n]
+                    # vectorized over the sampled stack
+                    lums = stack.reshape(len(stack), -1).mean(axis=1)
+                    for j, (frame, lum) in enumerate(zip(stack, lums)):
+                        rows.append(
+                            (
+                                aid,
+                                j * every_n,
+                                round(float(lum), 6),
+                                hashlib.md5(frame.tobytes()).hexdigest(),
+                                None,
+                            )
+                        )
+                except Exception as err:  # noqa: BLE001 — in-band channel
+                    rows.append((aid, None, None, None, str(err)[:80]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "mean_lum", "frame_md5", "error",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        run, VIDEO_OUT_SCHEMA
+    )
+
+
+VIDEO_SHAPES = [(16, 12, 30), (8, 8, 12), (32, 18, 25)]
+
+
+def synth_videos(spark, n: int = 12, seed: int = 13) -> DataFrame:
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    for i in range(n):
+        w, h, nf = rng.choice(VIDEO_SHAPES)
+        payload = make_fake_video(w, h, nf, seed=i)
+        if i % 6 == 5:
+            payload = payload[: len(payload) // 2]
+        rows.append((i, bytearray(payload)))
+    return spark.createDataFrame(rows, "asset_id long, payload binary")

@@ -774,3 +774,40 @@ def test_audio_features_spark_matches_single_node_and_flags_poison(spark):
         assert out[i]["rms"] == f["rms"] and out[i]["zcr"] == f["zcr"]
         assert out[i]["duration_ms"] == f["duration_ms"]
         assert out[i]["error"] is None
+
+
+def test_video_frame_sampling_is_a_stride_view_and_flags_poison(spark):
+    """Video leg: sampled frames are exactly the every-Nth slices of the
+    decoded stack (md5-identical), fan-out is ceil(n/every_n) rows, and
+    truncated payloads produce one error row."""
+    import hashlib
+
+    import numpy as np
+
+    from artexin_spark.operators import multimodal as mm
+
+    payload = mm.make_fake_video(16, 12, 25, seed=2)
+    stack = mm.decode_video(payload)
+    assert stack.shape == (25, 12, 16) and stack.dtype == np.uint8
+
+    out = mm.sample_video_frames(
+        mm.synth_videos(spark, 6, seed=13), every_n=10
+    ).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    import random
+
+    rng = random.Random(13)
+    for i in range(6):
+        w, h, nf = rng.choice(mm.VIDEO_SHAPES)
+        p = mm.make_fake_video(w, h, nf, seed=i)
+        rows = sorted(by_asset[i], key=lambda r: (r["frame_idx"] is None, r["frame_idx"]))
+        if i % 6 == 5:
+            assert len(rows) == 1 and rows[0]["error"] is not None
+            continue
+        st = mm.decode_video(p)[::10]
+        assert len(rows) == len(st)  # ceil(nf/10) sampled frames
+        for j, r in enumerate(rows):
+            assert r["frame_idx"] == j * 10 and r["error"] is None
+            assert r["frame_md5"] == hashlib.md5(st[j].tobytes()).hexdigest()
