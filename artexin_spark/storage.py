@@ -204,8 +204,11 @@ def commit_snapshot(
     carry forward. Returns the new snapshot id (parent+1, starting at 1).
 
     ``operation`` is recorded on the manifest rows (Iceberg's snapshot
-    summary operation): 'overwrite' for data commits, 'replace' for
-    layout-only rewrites (compaction) — incremental readers skip
+    summary operation): 'overwrite' (default) REPLACES the buckets this
+    run touches; 'append' ADDS this run's rows alongside the parent's
+    (touched buckets become multi-run — the streaming micro-batch
+    commit; an overwrite or compaction later normalizes them); 'replace'
+    is the layout-only rewrite (compaction) — incremental readers skip
     'replace' snapshots because their data is unchanged.
 
     ``stats_cols`` asks the commit to record per-bucket min/max of those
@@ -258,27 +261,47 @@ def commit_snapshot(
             parent_id, carried = 0, None
         else:
             parent_id = man.agg(F.max("snapshot_id")).collect()[0][0] or 0
-            carried = (
-                man.filter(F.col("snapshot_id") == parent_id)
-                .select("part_key", "run_id", "stats")
-                .join(
+            parent_rows = man.filter(
+                F.col("snapshot_id") == parent_id
+            ).select("part_key", "run_id", "stats")
+            if operation == "append":
+                # Iceberg append: ADD this run's files to the table — the
+                # parent's whole mapping carries forward, touched buckets
+                # become multi-run (readers union; a later overwrite or
+                # compaction normalizes them back to one run per bucket)
+                carried = parent_rows
+            else:
+                carried = parent_rows.join(
                     F.broadcast(new_keys.select("part_key")),
                     "part_key",
                     "left_anti",
                 )
-            )
         # a 'replace' commit rewrites layout over byte-identical data, so
         # the parent's per-bucket stats still describe the new files —
         # inherit them instead of nulling (compaction must not degrade
         # data skipping); a data commit ('overwrite') never inherits
         new_map_eff = new_map
         if man is not None and operation == "replace" and not stats_cols:
-            parent_stats = man.filter(
-                F.col("snapshot_id") == parent_id
-            ).select("part_key", F.col("stats").alias("_pstats"))
+            frag: dict[int, list] = {}
+            for r in (
+                man.filter(F.col("snapshot_id") == parent_id)
+                .select("part_key", "stats")
+                .collect()
+            ):  # manifest-sized, driver-side
+                frag.setdefault(r["part_key"], []).append(r["stats"])
+            # append-committed buckets carry one stats row PER RUN; the
+            # rewritten bucket holds their union, so merge fragments
+            # (min-of-mins / max-of-maxes — exact over the union) into
+            # ONE row per bucket instead of joining out duplicates
+            merged = [
+                (k, _merge_fragment_stats(v)) for k, v in frag.items()
+            ]
+            pstats = spark.createDataFrame(
+                merged, "part_key int, _pstats string"
+            )
             new_map_eff = (
                 new_map.drop("stats")
-                .join(F.broadcast(parent_stats), "part_key", "left")
+                .join(F.broadcast(pstats), "part_key", "left")
                 .withColumnRenamed("_pstats", "stats")
             )
         # probe FORWARD past claimed ids: a marker whose manifest rows never
@@ -315,6 +338,33 @@ def commit_snapshot(
     raise RuntimeError(
         f"could not claim a snapshot id in {sink} after 64 attempts"
     ) from last_err
+
+
+def _merge_fragment_stats(stats_list) -> str | None:
+    """Union per-bucket fragment stats (one fragment per run of an
+    append-committed bucket). Any unknown fragment → NULL (conservative);
+    a column must be present and non-null in EVERY fragment to survive —
+    min-of-mins / max-of-maxes is then exact over the union'd rows."""
+    if not stats_list or any(not s for s in stats_list):
+        return None
+    try:
+        dicts = [json.loads(s) for s in stats_list]
+    except ValueError:
+        return None
+    cols = set(dicts[0])
+    for d in dicts[1:]:
+        cols &= set(d)
+    out = {}
+    for c in sorted(cols):
+        mins = [d[c].get("min") for d in dicts]
+        maxs = [d[c].get("max") for d in dicts]
+        if any(v is None for v in mins + maxs):
+            continue
+        try:
+            out[c] = {"min": min(mins), "max": max(maxs)}
+        except TypeError:
+            continue  # cross-typed fragments: drop the column
+    return json.dumps(out) if out else None
 
 
 def _stats_may_match(stats_json, where) -> bool:
@@ -443,13 +493,16 @@ def read_incremental(
         )
     if to_snapshot_id not in ids:
         raise ValueError(f"snapshot {to_snapshot_id} not found in {sink}")
-    mapping: dict[int, dict[int, str]] = {}
+    # set-valued mapping: append commits make a bucket span several runs
+    mapping: dict[int, dict[int, set]] = {}
     ops: dict[int, str] = {}
     for r in rows:
-        mapping.setdefault(r["snapshot_id"], {})[r["part_key"]] = r["run_id"]
+        mapping.setdefault(r["snapshot_id"], {}).setdefault(
+            r["part_key"], set()
+        ).add(r["run_id"])
         ops[r["snapshot_id"]] = r["operation"] or "overwrite"
     changed: set[int] = set()
-    prev: dict[int, str] = mapping.get(since_snapshot_id, {})
+    prev: dict[int, set] = mapping.get(since_snapshot_id, {})
     for sid in ids:
         if sid <= since_snapshot_id:
             continue
@@ -458,11 +511,16 @@ def read_incremental(
         cur = mapping[sid]
         if ops[sid] != "replace":
             changed.update(
-                k for k, rid in cur.items() if prev.get(k) != rid
+                k for k, rids in cur.items() if prev.get(k) != rids
             )
         prev = cur
     to_map = mapping[to_snapshot_id]
-    pairs = [(to_map[k], k) for k in sorted(changed) if k in to_map]
+    pairs = [
+        (rid, k)
+        for k in sorted(changed)
+        if k in to_map
+        for rid in sorted(to_map[k])
+    ]
     if not pairs:
         live = read_snapshot(spark, sink, to_snapshot_id)
         return live.filter(F.lit(False))  # empty, same schema
@@ -499,16 +557,22 @@ def merge_upsert(
     # Spark type error mid-merge
     _check_schema_compatible(spark, sink, updates.schema, "merge updates")
     latest = man.agg(F.max("snapshot_id")).collect()[0][0]
-    to_map = {
-        r["part_key"]: r["run_id"]
-        for r in man.filter(F.col("snapshot_id") == latest)
+    # set-valued: an append-committed bucket spans several runs and ALL
+    # of them must be read back, or the merge would drop the other runs'
+    # rows when it rewrites the bucket
+    to_map: dict[int, set] = {}
+    for r in (
+        man.filter(F.col("snapshot_id") == latest)
         .select("part_key", "run_id")
         .collect()
-    }
+    ):
+        to_map.setdefault(r["part_key"], set()).add(r["run_id"])
     touched = sorted(
         r["part_key"] for r in updates.select("part_key").distinct().collect()
     )
-    pairs = [(to_map[k], k) for k in touched if k in to_map]
+    pairs = [
+        (rid, k) for k in touched if k in to_map for rid in sorted(to_map[k])
+    ]
     if pairs:
         live = _read_mapping(spark, sink, pairs)
         survivors = live.join(

@@ -221,3 +221,54 @@ def windowed_turn_counts(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_extract_snapshot(
+    spark: SparkSession,
+    input_dir: str,
+    sink: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    source_col: str | None = None,
+    schema: str = TRANSCRIPT_SCHEMA,
+):
+    """Streaming extraction INTO the snapshot sink: each micro-batch is
+    one append commit (storage.commit_snapshot(operation='append')), so
+    streamed rows get the same isolation/time-travel/incremental-scan
+    semantics as batch writes — Iceberg's streaming-append pattern.
+
+    Exactly-once at the DATA level: the run id is keyed by batch_id, so a
+    replayed micro-batch overwrites its own immutable run dir and its
+    re-commit maps the same (run, bucket) pairs — readers union pairs,
+    so the worst case after a crash-replay is a redundant snapshot entry,
+    never duplicated rows. Compaction later normalizes multi-run buckets
+    back to one run each."""
+    from . import storage as _sink_io
+
+    spec = _sink_io.read_bucket_spec(sink)
+    if spec is not None:
+        n_buckets = int(spec["n_buckets"])
+    _sink_io.ensure_bucket_spec(sink, n_buckets)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    extracted = extract_df(
+        spark, stream, n_buckets=n_buckets, source_col=source_col,
+        repartition=False,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        rid = f"stream-{batch_id}"
+        _sink_io.write_run_data(batch_df.drop("source"), sink, rid)
+        _sink_io.commit_snapshot(spark, sink, rid, operation="append")
+
+    query = (
+        extracted.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -589,8 +589,23 @@ def test_snapshot_model_with_merge_row_level(spark, tmp_path):
     check("init")
 
     for step in range(8):
-        op = rng.choice(["overwrite", "merge", "merge", "compact", "expire"])
-        if op == "overwrite":
+        op = rng.choice(
+            ["overwrite", "merge", "merge", "append", "compact", "expire"]
+        )
+        if op == "append":
+            # fresh ids alongside existing bucket rows (multi-run buckets)
+            rows = [
+                (500 + 10 * step + j, f"ap{step}")
+                for j in range(rng.randint(1, 6))
+            ]
+            rid = f"ap-{step}"
+            sink_io.write_run_data(to_df(rows), sink, rid)
+            sink_io.commit_snapshot(
+                spark, sink, rid, operation="append",
+                stats_cols=["id"] if rng.random() < 0.5 else None,
+            )
+            model.update(dict(rows))
+        elif op == "overwrite":
             # rewrite 1-2 whole buckets with fresh ids in their key space
             buckets = sorted(rng.sample(range(K), rng.randint(1, 2)))
             rows = [
@@ -621,3 +636,38 @@ def test_snapshot_model_with_merge_row_level(spark, tmp_path):
         else:
             sink_io.expire_snapshots(spark, sink, keep_last=1)
         check(step)
+
+
+def test_append_commit_multi_run_buckets_and_merge_normalizes(spark, tmp_path):
+    """operation='append' keeps the parent's rows alongside the new run's
+    (Iceberg append); a merge touching a multi-run bucket must read back
+    ALL its runs' survivors — losing the other run's rows is the classic
+    multi-run corruption."""
+    sink = str(tmp_path / "append_sink")
+    a = spark.createDataFrame(
+        [(i, i % 2, "a") for i in range(8)], "id long, part_key int, val string"
+    )
+    b = spark.createDataFrame(
+        [(i, i % 2, "b") for i in range(100, 106)],
+        "id long, part_key int, val string",
+    )
+    sink_io.write_run_data(a, sink, "ra")
+    sink_io.commit_snapshot(spark, sink, "ra")
+    sink_io.write_run_data(b, sink, "rb")
+    sink_io.commit_snapshot(spark, sink, "rb", operation="append")
+
+    live = {r["id"]: r["val"] for r in sink_io.read_snapshot(spark, sink).collect()}
+    assert len(live) == 14 and live[0] == "a" and live[100] == "b"
+
+    # incremental: every bucket changed in the append (both got new runs)
+    inc = sink_io.read_incremental(spark, sink, 1)
+    assert inc.count() == 14  # bucket granularity: all runs of changed buckets
+
+    # merge updates one key in a multi-run bucket: both runs' rows survive
+    upd = spark.createDataFrame(
+        [(0, 0, "m")], "id long, part_key int, val string"
+    )
+    sink_io.merge_upsert(spark, sink, upd, ["id"])
+    live2 = {r["id"]: r["val"] for r in sink_io.read_snapshot(spark, sink).collect()}
+    assert len(live2) == 14
+    assert live2[0] == "m" and live2[2] == "a" and live2[100] == "b"

@@ -181,3 +181,47 @@ def test_conversation_progress_tolerates_all_null_turn_idx(spark, tmp_path):
     led = led.set_index("conv_id")
     assert led.loc["c1"].turns_seen == 2 and led.loc["c1"].max_turn_idx == -1
     assert led.loc["c2"].max_turn_idx == 3
+
+
+def test_incremental_extract_snapshot_appends_commits(spark, tmp_path):
+    """Streaming micro-batches land as append commits in the snapshot
+    sink: two incremental invocations produce snapshots whose union is
+    every streamed row exactly once, earlier snapshots stay isolated,
+    and compaction normalizes the multi-run buckets."""
+    from artexin_spark import storage as sink_io
+    from artexin_spark.corpus import gen_transcripts
+    from artexin_spark.streaming import incremental_extract_snapshot
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "snap_sink")
+    ck = str(tmp_path / "ck")
+    pdf = gen_transcripts(n_convs=12, seed=21, with_source=True)
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).write.mode("overwrite").parquet(src)
+    incremental_extract_snapshot(spark, src, sink, ck, n_buckets=4)
+    s1 = sink_io.latest_snapshot_id(spark, sink)
+    n1 = sink_io.read_snapshot(spark, sink, s1).count()
+    assert n1 == half
+
+    spark.createDataFrame(pdf.iloc[half:]).write.mode("append").parquet(src)
+    incremental_extract_snapshot(spark, src, sink, ck, n_buckets=4)
+    s2 = sink_io.latest_snapshot_id(spark, sink)
+    assert s2 > s1
+    live = sink_io.read_snapshot(spark, sink)
+    assert live.count() == len(pdf)
+    assert live.select("conv_id", "turn_idx").distinct().count() == len(pdf)
+    # append isolation: snapshot s1 still reads exactly the first half
+    assert sink_io.read_snapshot(spark, sink, s1).count() == n1
+    # compaction normalizes multi-run buckets, byte-preserving
+    sink_io.compact_snapshot(spark, sink)
+    after = sink_io.read_snapshot(spark, sink)
+    assert after.count() == len(pdf)
+    man = sink_io._read_manifest(spark, sink)
+    latest = sink_io.latest_snapshot_id(spark, sink)
+    per_bucket = (
+        man.filter(F.col("snapshot_id") == latest)
+        .groupBy("part_key")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in per_bucket)  # one run per bucket
