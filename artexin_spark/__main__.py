@@ -32,6 +32,18 @@ def main() -> None:
         action="store_true",
         help="write via the snapshot layer (isolation/time travel; storage.py)",
     )
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="incremental mode: drain NEW input files via Structured "
+        "Streaming into the snapshot sink (one append commit per "
+        "micro-batch); re-invoke hourly, the checkpoint tracks the delta",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir (required with --stream)",
+    )
     args = ap.parse_args()
 
     # absolute imports: spark-submit executes this file as a plain script
@@ -40,6 +52,25 @@ def main() -> None:
     from artexin_spark.session import get_spark
 
     spark = get_spark("artexin-extract")
+    if args.stream:
+        if not args.checkpoint:
+            ap.error("--stream requires --checkpoint")
+        from artexin_spark import storage as sink_io
+        from artexin_spark.streaming import incremental_extract_snapshot
+
+        incremental_extract_snapshot(
+            spark,
+            args.input,
+            args.sink,
+            args.checkpoint,
+            n_buckets=args.buckets or 64,
+            source_col=None,
+        )
+        sid = sink_io.latest_snapshot_id(spark, args.sink)
+        n = sink_io.read_snapshot(spark, args.sink).count() if sid else 0
+        print(json.dumps({"mode": "stream", "snapshot_id": sid, "rows": n}))
+        spark.stop()
+        return
     df = spark.read.parquet(args.input)
     stats = run_extract(
         spark,

@@ -42,3 +42,37 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     out = sink_io.read_snapshot(spark, sink)
     assert out.count() == len(pdf)
     assert {"conv_id", "turn_idx", "extracted_text"} <= set(out.columns)
+
+
+def test_spark_submit_stream_mode_incremental(spark, tmp_path):
+    """The hourly-ingest invocation: spark-submit --stream twice; the
+    second run drains ONLY the new files (checkpoint) and append-commits
+    them, so the sink converges to every row exactly once."""
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    pdf = gen_transcripts(n_convs=10, seed=17, with_source=True)
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).write.mode("overwrite").parquet(src)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_DRIVER_MEM="3g",
+               SPARK_SHUFFLE_PARTITIONS="8")
+
+    def submit():
+        p = subprocess.run(
+            ["bash", os.path.join(REPO, "bench", "run.sh"), src, sink,
+             "--buckets", "4", "--stream", "--checkpoint", ck],
+            env=env, capture_output=True, text=True, timeout=540,
+        )
+        assert p.returncode == 0, p.stderr[-4000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    first = submit()
+    assert first["rows"] == half and first["snapshot_id"] == 1
+    spark.createDataFrame(pdf.iloc[half:]).write.mode("append").parquet(src)
+    second = submit()
+    assert second["rows"] == len(pdf) and second["snapshot_id"] == 2
+
+    out = sink_io.read_snapshot(spark, sink)
+    assert out.count() == len(pdf)
+    assert out.select("conv_id", "turn_idx").distinct().count() == len(pdf)
