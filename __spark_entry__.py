@@ -665,6 +665,16 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_events_unpivot(spark, sf_dir):
+    """Unpivot (wide→long, DataFrame.unpivot/melt): the inverse of the
+    pivot — a pure projection+explode, no shuffle beyond the pivot it
+    consumes. Zero-filled cells survive the round trip, so the long form
+    is the dense date×type grid."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot("event_date", types, "event_type", "n")
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE over (event_type, event_date): all four grouping sets in ONE
     pass — Catalyst expands to a single Expand + partial/final hash agg,
@@ -1738,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "sliding_window": q_sliding_window,
         "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
         "image_index": q_image_index,
@@ -2322,6 +2333,20 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
 FROM events
 WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
 GROUP BY event_date
+"""
+
+_ORACLES["events_unpivot"] = """
+WITH dates AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+types(t) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+             ('view')),
+c AS (SELECT CAST(ts AS DATE) AS d, event_type AS t, count(*) AS n
+      FROM events
+      WHERE event_type IN ('click','error','purchase','signup','view')
+      GROUP BY d, t)
+SELECT strftime(dates.d, '%Y-%m-%d') AS event_date, types.t AS event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM dates CROSS JOIN types
+LEFT JOIN c ON c.d = dates.d AND c.t = types.t
 """
 
 _ORACLES["events_cube"] = """
