@@ -811,3 +811,21 @@ def test_video_frame_sampling_is_a_stride_view_and_flags_poison(spark):
         for j, r in enumerate(rows):
             assert r["frame_idx"] == j * 10 and r["error"] is None
             assert r["frame_md5"] == hashlib.md5(st[j].tobytes()).hexdigest()
+
+
+def test_salted_join_invariant_under_n_salt(spark):
+    """n_salt is a physical knob, never a semantic one: any value must
+    produce the identical join result (the property that makes it safe
+    to tune per-key-skew at deploy time)."""
+    from pyspark.sql import functions as F
+
+    from artexin_spark.operators.joins import salted_join
+
+    fact = spark.range(300).selectExpr("cast(id % 5 as int) k", "id v")
+    dim = spark.range(4).selectExpr("cast(id as int) k", "concat('d', id) name")
+    want = sorted(map(tuple, fact.join(dim, ["k"], "left").collect()))
+    for n in (1, 3, 16):
+        got = sorted(
+            map(tuple, salted_join(fact, dim, ["k"], n_salt=n, how="left").collect())
+        )
+        assert got == want, n
