@@ -18,6 +18,13 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser(prog="artexin_spark")
     ap.add_argument("--input", required=True, help="transcript table path")
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "json", "csv"],
+        help="source format (json = JSON Lines; declared schema, no "
+        "inference pass)",
+    )
     ap.add_argument("--sink", required=True, help="output sink directory")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
@@ -71,7 +78,9 @@ def main() -> None:
         print(json.dumps({"mode": "stream", "snapshot_id": sid, "rows": n}))
         spark.stop()
         return
-    df = spark.read.parquet(args.input)
+    from artexin_spark.pipeline import read_transcripts
+
+    df = read_transcripts(spark, args.input, args.input_format)
     stats = run_extract(
         spark,
         df,

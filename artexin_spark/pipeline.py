@@ -43,6 +43,38 @@ from .udfs import _run_extract_batch
 
 INPUT_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def read_transcripts(spark, path: str, fmt: str = "parquet"):
+    """Multi-format transcript source with the DECLARED schema — never
+    inference: at 100 TB an inference pass is a full extra scan, and a
+    drifted file silently widening a column is exactly the failure the
+    write-point schema enforcement exists to prevent. Extra columns in
+    parquet (e.g. ``source``) survive; json/csv read the canonical six.
+    ``prepare_input`` downstream still fail-fasts on missing columns."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":  # JSON Lines, the common transcript interchange
+        return spark.read.schema(TRANSCRIPT_DDL).json(path)
+    if fmt == "csv":
+        # nullValue '\\N': CSV can't natively distinguish NULL from '' and
+        # both occur in transcripts ('' is an error-channel payload) — the
+        # conventional marker keeps them distinct; produce files with
+        # write.option('nullValue', '\\N') for exact round trips
+        return (
+            spark.read.schema(TRANSCRIPT_DDL)
+            .option("header", "true")
+            .option("multiLine", "true")  # HTML payloads carry newlines
+            .option("escape", '"')
+            .option("nullValue", "\\N")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcript format {fmt!r}")
+
 _EXTRACT_OUT_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
     "source string, part_key int, title string, extracted_text string, "

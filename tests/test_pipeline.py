@@ -282,3 +282,32 @@ def test_bucket_spec_pins_resume_bucketing(spark, corpus_pdf, tmp_path):
             run_extract(spark, df, sink, n_buckets=4)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_read_transcripts_json_and_csv_match_parquet(spark, corpus_pdf, tmp_path):
+    """Multi-format source parity: the same corpus lands identically from
+    parquet, JSON Lines, and CSV — declared schema on the text formats
+    (no inference pass), HTML payloads with newlines/quotes survive CSV
+    escaping, and the extraction output is byte-identical across formats."""
+    from artexin_spark.pipeline import read_transcripts
+
+    df = spark.createDataFrame(corpus_pdf).drop("source")
+    base = str(tmp_path)
+    df.write.parquet(f"{base}/t.parquet")
+    df.write.json(f"{base}/t.json")
+    df.write.option("header", "true").option("escape", '"').option(
+        "nullValue", "\\N"
+    ).csv(f"{base}/t.csv")
+
+    def turns(fmt, path):
+        got = read_transcripts(spark, path, fmt)
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in got.select("conv_id", "turn_idx", "text").collect()
+        )
+
+    want = turns("parquet", f"{base}/t.parquet")
+    assert turns("json", f"{base}/t.json") == want
+    assert turns("csv", f"{base}/t.csv") == want
+    with pytest.raises(ValueError, match="unsupported"):
+        read_transcripts(spark, base, "xml")
