@@ -741,6 +741,17 @@ def q_topk_terms_per_source(spark, sf_dir):
     ).filter(F.col("rk") <= 3)
 
 
+def q_entity_blocking(spark, sf_dir):
+    """SparkER-style ER candidate generation (shingle blocking + CBS
+    meta-blocking pruning, PAPERS.md EDBT 2019): size-capped inverted
+    index of word 3-grams, in-block a<b self-join, pairs weighted by
+    shared-block count, cbs >= 3. Plan is index-join-agg, never a corpus
+    cross product."""
+    return dd.entity_blocking_pairs(
+        _docs(spark, sf_dir), min_df=2, max_df=50, min_cbs=3
+    )
+
+
 def q_image_index(spark, sf_dir):
     """First-appearance imageNNNN indexing (extract.py:240-273) as a
     relational plan: dedup by src keeping min position, number by it."""
@@ -1752,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
         "image_index": q_image_index,
+        "entity_blocking": q_entity_blocking,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "customer_distribution": q_customer_distribution,
@@ -2379,6 +2391,31 @@ r AS (SELECT source, term, n,
                                 ORDER BY n DESC, term ASC) AS rk
       FROM c)
 SELECT source, term, n, rk FROM r WHERE rk <= 3
+"""
+
+_ORACLES["entity_blocking"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+posting AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(CASE WHEN len(toks) >= 3
+           THEN list_transform(
+                  generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END) AS tok
+  FROM t
+),
+kept AS (
+  SELECT tok FROM posting GROUP BY tok
+  HAVING count(*) BETWEEN 2 AND 50
+),
+blocks AS (SELECT p.id, p.tok FROM posting p JOIN kept USING (tok)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM blocks a JOIN blocks b ON a.tok = b.tok AND a.id < b.id
+)
+SELECT id_a, id_b, count(*) AS cbs
+FROM pairs GROUP BY id_a, id_b
+HAVING count(*) >= 3
 """
 
 _ORACLES["image_index"] = f"""

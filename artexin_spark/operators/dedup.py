@@ -687,3 +687,52 @@ def paragraph_dedup(
         F.sum(F.col("keep").cast("int")).alias("n_kept"),
         F.count("*").alias("n_paras"),
     )
+
+
+def entity_blocking_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 50,
+    min_cbs: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate generation via blocking + CBS-weighted
+    meta-blocking (the SparkER pattern, EDBT 2019 — see PAPERS.md):
+    every distinct word ``shingle_n``-gram is a block (shingles, not raw
+    tokens — long-text vocabularies make single-token blocks corpus-wide
+    and useless); blocks outside [min_df, max_df] are dropped (singleton
+    blocks pair nothing, stop-shingle blocks are the quadratic bomb —
+    the same cap discipline as the LSH buckets); candidate pairs are the
+    in-block self-join a<b, weighted by Common Block Scheme = number of
+    shared blocks, pruned at ``min_cbs`` so one coincidental shingle
+    never makes a candidate. All native Catalyst: explode → filtered
+    inverted index → equi self-join → hash agg. Cost is Σ|block|²,
+    bounded by max_df² per block — never |corpus|²."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
+    )
+    posting = (
+        base.select(
+            "id", F.explode(shingles_from("toks", shingle_n)).alias("tok")
+        )
+        .distinct()  # block membership, not term frequency
+    )
+    sizes = posting.groupBy("tok").agg(F.count("*").alias("df"))
+    blocks = posting.join(
+        F.broadcast(
+            sizes.filter(
+                (F.col("df") >= min_df) & (F.col("df") <= max_df)
+            ).select("tok")
+        ),
+        "tok",
+    )
+    a = blocks.select("tok", F.col("id").alias("id_a"))
+    b = blocks.select("tok", F.col("id").alias("id_b"))
+    pairs = a.join(b, "tok").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cbs"))
+        .filter(F.col("cbs") >= min_cbs)
+    )

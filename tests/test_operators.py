@@ -829,3 +829,37 @@ def test_salted_join_invariant_under_n_salt(spark):
             map(tuple, salted_join(fact, dim, ["k"], n_salt=n, how="left").collect())
         )
         assert got == want, n
+
+
+def test_entity_blocking_finds_planted_near_dups(spark):
+    """Planted near-duplicates share many shingle blocks and must
+    surface as high-CBS candidates; unrelated docs with a coincidental
+    shingle are pruned by min_cbs; stop-shingles shared by everyone are
+    df-capped out."""
+    from artexin_spark.operators.dedup import entity_blocking_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base),
+        (2, base + " again"),                      # near-dup of 1
+        (3, "completely different words here that never repeat at all"),
+        (4, "completely different words here that rarely repeat at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cbs"]
+        for r in entity_blocking_pairs(df, max_df=3, min_cbs=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 6
+    assert (3, 4) in got  # share 5 shingles around the one-word edit
+    assert (1, 3) not in got and (2, 4) not in got
+
+
+def test_entity_blocking_plan_has_no_cartesian(spark):
+    import __spark_entry__ as e
+
+    plan = e.q_entity_blocking(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
