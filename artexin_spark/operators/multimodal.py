@@ -11,6 +11,13 @@ Asset table shape (SURVEY.md §2.1 fetch_image mapping):
     assets(asset_id long, kind string, payload binary,
            meta struct<format string, width int, height int,
                        n_frames int, sample_rate int>)
+
+The opaque-binary-column + typed-metadata design follows the image
+column-store argument ("Frequency-Store: Scaling Image AI by A
+Column-Store for Images", CIDR 2025 — PAPERS.md): media payloads live in
+the columnar store next to their queryable metadata, so predicate
+pushdown/pruning works on the metadata while decode happens only for the
+rows that survive — never a side filesystem keyed by path strings.
 """
 
 from __future__ import annotations

@@ -9,6 +9,14 @@ NO row-at-a-time ``F.udf`` calls anywhere in this engine.
 The whole preprocess→extract→strip_links→images chain is fused into ONE
 UDF (one parse per document, one boundary crossing), unlike the reference
 which reparses the DOM between every stage (artexin/pack.py:217-230).
+
+The batch-amortization argument is the published one ("Accelerating
+Python UDFs in Vectorized Query Execution", CIDR 2022 — PAPERS.md):
+per-invocation transfer/serialization overhead dominates row-at-a-time
+UDFs, so Arrow-batched execution with the interpreter work amortized
+across the batch is the only Python UDF shape that survives columnar
+engines. BENCH/BASELINE.md carries our own measurements of the same
+effect (batch-size sweep, 1024→4096 retune).
 """
 
 from __future__ import annotations
