@@ -278,3 +278,36 @@ def test_pdf_dispatch_is_total_on_mutated_payloads(junk, cut):
         mutated = b"%PDF-" + mutated[5:]
     res = extract_turn(mutated.decode("latin-1"))
     assert res is not None  # returned, not raised
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-50, 50), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_fragment_stats_covers_union(fragments):
+    """Compaction's fragment-stats union (storage._merge_fragment_stats)
+    must yield bounds that cover EVERY fragment's values — an interval
+    that misses a value would let the pruner drop live rows."""
+    import json
+
+    from artexin_spark.storage import _merge_fragment_stats, _stats_may_match
+
+    frags = [
+        json.dumps({"c": {"min": min(vs), "max": max(vs)}}) for vs in fragments
+    ]
+    merged = _merge_fragment_stats(frags)
+    assert merged is not None
+    st_ = json.loads(merged)["c"]
+    allv = [v for vs in fragments for v in vs]
+    assert st_["min"] == min(allv) and st_["max"] == max(allv)
+    # soundness through the evaluator: a point query on any present value
+    # must keep the bucket
+    for v in set(allv):
+        assert _stats_may_match(merged, ("c", v, v))
+    # unknown fragments poison the merge to conservative NULL
+    assert _merge_fragment_stats(frags + [None]) is None
+    assert _merge_fragment_stats([]) is None
