@@ -276,6 +276,20 @@ def q_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir)).orderBy("content_key")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted downsampling (sampling.weighted_sample): keep
+    probability min(1, n_chars/3000) with the id-hash as the coin — the
+    good tail survives, boilerplate thins, reruns keep the SAME rows.
+    Pure scan-side filter, no shuffle."""
+    from artexin_spark.operators import sampling as sp
+
+    d = _docs(spark, sf_dir)
+    kept = sp.weighted_sample(
+        d, F.col("n_chars").cast("double") / 3000.0, scale=1.0
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic ~20% sample by id hash: same rows every run, every
     engine — the reproducible-sampling primitive rand() can't provide."""
@@ -1730,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_idf": q_term_df_idf,
         "exact_dedup": q_exact_dedup,
         "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
         "hash_split": q_hash_split,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
@@ -1970,6 +1985,12 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
   CAST(len(regexp_extract_all(t2, '\+?\d[\d ()-]{7,}\d')) AS INT) AS n_phones
 FROM s2
+"""
+
+_ORACLES["weighted_sample"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST({_sql_idbucket("wsample:")} AS DOUBLE) / 1000000.0
+      < least(1.0, CAST(n_chars AS DOUBLE) / 3000.0)
 """
 
 _ORACLES["hash_sample"] = f"""

@@ -129,3 +129,25 @@ def group_quota(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Keep each row with probability ``min(1, scale × weight)`` —
+    quality-weighted downsampling (CCNet-style: keep the good tail,
+    thin the boilerplate) that stays DETERMINISTIC: the coin is the
+    row's id-hash uniform in [0,1), never rand(), so reruns keep the
+    SAME rows and the op is exactly oracle-checkable cross-engine.
+    A weight ≥ 1/scale always survives; weight 0 never does. Pure
+    projection+filter — no shuffle, no pre-pass, pushes to the scan."""
+    u = (
+        hash_bucket(id_col, buckets, salt="wsample:").cast("double")
+        / float(buckets)
+    )
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(u < F.least(F.lit(1.0), F.lit(float(scale)) * w))

@@ -863,3 +863,25 @@ def test_entity_blocking_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    """Same rows every run; raising scale only ADDS rows (monotone keep
+    sets); weight >= 1/scale always survives, weight 0 never does."""
+    from pyspark.sql import functions as F
+
+    from artexin_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id", "cast(id % 100 as double) / 100.0 AS w"
+    )
+    k1 = {r[0] for r in weighted_sample(df, "w", scale=0.5).select("doc_id").collect()}
+    k1b = {r[0] for r in weighted_sample(df, "w", scale=0.5).select("doc_id").collect()}
+    assert k1 == k1b  # deterministic rerun
+    k2 = {r[0] for r in weighted_sample(df, "w", scale=1.0).select("doc_id").collect()}
+    assert k1 <= k2  # monotone in scale
+    sure = {r[0] for r in df.filter("w >= 1.0").collect()}  # none here (w<1)
+    zero = weighted_sample(df.filter("w = 0"), "w", scale=100.0).count()
+    assert zero == 0 and sure == set()
+    full = weighted_sample(df, F.lit(1.0), scale=1.0).count()
+    assert full == 2000  # weight 1 keeps everything

@@ -116,7 +116,7 @@ def test_hash_ops_are_pure_projections(spark):
     scan (the 100 TB property: no pre-pass, no count, no exchange)."""
     import __spark_entry__ as e
 
-    for q in (e.q_hash_sample, e.q_hash_split):
+    for q in (e.q_hash_sample, e.q_hash_split, e.q_weighted_sample):
         plan = _plan(q(spark, SF))
         assert "Exchange" not in plan, (q.__name__, plan)
         assert "BatchEvalPython" not in plan, plan
