@@ -1,0 +1,79 @@
+"""PDF-parser fuzz campaign (out-of-band hardening, like fuzz_campaign.py
+but for pdfx): mutate well-formed PDFs (plain + FlateDecode) with byte
+splices, truncations, and junk injections, plus pure-garbage %PDF-
+payloads. Checks per example:
+
+  1. extract_turn is total — failures land in .error, never an exception
+  2. an UNmutated PDF keeps round-tripping (the mutator harness itself
+     can't rot): its extracted text equals the source text normalized
+
+Usage:  python tools/fuzz_pdf.py [n_examples] [seed]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from artexin_spark.pdfx import build_simple_pdf  # noqa: E402
+from artexin_spark.readability import extract_turn  # noqa: E402
+from artexin_spark.tokenizer import fix_ws  # noqa: E402
+
+TEXTS = [
+    "Hello fuzz page one.",
+    "Multi line\ntext with (parens) and \\ escapes and <angle> marks.",
+    "Unicode: café — dash ü",
+    "x " * 300,  # multi-page wrap
+]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 4242
+    rng = random.Random(seed)
+    bases = []
+    for t in TEXTS:
+        bases.append(build_simple_pdf(t).encode("latin-1"))
+        comp = build_simple_pdf(t, compress=True)
+        bases.append(comp if isinstance(comp, bytes) else comp.encode("latin-1"))
+    # sanity: unmutated round trip
+    for t in TEXTS:
+        res = extract_turn(build_simple_pdf(t))
+        assert res.error is None and res.text == fix_ws(t), (t, res)
+
+    for i in range(n):
+        base = bytearray(rng.choice(bases))
+        kind = rng.randrange(4)
+        if kind == 0 and len(base) > 24:  # byte flips
+            for _ in range(rng.randint(1, 8)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+        elif kind == 1:  # truncate
+            base = base[: rng.randrange(6, len(base))]
+        elif kind == 2:  # splice junk
+            pos = rng.randrange(len(base))
+            junk = bytes(rng.randrange(256) for _ in range(rng.randint(1, 64)))
+            base = base[:pos] + junk + base[pos:]
+        else:  # pure garbage with the magic
+            base = bytearray(b"%PDF-") + bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 300))
+            )
+        payload = bytes(base)
+        if not payload.startswith(b"%PDF-"):
+            payload = b"%PDF-" + payload[5:]
+        try:
+            res = extract_turn(payload.decode("latin-1"))
+        except Exception as err:  # noqa: BLE001
+            print(f"ESCAPED EXCEPTION at {i}: {err!r}")
+            print(repr(payload[:200]))
+            return 1
+        assert res is not None
+        if i and i % 5000 == 0:
+            print(f"…{i}/{n} ok")
+    print(f"PASS: {n} examples, 0 escapes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
