@@ -1367,15 +1367,10 @@ FROM (VALUES
 
 
 def _multimodal_audio_expected_values_sql() -> str:
-    import random
-
-    rng = random.Random(11)
+    """Single-node replay of gen_audio_rows (FAKEPCM + real WAV
+    containers) + the identical feature math."""
     rows = []
-    for i in range(40):
-        sr, ns = rng.choice(mm.PCM_SHAPES)
-        payload = mm.make_fake_pcm(sr, ns, seed=i)
-        if i % 8 == 7:
-            payload = payload[: len(payload) // 3]
+    for i, payload in mm.gen_audio_rows(n=40, seed=11):
         try:
             f = mm.pcm_features(*mm.decode_pcm(payload))
             rows.append(
@@ -1408,18 +1403,13 @@ FROM (VALUES
 
 
 def _multimodal_resize_expected_values_sql() -> str:
-    """Single-node replay of synth_rasters + resize (the golden path);
-    the gate then proves Spark's Arrow round trip changes nothing."""
+    """Single-node replay of gen_raster_rows + decode + resize (the
+    golden path — now spanning REAL PNG gray/RGB and BMP containers plus
+    FAKERAW); the gate proves Spark's Arrow round trip changes nothing."""
     import hashlib
-    import random
 
-    rng = random.Random(7)
     rows = []
-    for i in range(50):
-        w, h = rng.choice(mm.RASTER_DIMS)
-        payload = mm.make_fake_raster(w, h, seed=i)
-        if i % 10 == 9:
-            payload = payload[: len(payload) // 2]
+    for i, payload in mm.gen_raster_rows(n=50, seed=7):
         try:
             px = mm.resize_raster(mm.decode_raster(payload), 24)
             rows.append(
@@ -1459,22 +1449,18 @@ FROM (VALUES
 
 
 def _multimodal_expected_values_sql() -> str:
-    """Replays synth_assets' seeded RNG call sequence (independent of
-    decode_image) to build the expected decode output as a VALUES list."""
-    import random
-
-    rng = random.Random(42)
+    """Single-node replay of gen_asset_rows + decode_image (REAL PNG/BMP
+    decode, GIF/JPEG dimension sniff, FAKE header, truncation + CRC-flip
+    poison): the gate proves the Spark Arrow round trip and distributed
+    decode change nothing. Codec correctness itself is pinned separately
+    by tests/test_codecs.py golden vectors + mutation fuzz."""
     rows = []
-    for i in range(100):
-        rng.choice(["image", "image", "image", "video"])  # kind (not graded)
-        w, h = rng.choice([(64, 48), (640, 480), (1920, 1080), (300, 300)])
-        fmt = rng.choice(["PNG", "JPG", "GIF"])
-        if rng.random() < 0.05:
-            rows.append((i, None, None, None, False, "truncated payload"))
-        elif rng.random() < 0.05:
-            rows.append((i, None, None, None, False, "real image decoding requires P"))
-        else:
-            rows.append((i, fmt, w, h, True, None))
+    for i, _kind, payload, _meta in mm.gen_asset_rows(n=100, seed=42):
+        try:
+            meta = mm.decode_image(bytes(payload))
+            rows.append((i, meta["format"], meta["width"], meta["height"], True, None))
+        except Exception as err:  # noqa: BLE001 — matches the UDF channel
+            rows.append((i, None, None, None, False, str(err)[:30]))
     def lit(v):
         if v is None:
             return "NULL"
@@ -1731,6 +1717,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Driver-unchecked in r01 registered first so CORRECTNESS_r02
+        # covers them (VERDICT.md 'Next round' item 1).
+        "customer_distribution": q_customer_distribution,
+        "region_revenue": q_region_revenue,
+        "skew_salted_join": q_skew_salted_join,
+        "strip_links": q_strip_links,
+        "extract_spans": q_extract_spans,
+        "conv_rollup": q_conv_rollup,
+        "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "prep_dispatch": q_prep_dispatch,
+        "returned_orders": q_returned_orders,
+        "never_returned": q_never_returned,
+        "stream_extract": q_stream_extract,
+        "stream_windowed": q_stream_windowed,
+        "asset_resolution": q_asset_resolution,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "pdf_extract": q_pdf_extract,
+        "stateful_progress": q_stateful_progress,
+        "time_travel": q_time_travel,
+        "compaction": q_compaction,
+        "incremental_read": q_incremental_read,
+        "stats_skipping": q_stats_skipping,
+        "merge_upsert": q_merge_upsert,
+        # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
         "title_fastpath": q_title_fastpath,
@@ -1781,34 +1798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_blocking": q_entity_blocking,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
-        "customer_distribution": q_customer_distribution,
-        "region_revenue": q_region_revenue,
-        "skew_salted_join": q_skew_salted_join,
-        "strip_links": q_strip_links,
-        "extract_spans": q_extract_spans,
-        "conv_rollup": q_conv_rollup,
-        "lsh_pairs": q_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "prep_dispatch": q_prep_dispatch,
-        "returned_orders": q_returned_orders,
-        "never_returned": q_never_returned,
-        "stream_extract": q_stream_extract,
-        "stream_windowed": q_stream_windowed,
-        "asset_resolution": q_asset_resolution,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "pdf_extract": q_pdf_extract,
-        "stateful_progress": q_stateful_progress,
-        "time_travel": q_time_travel,
-        "compaction": q_compaction,
-        "incremental_read": q_incremental_read,
-        "stats_skipping": q_stats_skipping,
-        "merge_upsert": q_merge_upsert,
     }
 
 

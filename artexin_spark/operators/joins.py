@@ -144,7 +144,18 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, not {how!r}")
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    if "_salt" in fact.columns or "_salt" in dim.columns:
+        # clobbering a caller's _salt would silently join on the wrong key
+        raise ValueError("input already carries a _salt column — rename it")
+    # mix a per-row disambiguator into the salt: a hot key duplicated as
+    # byte-identical rows (a common skew shape) would otherwise hash every
+    # copy to ONE salt and still pin a single reducer. mono_id is
+    # (partition_id << 33 | row_pos) — deterministic per recomputation of
+    # a stable input partitioning, so retries re-derive the same salt.
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in fact.columns]),
+        F.lit(n_salt),
+    )
     f = fact.withColumn("_salt", salt.cast("int"))
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -1,11 +1,14 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is REAL and tested — schema, Arrow batching,
-mapInPandas signatures, partition shape. The codec step is STUBBED
-(no PIL/ffmpeg in this container): ``decode_image`` parses a tiny
-deterministic fake header; calling it on real image bytes raises
-NotImplementedError with a clear message. Swapping in PIL later touches
-exactly one function.
+mapInPandas signatures, partition shape. The codec step is now REAL too
+(round-1 VERDICT item 3): ``operators/codecs.py`` decodes actual PNG
+(zlib inflate + unfilter, CRC-checked), BMP, and WAV containers from
+scratch, and sniffs GIF/JPEG dimensions — mirroring the reference's
+``fetch_image`` format detection (artexin/fetch.py:118-172, IEXTENSIONS
+fetch.py:34-50). The legacy FAKE* header payloads still decode (kept as
+the cheap high-volume bench path); only video containers remain synthetic
+(no ffmpeg demuxer in scope — the frame math is real ndarray work).
 
 Asset table shape (SURVEY.md §2.1 fetch_image mapping):
     assets(asset_id long, kind string, payload binary,
@@ -30,6 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -61,17 +66,25 @@ def make_fake_image(width: int, height: int, fmt: str = "PNG") -> bytes:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Parse the fake header → {format,width,height}. Real image bytes →
-    NotImplementedError (no codec libs in this environment)."""
+    """Image metadata → {format,width,height}: the ``fetch_image``
+    contract (format sniffing + dimensions, artexin/fetch.py:118-172).
+    Real containers go through the from-scratch codecs (PNG/BMP full
+    parse, GIF/JPEG header dims); the legacy FAKEIMG1 header remains as
+    the cheap bench payload. Corrupt/unknown bytes raise ValueError —
+    the callers' in-band error channel."""
     if payload is None or len(payload) < 20:
         raise ValueError("truncated payload")
-    if not payload.startswith(FAKE_MAGIC):
-        raise NotImplementedError(
-            "real image decoding requires PIL/libvips — not available in "
-            "this environment; wire it in here (single function swap)"
-        )
-    fmt = payload[8:12].decode().strip()
-    width, height = _struct.unpack("<II", payload[12:20])
+    payload = bytes(payload)
+    if payload.startswith(FAKE_MAGIC):
+        fmt = payload[8:12].decode().strip()
+        width, height = _struct.unpack("<II", payload[12:20])
+        return {"format": fmt, "width": width, "height": height}
+    fmt, width, height = codecs.image_dimensions(payload)
+    if fmt in ("PNG", "BMP"):
+        # full pixel decode: verifies the payload body (CRC, filter
+        # bytes, size claims), not just the header — a corrupt body
+        # must land in the error column, never ship bogus metadata
+        codecs.decode_pixels(payload)
     return {"format": fmt, "width": width, "height": height}
 
 
@@ -159,21 +172,72 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table for tests/bench."""
+def make_gif_stub(width: int, height: int) -> bytes:
+    """Header-real GIF: correct logical screen descriptor + trailer —
+    dimension sniffing works; pixel decode is declared out of scope."""
+    return (
+        b"GIF89a"
+        + _struct.pack("<HH", width, height)
+        + b"\xf0\x00\x00"  # GCT flag + background + aspect
+        + b"\x00\x00\x00\xff\xff\xff"  # 2-entry color table
+        + b"\x3b"  # trailer
+    )
+
+
+def make_jpeg_stub(width: int, height: int) -> bytes:
+    """Header-real JPEG: SOI + JFIF APP0 + SOF0 frame header + EOI —
+    dimension sniffing works; entropy decode is declared out of scope."""
+    app0 = b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        b"\xff\xc0"
+        + _struct.pack(">H", 11)
+        + b"\x08"
+        + _struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+ASSET_DIMS = [(16, 12), (32, 24), (24, 24), (8, 20)]
+
+
+def gen_asset_rows(n: int = 100, seed: int = 42) -> list:
+    """Pure deterministic asset-row generator, shared by the Spark synth
+    AND the single-node oracle replay — identical bytes on both sides, so
+    the gate proves the Arrow round trip + decode change nothing. Mixes
+    REAL containers (PNG across all 5 filter types, BMP, GIF/JPEG header
+    stubs) with the legacy FAKE header payload, plus truncation and
+    bit-flip poison (PNG CRC must catch the flip in-band)."""
     import random
 
     rng = random.Random(seed)
     rows = []
     for i in range(n):
         kind = rng.choice(["image", "image", "image", "video"])
-        w, h = rng.choice([(64, 48), (640, 480), (1920, 1080), (300, 300)])
-        fmt = rng.choice(["PNG", "JPG", "GIF"])
-        payload = make_fake_image(w, h, fmt)
-        if rng.random() < 0.05:
-            payload = payload[:10]  # truncated → error channel
-        elif rng.random() < 0.05:
-            payload = b"\x89PNG\r\n" + payload  # "real" bytes → NotImplemented
+        w, h = rng.choice(ASSET_DIMS)
+        fmt = rng.choice(["PNG", "BMP", "GIF", "JPEG", "FAKE"])
+        if fmt in ("PNG", "BMP"):
+            px = np.random.default_rng(1000 + i).integers(
+                0, 256, size=(h, w, 3), dtype=np.uint8
+            )
+            payload = (
+                codecs.encode_png(px, filter_type=i % 5)
+                if fmt == "PNG"
+                else codecs.encode_bmp(px)
+            )
+        elif fmt == "GIF":
+            payload = make_gif_stub(w, h)
+        elif fmt == "JPEG":
+            payload = make_jpeg_stub(w, h)
+        else:
+            payload = make_fake_image(w, h, "FAKE")
+        r = rng.random()
+        if r < 0.06:
+            payload = payload[: max(4, int(r * 200))]  # truncated
+        elif r < 0.12 and fmt == "PNG":
+            b = bytearray(payload)
+            b[len(b) // 2] ^= 0xFF  # bit flip → CRC/inflate error in-band
+            payload = bytes(b)
         rows.append(
             (
                 i,
@@ -188,7 +252,12 @@ def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 },
             )
         )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    return rows
+
+
+def synth_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic asset table (real + fake containers) for tests/bench."""
+    return spark.createDataFrame(gen_asset_rows(n, seed), ASSET_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -212,16 +281,21 @@ def make_fake_raster(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def decode_raster(payload) -> np.ndarray:
+    """→ grayscale (h, w) uint8. Accepts the FAKERAW bench payload AND
+    real PNG/BMP containers (from-scratch decode → ITU-601 luminance)."""
     if payload is None or len(payload) < 16:
         raise ValueError("truncated raster payload")
     payload = bytes(payload)
-    if payload[:8] != FAKE_RAW_MAGIC:
-        raise ValueError("not a FAKERAW payload")
-    w, h = _struct.unpack("<II", payload[8:16])
-    body = payload[16 : 16 + w * h]
-    if len(body) != w * h:
-        raise ValueError("raster body shorter than dims claim")
-    return np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+    if payload[:8] == FAKE_RAW_MAGIC:
+        w, h = _struct.unpack("<II", payload[8:16])
+        body = payload[16 : 16 + w * h]
+        if len(body) != w * h:
+            raise ValueError("raster body shorter than dims claim")
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+    fmt = codecs.sniff_format(payload)
+    if fmt in ("PNG", "BMP"):
+        return codecs.to_gray(codecs.decode_pixels(payload)[1])
+    raise ValueError("not a FAKERAW/PNG/BMP payload")
 
 
 def resize_raster(px: np.ndarray, max_side: int) -> np.ndarray:
@@ -285,20 +359,46 @@ def resize_assets(df: DataFrame, max_side: int = 24) -> DataFrame:
 RASTER_DIMS = [(32, 20), (80, 60), (200, 120), (64, 64)]
 
 
-def synth_rasters(spark, n: int = 50, seed: int = 7) -> DataFrame:
-    """Deterministic raster asset table; every ~10th payload is poison
-    (truncated) so the error channel is exercised."""
+def gen_raster_rows(n: int = 50, seed: int = 7) -> list:
+    """Pure deterministic raster-row generator (shared with the oracle
+    replay): rotates REAL PNG (gray and RGB), REAL BMP, and the FAKERAW
+    bench payload; every ~10th payload is truncated poison."""
     import random as _random
 
     rng = _random.Random(seed)
     rows = []
     for i in range(n):
         w, h = rng.choice(RASTER_DIMS)
-        payload = make_fake_raster(w, h, seed=i)
+        container = rng.choice(["RAW", "PNG", "PNG_RGB", "BMP"])
+        if container == "RAW":
+            payload = make_fake_raster(w, h, seed=i)
+        else:
+            prng = np.random.default_rng(i)
+            if container == "PNG":
+                payload = codecs.encode_png(
+                    prng.integers(0, 256, size=(h, w), dtype=np.uint8),
+                    filter_type=i % 5,
+                )
+            elif container == "PNG_RGB":
+                payload = codecs.encode_png(
+                    prng.integers(0, 256, size=(h, w, 3), dtype=np.uint8),
+                    filter_type=i % 5,
+                )
+            else:
+                payload = codecs.encode_bmp(
+                    prng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                )
         if i % 10 == 9:
             payload = payload[: len(payload) // 2]  # poison: truncated body
         rows.append((i, bytearray(payload)))
-    return spark.createDataFrame(rows, "asset_id long, payload binary")
+    return rows
+
+
+def synth_rasters(spark, n: int = 50, seed: int = 7) -> DataFrame:
+    """Deterministic raster asset table (real PNG/BMP + FAKERAW)."""
+    return spark.createDataFrame(
+        gen_raster_rows(n, seed), "asset_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -327,16 +427,20 @@ def make_fake_pcm(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
 
 
 def decode_pcm(payload) -> tuple[int, np.ndarray]:
+    """→ (sample_rate, int16 mono). Accepts the FAKEPCM bench payload AND
+    real RIFF PCM16 WAV containers (from-scratch demux)."""
     if payload is None or len(payload) < 16:
         raise ValueError("truncated pcm payload")
     payload = bytes(payload)
-    if payload[:8] != FAKE_PCM_MAGIC:
-        raise ValueError("not a FAKEPCM payload")
-    sr, n = _struct.unpack("<II", payload[8:16])
-    body = payload[16 : 16 + 2 * n]
-    if len(body) != 2 * n:
-        raise ValueError("pcm body shorter than header claims")
-    return sr, np.frombuffer(body, dtype="<i2")
+    if payload[:8] == FAKE_PCM_MAGIC:
+        sr, n = _struct.unpack("<II", payload[8:16])
+        body = payload[16 : 16 + 2 * n]
+        if len(body) != 2 * n:
+            raise ValueError("pcm body shorter than header claims")
+        return sr, np.frombuffer(body, dtype="<i2")
+    if codecs.sniff_format(payload) == "WAV":
+        return codecs.decode_wav(payload)
+    raise ValueError("not a FAKEPCM/WAV payload")
 
 
 def pcm_features(sr: int, samples: np.ndarray) -> dict:
@@ -389,19 +493,36 @@ def audio_features(df: DataFrame) -> DataFrame:
 PCM_SHAPES = [(8000, 4000), (16000, 8000), (16000, 1600), (44100, 4410)]
 
 
-def synth_audio(spark, n: int = 40, seed: int = 11) -> DataFrame:
-    """Deterministic audio asset table; every ~8th payload truncated."""
+def gen_audio_rows(n: int = 40, seed: int = 11) -> list:
+    """Pure deterministic audio-row generator (shared with the oracle
+    replay): alternates the FAKEPCM bench payload with REAL RIFF PCM16
+    WAV containers carrying the same synthesized waveform; every ~8th
+    payload truncated poison."""
     import random as _random
 
     rng = _random.Random(seed)
     rows = []
     for i in range(n):
         sr, ns = rng.choice(PCM_SHAPES)
-        payload = make_fake_pcm(sr, ns, seed=i)
+        fake = make_fake_pcm(sr, ns, seed=i)
+        if i % 3 == 2:
+            # same samples, real container: strip the fake header, wrap
+            payload = codecs.encode_wav(
+                sr, np.frombuffer(fake[16:], dtype="<i2")
+            )
+        else:
+            payload = fake
         if i % 8 == 7:
             payload = payload[: len(payload) // 3]
         rows.append((i, bytearray(payload)))
-    return spark.createDataFrame(rows, "asset_id long, payload binary")
+    return rows
+
+
+def synth_audio(spark, n: int = 40, seed: int = 11) -> DataFrame:
+    """Deterministic audio asset table (FAKEPCM + real WAV)."""
+    return spark.createDataFrame(
+        gen_audio_rows(n, seed), "asset_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------

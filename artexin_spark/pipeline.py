@@ -31,10 +31,12 @@ Scale design notes (the 100 TB story, graded explicitly):
 
 from __future__ import annotations
 
+import shutil
 import time
 import uuid
 
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,15 +85,41 @@ _EXTRACT_OUT_SCHEMA = (
 )
 
 
-def _extract_map_iter(batches):
+class _LineageAccumParam(AccumulatorParam):
+    """Dict accumulator: part_key -> [n_rows, n_errors, n_chars_in,
+    n_chars_out, wall_ms]. One ``add`` per task (the map iterator folds
+    locally first), so accumulator traffic is O(buckets-per-task), not
+    O(batches). Caveat (standard Spark transformation-accumulator
+    semantics): a re-executed stage (fetch-failure recompute, speculative
+    attempt) could double-count — run_extract performs exactly one action
+    per run, so the window is a lost-shuffle retry only; lineage counters
+    are skew/ops evidence, and the data write itself stays exactly-once
+    via dynamic partition overwrite."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            cur = a.get(k)
+            a[k] = list(v) if cur is None else [x + y for x, y in zip(cur, v)]
+        return a
+
+
+def _extract_map_iter(batches, acc=None):
     """mapInPandas body: one Arrow batch in → one extracted batch out,
-    stamped with its share of wall time (summed per bucket → lineage)."""
+    stamped with its share of wall time. With ``acc`` set, per-bucket
+    lineage counters fold task-side into the accumulator — the sink write
+    then needs NO read-back of written files and no second input scan
+    (the r01 bench showed that read-back costing ~45% over pure compute)."""
+    local: dict[int, list] = {}
     for pdf in batches:
         t0 = time.perf_counter()
         ex = _run_extract_batch(
             pdf["text"], pdf["source"], pd.Series([True] * len(pdf))
         )
         ms = (time.perf_counter() - t0) * 1000.0
+        n_chars_in = pdf["text"].fillna("").str.len().astype("int64")
         out = pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].values,
@@ -107,11 +135,44 @@ def _extract_map_iter(batches):
                 "images": ex["images"].values,
                 "n_images": ex["n_images"].values,
                 "error": ex["error"].values,
-                "n_chars_in": pdf["text"].fillna("").str.len().astype("int32").values,
+                "n_chars_in": n_chars_in.astype("int32").values,
                 "batch_ms": ms / max(1, len(pdf)),
             }
         )
+        if acc is not None and len(pdf):
+            per_key = (
+                pd.DataFrame(
+                    {
+                        "k": pdf["part_key"].values,
+                        "rows": 1,
+                        "errs": ex["error"].notna().astype("int64").values,
+                        "cin": n_chars_in.values,
+                        "cout": ex["extracted_text"]
+                        .fillna("")
+                        .str.len()
+                        .astype("int64")
+                        .values,
+                    }
+                )
+                .groupby("k")
+                .sum()
+            )
+            ms_per_row = ms / len(pdf)
+            for k, r in per_key.iterrows():
+                add = [
+                    int(r["rows"]),
+                    int(r["errs"]),
+                    int(r["cin"]),
+                    int(r["cout"]),
+                    float(r["rows"]) * ms_per_row,
+                ]
+                cur = local.get(int(k))
+                local[int(k)] = (
+                    add if cur is None else [x + y for x, y in zip(cur, add)]
+                )
         yield out
+    if acc is not None and local:
+        acc.add(local)
 
 
 def prepare_input(df: DataFrame, n_buckets: int, source_col: str | None) -> DataFrame:
@@ -147,6 +208,34 @@ def prepare_input(df: DataFrame, n_buckets: int, source_col: str | None) -> Data
     )
 
 
+def _extract_prepared(
+    prepared: DataFrame, n_buckets: int, acc=None, repartition: bool = True
+) -> DataFrame:
+    """Shared tail of the plan: bucket repartition → fused Arrow stage →
+    content hash. ``acc`` threads the lineage accumulator into the task."""
+    if repartition:
+        # explicit partition count: repartition("part_key") alone keeps
+        # spark.sql.shuffle.partitions partitions, so a large B (the 10^12-
+        # turn story picks B = 2^17 for executor-memory-sized buckets)
+        # would silently pack ~B/200 buckets into one task — unbounded task
+        # size, the exact thing the bucket key exists to bound
+        prepared = prepared.repartition(n_buckets, "part_key")
+    extracted = prepared.mapInPandas(
+        lambda batches: _extract_map_iter(batches, acc), _EXTRACT_OUT_SCHEMA
+    )
+    return extracted.withColumn(
+        "content_hash",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                "conv_id",
+                F.col("turn_idx").cast("string"),
+                F.coalesce("extracted_text", F.lit("")),
+            )
+        ),
+    ).withColumn("extracted_at", F.current_timestamp())
+
+
 def extract_df(
     spark: SparkSession,
     df: DataFrame,
@@ -159,25 +248,7 @@ def extract_df(
     if n_buckets is None:
         n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     prepared = prepare_input(df, n_buckets, source_col)
-    if repartition:
-        # explicit partition count: repartition("part_key") alone keeps
-        # spark.sql.shuffle.partitions partitions, so a large B (the 10^12-
-        # turn story picks B = 2^17 for executor-memory-sized buckets)
-        # would silently pack ~B/200 buckets into one task — unbounded task
-        # size, the exact thing the bucket key exists to bound
-        prepared = prepared.repartition(n_buckets, "part_key")
-    extracted = prepared.mapInPandas(_extract_map_iter, _EXTRACT_OUT_SCHEMA)
-    return extracted.withColumn(
-        "content_hash",
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                "conv_id",
-                F.col("turn_idx").cast("string"),
-                F.coalesce("extracted_text", F.lit("")),
-            )
-        ),
-    ).withColumn("extracted_at", F.current_timestamp())
+    return _extract_prepared(prepared, n_buckets, repartition=repartition)
 
 
 def run_extract(
@@ -212,88 +283,66 @@ def run_extract(
             n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     sink_io.ensure_bucket_spec(sink, n_buckets)
 
-    out = extract_df(spark, df, n_buckets=n_buckets, source_col=source_col)
-    # this run's bucket set, from the RAW input (narrow conv_id/turn_idx
-    # scan — no extraction): scopes the lineage derivation below to buckets
-    # this run actually wrote. Without it a partial-input run would re-stamp
-    # every untouched old bucket in the sink with this run_id, falsifying
-    # lineage history and the returned counters.
-    run_keys = prepare_input(df, n_buckets, source_col).select("part_key").distinct()
+    prepared = prepare_input(df, n_buckets, source_col)
+    if resume:
+        done = sink_io.completed_buckets(spark, sink)
+        if done is not None:
+            # broadcast anti-join BEFORE the Python stage (done-list is one
+            # int per bucket): completed buckets never reach extraction —
+            # an anti-join placed after mapInPandas cannot be pushed below
+            # the opaque Python node, so it would re-extract and discard
+            prepared = prepared.join(F.broadcast(done), "part_key", "left_anti")
 
-    done = sink_io.completed_buckets(spark, sink) if resume else None
-    if done is not None:
-        # broadcast anti-join: the done-list is tiny (one int per bucket)
-        out = out.join(F.broadcast(done), on="part_key", how="left_anti")
-        run_keys = run_keys.join(F.broadcast(done), "part_key", "left_anti")
-
-    if resume or snapshot:
-        # cheap narrow-input job (at most B rows). A fully-resumed run is a
-        # clean no-op — without this guard the snapshot path would write an
-        # empty run dir and commit_snapshot could not infer its schema.
-        if run_keys.limit(1).count() == 0:
-            result = {"run_id": run_id, "buckets": 0, "rows": 0, "errors": 0}
-            if snapshot:
-                result["snapshot_id"] = sink_io.latest_snapshot_id(spark, sink)
-            return result
-
-    # Derive lineage from the written files (single extraction pass, one
-    # write) rather than caching the fat extracted frame in memory. The
-    # per-row batch_ms / n_chars_in columns ride along in the sink — a few
-    # bytes/row buying measured (not guessed) per-bucket skew evidence.
-    # precompute the output-size counter as a narrow column so the lineage
-    # read-back below prunes to small columns only — summing
-    # length(extracted_text) after the fact would re-decode the fat text
-    # column of the whole written table (measured: most of the lineage cost)
+    # Per-bucket lineage counters fold task-side into this accumulator
+    # during the single write action — ONE pass total: no read-back of
+    # written files and no second (narrow) input scan for the run's bucket
+    # set. The r01 driver bench priced those at ~45% over pure compute
+    # (q_extract_write 23.3s vs q_extract 12.75s).
+    acc = spark.sparkContext.accumulator({}, _LineageAccumParam())
+    out = _extract_prepared(prepared, n_buckets, acc=acc)
+    # n_chars_out rides along in the sink as a narrow column — a few
+    # bytes/row buying stats-skipping and measured per-bucket skew evidence
     out = out.withColumn(
         "n_chars_out",
         F.length(F.coalesce("extracted_text", F.lit(""))).cast("long"),
     )
+
     snap_id = None
     if snapshot:
         sink_io.write_run_data(out.drop("source"), sink, run_id)
-        snap_id = sink_io.commit_snapshot(spark, sink, run_id)
-        written = spark.read.parquet(sink_io.run_data_path(sink, run_id))
     else:
         sink_io.write_data(out.drop("source"), sink)
-        # scope to this run's buckets: dynamic overwrite only replaced
-        # those directories; the rest of the sink belongs to earlier runs
-        written = sink_io.read_data(spark, sink).join(
-            F.broadcast(run_keys), "part_key", "left_semi"
-        )
-    lineage = (
-        written.groupBy("part_key")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-            F.sum("n_chars_in").cast("long").alias("n_chars_in"),
-            F.sum("n_chars_out").cast("long").alias("n_chars_out"),
-            F.sum("batch_ms").alias("wall_ms"),
-            F.lit("ok").alias("status"),
-            F.current_timestamp().alias("finished_at"),
-        )
-        .withColumn("run_id", F.lit(run_id))
-        .select(
-            "run_id", "part_key", "n_rows", "n_errors", "n_chars_in",
-            "n_chars_out", "wall_ms", "status", "finished_at",
-        )
-    )
+
+    counters = acc.value  # part_key -> [rows, errors, chars_in, chars_out, ms]
+    if not counters:
+        # fully-resumed (or empty-input) run: clean no-op — no lineage row,
+        # no snapshot commit, and the empty run dir (at most a _SUCCESS
+        # marker) is removed so it can't shadow a later run_id collision
+        if snapshot:
+            shutil.rmtree(sink_io.run_data_path(sink, run_id), ignore_errors=True)
+        result = {"run_id": run_id, "buckets": 0, "rows": 0, "errors": 0}
+        if snapshot:
+            result["snapshot_id"] = sink_io.latest_snapshot_id(spark, sink)
+        return result
+
+    if snapshot:
+        snap_id = sink_io.commit_snapshot(spark, sink, run_id)
+
+    lineage = spark.createDataFrame(
+        [
+            (run_id, int(k), int(v[0]), int(v[1]), int(v[2]), int(v[3]), float(v[4]), "ok")
+            for k, v in sorted(counters.items())
+        ],
+        "run_id string, part_key int, n_rows long, n_errors long, "
+        "n_chars_in long, n_chars_out long, wall_ms double, status string",
+    ).withColumn("finished_at", F.current_timestamp())
     sink_io.append_lineage(lineage, sink)
 
-    stats = (
-        sink_io.read_lineage(spark, sink)
-        .filter(F.col("run_id") == run_id)
-        .agg(
-            F.count("*").alias("buckets"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("n_errors").alias("errors"),
-        )
-        .collect()[0]
-    )
     result = {
         "run_id": run_id,
-        "buckets": stats["buckets"],
-        "rows": stats["rows"] or 0,
-        "errors": stats["errors"] or 0,
+        "buckets": len(counters),
+        "rows": int(sum(v[0] for v in counters.values())),
+        "errors": int(sum(v[1] for v in counters.values())),
     }
     if snap_id is not None:
         result["snapshot_id"] = snap_id

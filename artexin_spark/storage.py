@@ -493,6 +493,13 @@ def read_incremental(
         )
     if to_snapshot_id not in ids:
         raise ValueError(f"snapshot {to_snapshot_id} not found in {sink}")
+    if since_snapshot_id > to_snapshot_id:
+        # reject the inverted range loudly, like the other validation
+        # paths — a silently-empty delta here reads as "nothing changed"
+        raise ValueError(
+            f"inverted incremental range: since={since_snapshot_id} > "
+            f"to={to_snapshot_id}"
+        )
     # set-valued mapping: append commits make a bucket span several runs
     mapping: dict[int, dict[int, set]] = {}
     ops: dict[int, str] = {}
@@ -709,20 +716,25 @@ def ensure_bucket_spec(
             "bucket_fn": "pmod(xxhash64(bucket_cols), n_buckets)",
         }
         os.makedirs(sink, exist_ok=True)
-        # O_EXCL: of two concurrent first-writers exactly one pins the
-        # spec; the loser falls through to validation against it (a
-        # last-writer-wins replace would let conflicting specs race past
-        # the check)
+        # atomic publish: write the spec to a private temp file, then
+        # os.link it into place. link(2) fails with EEXIST if another
+        # writer won, so exactly one first-writer pins the spec AND the
+        # published file is always complete — the loser's read below can
+        # never observe a half-written JSON (the old O_EXCL-then-write
+        # scheme had that window).
+        tmp = bucket_spec_path(sink) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh, indent=2)
         try:
-            fd = os.open(
-                bucket_spec_path(sink), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, bucket_spec_path(sink))
         except FileExistsError:
             spec = read_bucket_spec(sink)  # lost the race: validate below
         else:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(spec, fh, indent=2)
+            os.unlink(tmp)
             return spec
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     if int(spec["n_buckets"]) != int(n_buckets) or list(
         spec.get("bucket_cols", [])
     ) != list(bucket_cols):

@@ -31,7 +31,7 @@ def incremental_extract(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     source_col: str | None = None,
     schema: str = TRANSCRIPT_SCHEMA,
 ):
@@ -45,8 +45,12 @@ def incremental_extract(
     from . import storage as _sink_io
 
     spec = _sink_io.read_bucket_spec(output_dir)
-    if spec is not None:
-        n_buckets = int(spec["n_buckets"])
+    if n_buckets is None:
+        # adopt the pinned spec only when the caller did not choose; an
+        # EXPLICIT conflicting n_buckets must fail fast in ensure_bucket_spec
+        # below, exactly like the batch path (run_extract) — silently
+        # overriding it would ignore a CLI --buckets with zero signal
+        n_buckets = int(spec["n_buckets"]) if spec is not None else 64
     _sink_io.ensure_bucket_spec(output_dir, n_buckets)
     stream = (
         spark.readStream.schema(schema)
@@ -228,7 +232,7 @@ def incremental_extract_snapshot(
     input_dir: str,
     sink: str,
     checkpoint_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     source_col: str | None = None,
     schema: str = TRANSCRIPT_SCHEMA,
 ):
@@ -246,8 +250,10 @@ def incremental_extract_snapshot(
     from . import storage as _sink_io
 
     spec = _sink_io.read_bucket_spec(sink)
-    if spec is not None:
-        n_buckets = int(spec["n_buckets"])
+    if n_buckets is None:
+        # same contract as the batch path: adopt only when omitted,
+        # fail fast on an explicit conflict
+        n_buckets = int(spec["n_buckets"]) if spec is not None else 64
     _sink_io.ensure_bucket_spec(sink, n_buckets)
     stream = (
         spark.readStream.schema(schema)

@@ -220,10 +220,11 @@ def main() -> None:
         spark.stop()
         return
 
-    # full production job including the sink: bucket-partitioned write +
-    # lineage derivation (read-back agg). Reported separately from the
-    # headline so scan→extract compute and end-to-end-with-write are both
-    # visible; one rep (the write dominates and is disk-, not CPU-, bound).
+    # full production job including the sink: bucket repartition +
+    # bucket-partitioned write + accumulator-derived lineage (single pass,
+    # no read-back of written files — r02 change; the r01 read-back cost
+    # ~45% over pure compute). Warm+min like every other query so the
+    # number is steady-state, comparable with q_extract.
     import shutil
     import tempfile
 
@@ -236,7 +237,7 @@ def main() -> None:
         finally:
             shutil.rmtree(sink, ignore_errors=True)
 
-    timed("q_extract_write", run_extract_write, warm_runs=0, reps=1)
+    timed("q_extract_write", run_extract_write, warm_runs=1, reps=2)
     extras["extract_write_turns_per_sec"] = round(
         n_turns / timings["q_extract_write"], 1
     )

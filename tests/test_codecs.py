@@ -1,0 +1,243 @@
+"""From-scratch container codecs: round-trip equality, golden vectors,
+format sniffing parity with the reference's fetch_image metadata contract
+(artexin/fetch.py:118-172), and mutation-fuzz error behavior."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from artexin_spark.operators import codecs as C
+
+
+def _jfif(w=99, h=77):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (5, 7, 3), (4, 4, 4), (3, 9, 2), (1, 1)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(shape, filter_type):
+    rng = np.random.default_rng(sum(shape) + filter_type)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    payload = C.encode_png(px, filter_type=filter_type)
+    fmt, out = C.decode_pixels(payload)
+    assert fmt == "PNG"
+    assert np.array_equal(out, px)
+    assert C.image_dimensions(payload) == ("PNG", shape[1], shape[0])
+
+
+def test_png_palette_decode():
+    # hand-build a color-type-3 PNG: 2x2 indices into a 3-entry palette
+    pal = b"\x10\x20\x30" + b"\x40\x50\x60" + b"\x70\x80\x90"
+    raw = b"\x00\x00\x01" + b"\x00\x02\x01"  # two scanlines, filter 0
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    png = (
+        C.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = C.decode_png(png)
+    want = np.array(
+        [[[0x10, 0x20, 0x30], [0x40, 0x50, 0x60]],
+         [[0x70, 0x80, 0x90], [0x40, 0x50, 0x60]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, want)
+
+
+def test_bmp_roundtrip_rgb_and_gray():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    payload = C.encode_bmp(px)
+    fmt, out = C.decode_pixels(payload)
+    assert fmt == "BMP" and np.array_equal(out, px)
+    assert C.image_dimensions(payload) == ("BMP", 5, 6)
+    g = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    _, o2 = C.decode_pixels(C.encode_bmp(g))
+    assert np.array_equal(o2, np.stack([g] * 3, axis=-1))
+
+
+def test_wav_roundtrip_and_stereo_channel0():
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, size=1000).astype("<i2")
+    sr, out = C.decode_wav(C.encode_wav(16000, s))
+    assert sr == 16000 and np.array_equal(out, s)
+    # stereo: interleave two channels, decode takes channel 0
+    stereo = np.empty(2000, dtype="<i2")
+    stereo[0::2], stereo[1::2] = s, s[::-1]
+    pcm = stereo.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    sr2, out2 = C.decode_wav(wav)
+    assert sr2 == 8000 and np.array_equal(out2, s)
+
+
+# ---------------------------------------------------------------------------
+# sniffing (IEXTENSIONS parity) and metadata-only dims
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_and_dimensions_per_format():
+    png = C.encode_png(np.zeros((7, 9), np.uint8))
+    bmp = C.encode_bmp(np.zeros((3, 4, 3), np.uint8))
+    gif = b"GIF89a" + struct.pack("<HH", 123, 45) + b"\x00" * 10
+    jpg = _jfif(99, 77)
+    wav = C.encode_wav(8000, np.zeros(4, "<i2"))
+    assert C.sniff_format(png) == "PNG" and C.image_dimensions(png) == ("PNG", 9, 7)
+    assert C.sniff_format(bmp) == "BMP" and C.image_dimensions(bmp) == ("BMP", 4, 3)
+    assert C.sniff_format(gif) == "GIF" and C.image_dimensions(gif) == ("GIF", 123, 45)
+    assert C.sniff_format(jpg) == "JPEG" and C.image_dimensions(jpg) == ("JPEG", 99, 77)
+    assert C.sniff_format(wav) == "WAV"
+    assert C.sniff_format(b"garbage") is None
+    assert C.sniff_format(None) is None
+    for fmt in ("PNG", "BMP", "GIF", "JPEG", "WAV"):
+        assert fmt in C.EXTENSIONS  # fetch.py:34-50 IEXTENSIONS parity
+
+
+def test_gif_jpeg_pixel_decode_is_typed_error():
+    with pytest.raises(ValueError, match="metadata only"):
+        C.decode_pixels(b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00" * 10)
+    with pytest.raises(ValueError, match="metadata only"):
+        C.decode_pixels(_jfif())
+
+
+def test_to_gray_itu601():
+    assert C.to_gray(np.array([[[255, 0, 0]]], np.uint8))[0, 0] == 76
+    assert C.to_gray(np.array([[[0, 255, 0]]], np.uint8))[0, 0] == 150
+    assert C.to_gray(np.array([[[0, 0, 255]]], np.uint8))[0, 0] == 29
+    g = np.array([[5, 9]], np.uint8)
+    assert np.array_equal(C.to_gray(g), g)  # gray passes through
+    ga = np.dstack([g, np.full_like(g, 7)])
+    assert np.array_equal(C.to_gray(ga), g)  # alpha ignored
+
+
+# ---------------------------------------------------------------------------
+# corruption: every mutation must raise ValueError, never wrong pixels
+# ---------------------------------------------------------------------------
+
+
+def test_png_crc_detects_bitflips():
+    payload = C.encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    bad = bytearray(payload)
+    bad[40] ^= 0xFF  # inside a chunk body
+    with pytest.raises(ValueError):
+        C.decode_png(bytes(bad))
+
+
+def test_unsupported_png_features_are_typed_errors():
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    iend = chunk(b"IEND", b"")
+    interlaced = (
+        C.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + iend
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        C.decode_png(interlaced)
+    depth16 = (
+        C.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + iend
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        C.decode_png(depth16)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_png_mutation_fuzz_never_miscarries(data):
+    """Truncate/flip/splice a valid PNG arbitrarily: decode either
+    round-trips the original exactly (mutation hit slack bytes — there
+    are none in this writer, but keep the property honest) or raises
+    ValueError. Anything else (wrong pixels, other exception) fails."""
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
+    px = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    payload = bytearray(C.encode_png(px, filter_type=data.draw(st.integers(0, 4))))
+    op = data.draw(st.sampled_from(["truncate", "flip", "zero_run"]))
+    if op == "truncate":
+        payload = payload[: data.draw(st.integers(0, len(payload) - 1))]
+    elif op == "flip":
+        i = data.draw(st.integers(0, len(payload) - 1))
+        payload[i] ^= data.draw(st.integers(1, 255))
+    else:
+        i = data.draw(st.integers(0, len(payload) - 1))
+        j = min(len(payload), i + data.draw(st.integers(1, 16)))
+        payload[i:j] = b"\x00" * (j - i)
+    try:
+        out = C.decode_png(bytes(payload))
+    except ValueError:
+        return
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_bmp_wav_mutation_fuzz(data):
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
+    if data.draw(st.booleans()):
+        orig = C.encode_bmp(rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8))
+        decode = C.decode_bmp
+    else:
+        orig = C.encode_wav(8000, rng.integers(-100, 100, size=64).astype("<i2"))
+        decode = C.decode_wav
+    payload = bytearray(orig)
+    i = data.draw(st.integers(0, len(payload) - 1))
+    if data.draw(st.booleans()):
+        payload = payload[:i]
+    else:
+        payload[i] ^= data.draw(st.integers(1, 255))
+    try:
+        decode(bytes(payload))
+    except ValueError:
+        pass  # in-band error is the contract; wrong-type exceptions fail
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_png_roundtrip_property(data):
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    ch = data.draw(st.sampled_from([None, 2, 3, 4]))
+    shape = (h, w) if ch is None else (h, w, ch)
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    ft = data.draw(st.integers(0, 4))
+    assert np.array_equal(C.decode_png(C.encode_png(px, filter_type=ft)), px)

@@ -155,8 +155,12 @@ def test_multimodal_decode_plumbing(spark):
     assert len(ok) > 40 and len(bad) > 0  # error channel exercised
     assert ok.features.map(len).eq(16).all()
     assert (ok.width > 0).all()
-    # real-image bytes routed to NotImplementedError in-band
-    assert bad.error.str.contains("PIL|truncated|payload", regex=True).all()
+    # REAL container decode succeeded for every sniffable format
+    assert {"PNG", "BMP", "GIF", "JPEG", "FAKE"} <= set(ok.format)
+    # poison (truncation / CRC bit-flips) lands in-band with typed messages
+    assert bad.error.str.contains(
+        "truncated|png|bmp|unrecognized|crc|inflate", regex=True
+    ).all()
 
 
 def test_multimodal_resize_and_frames(spark):
@@ -740,12 +744,7 @@ def test_resize_assets_spark_matches_single_node_and_flags_poison(spark):
         r["asset_id"]: r
         for r in mm.resize_assets(mm.synth_rasters(spark, 30, seed=7), 24).collect()
     }
-    import random
-
-    rng = random.Random(7)
-    for i in range(30):
-        w, h = rng.choice(mm.RASTER_DIMS)
-        payload = mm.make_fake_raster(w, h, seed=i)
+    for i, payload in mm.gen_raster_rows(30, seed=7):
         if i % 10 == 9:
             assert out[i]["error"] is not None and out[i]["px_md5"] is None
             continue
@@ -763,10 +762,7 @@ def test_audio_features_spark_matches_single_node_and_flags_poison(spark):
         r["asset_id"]: r
         for r in mm.audio_features(mm.synth_audio(spark, 16, seed=11)).collect()
     }
-    rng = random.Random(11)
-    for i in range(16):
-        sr, ns = rng.choice(mm.PCM_SHAPES)
-        payload = mm.make_fake_pcm(sr, ns, seed=i)
+    for i, payload in mm.gen_audio_rows(16, seed=11):
         if i % 8 == 7:
             assert out[i]["error"] is not None and out[i]["rms"] is None
             continue
