@@ -490,6 +490,50 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """The SCALE path (r01 VERDICT item 4): LSH-bucketed candidates +
+    exact cosine verify over a planted near-dup corpus — no cartesian in
+    the plan (gated in test_plans), recall pinned at 1.0 against the
+    single-node brute-force oracle replay."""
+    emb = spark.createDataFrame(
+        dd.gen_planted_vectors(n=150, dim=32, n_dups=25, seed=5),
+        "vec_id long, embedding array<double>",
+    )
+    out = dd.embedding_near_dup_lsh(
+        emb, threshold=0.9, planes=4, tables=8, dim=32, seed=42
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _embedding_near_dup_expected_values_sql() -> str:
+    """Single-node numpy brute force over the SAME planted corpus: every
+    pair with cosine >= 0.9 — the LSH query must find them all (recall=1
+    on this corpus) with exactly-verified cosines."""
+    rows = dd.gen_planted_vectors(n=150, dim=32, n_dups=25, seed=5)
+    import numpy as _np
+
+    ids = [r[0] for r in rows]
+    M = _np.asarray([r[1] for r in rows])
+    Mn = M / _np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.9:
+                out.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
+    values = ",\n".join("(%d, %d, %r)" % r for r in out)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(cosine AS DOUBLE) AS cosine
+FROM (VALUES
+{values}
+) AS t(id_a, id_b, cosine)
+"""
+
+
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """The brute-force O(N²) exact baseline, demoted to oracle-baseline
+    duty (cross join with id filter) — kept gated on a small slice so the
+    exact operator itself stays verified."""
     out = dd.embedding_near_dup(
         _emb(spark, sf_dir).filter("vec_id < 120"), threshold=0.3289
     )
@@ -960,6 +1004,45 @@ def _mutated_union(docs: DataFrame, limit: int = 150, shift: int = 10000) -> Dat
         F.concat(F.col("text"), F.lit(" zq near dup tail")).alias("text"),
     )
     return base.unionByName(mut)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-run incremental dedup (r01 VERDICT item 5): commit the base
+    corpus's minhash signatures to a snapshot table, then dedup a NEW
+    increment (fresh docs + planted near-dups of committed docs) against
+    the stored signatures — history text is never re-read or re-shuffled
+    (plan-gated); survivors' signatures append-commit for the next run."""
+    import shutil
+    import tempfile
+
+    from artexin_spark import storage as sink_io
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") < 150) & (F.col("doc_id") % 10 == 0)
+    ).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" zq near dup tail")).alias("text"),
+    )
+    inc = (
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    sink = tempfile.mkdtemp(prefix="artexin_incdedup_")
+    try:
+        dd.commit_signatures(spark, hist, sink, run_id="base")
+        surv = dd.incremental_minhash_dedup(
+            spark, inc, sink, threshold=0.4, run_id="inc1", commit=True
+        )
+        n_snaps = sink_io.list_snapshots(spark, sink).count()
+        out = surv.select(
+            "doc_id", F.lit(n_snaps).cast("long").alias("n_commits")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 def q_lsh_pairs(spark, sf_dir):
@@ -1747,6 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read": q_incremental_read,
         "stats_skipping": q_stats_skipping,
         "merge_upsert": q_merge_upsert,
+        # New in r02 (need their first driver verdict):
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "incremental_dedup": q_incremental_dedup,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -2130,7 +2216,9 @@ r AS (SELECT query_id, neighbor_id,
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 """
 
-_ORACLES["embedding_near_dup"] = """
+_ORACLES["embedding_near_dup"] = None  # built lazily (planted-corpus replay)
+
+_ORACLES["embedding_near_dup_exact"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -2576,6 +2664,42 @@ SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM est WHERE je >= 0.4
 # same LSH pipeline as lsh_pairs, then an exact transitive closure over
 # the thresholded pair graph (recursive CTE) — cluster id = min reachable
 # doc_id, singletons cluster with themselves
+_ORACLES["incremental_dedup"] = f"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 150 AND doc_id < 250
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zq near dup tail' AS text
+  FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0
+),
+d AS (SELECT 'h' AS src, doc_id, text FROM hist
+      UNION ALL SELECT 'i', doc_id, text FROM inc),
+t AS (SELECT src, doc_id, {_SQL_SHINGLES} AS shs FROM d),
+e AS (SELECT src, doc_id,
+        CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) % 2147483647 AS hb
+      FROM t),
+p(seed, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+sig AS (SELECT e.src, e.doc_id, p.seed, min((p.a * e.hb + p.b) % 2147483647) AS mh
+        FROM e, p GROUP BY e.src, e.doc_id, p.seed),
+banded AS (SELECT src, doc_id, seed // 2 AS band_idx,
+                  string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+           FROM sig GROUP BY src, doc_id, seed // 2),
+pairs AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          WHERE a.src = 'i'
+            AND (b.src = 'h' OR (b.src = 'i' AND b.doc_id < a.doc_id))),
+est AS (SELECT id_new, id_old,
+               sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 AS je
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = id_new AND sa.src = 'i'
+        JOIN sig sb ON sb.doc_id = id_old AND sb.seed = sa.seed
+        GROUP BY id_new, id_old),
+dropped AS (SELECT DISTINCT id_new FROM est WHERE je >= 0.4)
+SELECT doc_id, CAST(2 AS BIGINT) AS n_commits
+FROM inc WHERE doc_id NOT IN (SELECT id_new FROM dropped)
+"""
+
 _ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE {_SQL_MUT_UNION},
 t AS (SELECT doc_id, {_SQL_SHINGLES} AS shs FROM d),
@@ -2868,4 +2992,5 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_audio"] = _multimodal_audio_expected_values_sql()
     out["multimodal_video"] = _multimodal_video_expected_values_sql()
     out["ann_lsh"] = _ann_lsh_oracle_sql()
+    out["embedding_near_dup"] = _embedding_near_dup_expected_values_sql()
     return out

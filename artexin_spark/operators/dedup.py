@@ -26,6 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 # Tokenization used by all text dedup ops — MUST stay in lockstep with the
@@ -594,6 +595,112 @@ def simhash_dedup(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+# --- cross-run incremental dedup ---------------------------------------------
+
+
+def commit_signatures(
+    spark,
+    df: DataFrame,
+    sig_sink: str,
+    run_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n: int = 3,
+    n_buckets: int = 16,
+) -> int:
+    """Compute minhash signatures for a corpus increment and append-commit
+    them to a signature snapshot table (the persistent dedup state a
+    continuous-ingest pipeline carries between runs). The table is tiny
+    relative to the corpus — k longs + id per document — so at 10^12 docs
+    it is the only state future increments ever reprocess."""
+    from .. import storage as sink_io
+
+    sigs = minhash_signatures(df, text_col, id_col, k, n).withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    )
+    sink_io.ensure_bucket_spec(sig_sink, n_buckets, bucket_cols=(id_col,))
+    sink_io.write_run_data(sigs, sig_sink, run_id)
+    return sink_io.commit_snapshot(spark, sig_sink, run_id, operation="append")
+
+
+def incremental_minhash_dedup(
+    spark,
+    increment: DataFrame,
+    sig_sink: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    run_id: str | None = None,
+    commit: bool = True,
+) -> DataFrame:
+    """Dedup a NEW increment against the already-committed corpus without
+    re-shuffling history (r01 VERDICT item 5): history participates via
+    its STORED signatures only — historical text is never re-read,
+    re-tokenized, or re-hashed; only the narrow (id, sig) table re-bands
+    (k longs/doc, a cheap map-side transform).
+
+    A document is dropped when its banded signature matches (estimated
+    jaccard >= threshold) ANY committed historical document or ANY
+    lower-id document of the same increment (the standard greedy
+    keep-first approximation — a doc whose only match was itself dropped
+    still drops, same one-pass semantics as curate()). Survivors'
+    signatures are append-committed (``commit=True``) so the next
+    increment dedups against them too. Returns the surviving rows."""
+    import uuid as _uuid
+
+    from .. import storage as sink_io
+
+    inc_sigs = minhash_signatures(increment, text_col, id_col, k, n)
+    hist = sink_io.read_snapshot(spark, sig_sink).select(F.col(id_col), "sig")
+    a = banded_sigs(inc_sigs, id_col, bands, max_bucket).alias("a")
+    b_hist = banded_sigs(hist, id_col, bands, max_bucket).withColumn(
+        "is_hist", F.lit(True)
+    )
+    b_inc = banded_sigs(inc_sigs, id_col, bands, max_bucket).withColumn(
+        "is_hist", F.lit(False)
+    )
+    b = b_hist.unionByName(b_inc).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("b.is_hist") | (F.col("b." + id_col) < F.col("a." + id_col))),
+    ).groupBy(
+        F.col("a." + id_col).alias("id_new"), F.col("b." + id_col).alias("id_old")
+    ).agg(
+        F.first(F.col("a.sig")).alias("sig_a"),
+        F.first(F.col("b.sig")).alias("sig_b"),
+        F.first("b.is_hist").alias("is_hist"),
+    )
+    eq = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    dropped = (
+        pairs.withColumn("je", eq / F.size("sig_a"))
+        .filter(F.col("je") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    survivors = increment.join(F.broadcast(dropped), id_col, "left_anti")
+    if commit:
+        commit_signatures(
+            spark,
+            survivors,
+            sig_sink,
+            run_id or ("inc-" + _uuid.uuid4().hex[:10]),
+            text_col,
+            id_col,
+            k,
+            n,
+        )
+    return survivors
+
+
 # --- embedding near-dup ------------------------------------------------------
 
 
@@ -603,9 +710,9 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. Brute-force pairwise (for the exact
-    baseline / oracle); at scale use similarity.lsh_ann buckets as the
-    candidate generator instead of the full cross join."""
+    """Pairs with cosine >= threshold. Brute-force pairwise — the EXACT
+    BASELINE/ORACLE path only (O(N²) all-pairs join): the gated scale
+    path is ``embedding_near_dup_lsh`` below (r01 VERDICT item 4)."""
     from .similarity import cosine_from_parts, dot_expr, norm_expr
 
     a = emb.select(
@@ -626,6 +733,96 @@ def embedding_near_dup(
             dot_expr("v_a", "v_b"), F.col("n_a"), F.col("n_b")
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: hyperplane-LSH candidate generation
+    + exact cosine verify — O(N·L) bucketing plus per-bucket equi-joins,
+    never the O(N²) cross join (``embedding_near_dup`` keeps that as the
+    exact oracle baseline).
+
+    Recall: a pair at cosine c collides in one table with prob
+    (1-acos(c)/π)^planes; tables are independent, so few planes × many
+    tables drives miss probability down exponentially — at the defaults a
+    c≥0.95 pair is missed with prob (1-0.899⁴)⁸ ≈ 2e-4, and the
+    deterministic md5 hyperplanes make any given corpus's outcome fixed
+    (the gate pins recall=1 on its planted corpus). Precision is exact:
+    every candidate is verified with the true cosine.
+
+    ``max_bucket`` drops storm buckets (near-zero vectors / boilerplate
+    embeddings that pile into one key) before the self-join, the same cap
+    the MinHash band join uses — candidate loss there only affects pairs
+    whose EVERY shared bucket stormed."""
+    from .similarity import buckets_udf, cosine_from_parts, dot_expr, norm_expr
+
+    sig = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(vec_col).alias("nrm"),
+        F.posexplode(buckets_udf(tables, planes, dim, seed)(F.col(vec_col))).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    if max_bucket:
+        counts = sig.groupBy("table_idx", "bucket").count()
+        sig = sig.join(
+            F.broadcast(counts.filter(F.col("count") > max_bucket)),
+            ["table_idx", "bucket"],
+            "left_anti",
+        )
+    a = sig.select(
+        "table_idx",
+        "bucket",
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = sig.select(
+        "table_idx",
+        "bucket",
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cand = (
+        a.join(b, ["table_idx", "bucket"])  # per-bucket equi-join, no cartesian
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may share several tables
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        cosine_from_parts(
+            dot_expr("v_a", "v_b"), F.col("n_a"), F.col("n_b")
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def gen_planted_vectors(
+    n: int = 150, dim: int = 32, n_dups: int = 25, seed: int = 5
+) -> list:
+    """Pure deterministic corpus with PLANTED near-duplicates: n gaussian
+    base vectors, plus n_dups perturbed copies (id n+j ≈ base j, cosine
+    ≈ 0.9987) — background pair cosines stay ≲0.7, so a 0.9 threshold
+    separates cleanly. Shared by the Spark query and the single-node
+    brute-force oracle replay."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for j in range(n_dups):
+        v = base[j] + 0.05 * rng.standard_normal(dim)
+        rows.append((n + j, v.tolist()))
+    return rows
 
 
 def paragraph_dedup(

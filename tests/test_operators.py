@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 from artexin_spark.operators import dedup, multimodal, similarity, textstats
 
 SF = "/root/testdata/sf0.001"
+import os as _os
+REPO_OPS = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -881,3 +883,136 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     assert zero == 0 and sure == set()
     full = weighted_sample(df, F.lit(1.0), scale=1.0).count()
     assert full == 2000  # weight 1 keeps everything
+
+
+# --- cross-run incremental dedup ---------------------------------------------
+
+
+def _ivocab(i, n_words=24):
+    # distinctive per-doc word sequences (shingle-rich, no overlap between docs)
+    return " ".join(f"w{i}x{j} term{(i * 7 + j) % 9973}" for j in range(n_words))
+
+
+def test_incremental_dedup_across_commits(spark, tmp_path):
+    """Three-run chain: base commit → increment 1 (dups of base dropped,
+    fresh kept, survivors committed) → increment 2 (dups of increment 1's
+    SURVIVORS also dropped — proves the committed-state chain works, not
+    just a single snapshot)."""
+    sink = str(tmp_path / "sigs")
+    base = spark.createDataFrame(
+        [(i, _ivocab(i)) for i in range(40)], "doc_id long, text string"
+    )
+    dedup.commit_signatures(spark, base, sink, run_id="base")
+
+    inc1 = spark.createDataFrame(
+        # 10 fresh + 5 near-copies of base docs 0..4 + 1 near-copy of a
+        # lower-id fresh doc WITHIN the increment
+        [(100 + i, _ivocab(100 + i)) for i in range(10)]
+        + [(200 + i, _ivocab(i) + " tail") for i in range(5)]
+        + [(300, _ivocab(100) + " tail")],
+        "doc_id long, text string",
+    )
+    surv1 = dedup.incremental_minhash_dedup(
+        spark, inc1, sink, threshold=0.4, run_id="inc1"
+    )
+    ids1 = {r[0] for r in surv1.select("doc_id").collect()}
+    assert ids1 == {100 + i for i in range(10)}  # fresh kept, all dups dropped
+
+    inc2 = spark.createDataFrame(
+        # near-copies of inc1 SURVIVORS (cross-commit, two hops back is
+        # base — also checked via 401) + fresh
+        [(400, _ivocab(105) + " tail"), (401, _ivocab(3) + " tail"),
+         (500, _ivocab(500))],
+        "doc_id long, text string",
+    )
+    surv2 = dedup.incremental_minhash_dedup(
+        spark, inc2, sink, threshold=0.4, run_id="inc2"
+    )
+    assert {r[0] for r in surv2.select("doc_id").collect()} == {500}
+
+    # committed state: three snapshots, signatures for base+surv1+surv2
+    from artexin_spark import storage as sink_io
+
+    assert sink_io.list_snapshots(spark, sink).count() == 3
+    assert sink_io.read_snapshot(spark, sink).count() == 40 + 10 + 1
+
+
+def test_incremental_dedup_never_rereads_history_text(spark, tmp_path):
+    """The 100 TB contract: history contributes STORED signatures only —
+    every parquet scan in the survivors plan reads (doc_id, sig), never a
+    text column; the only text processing is the increment's own."""
+    sink = str(tmp_path / "sigs")
+    base = spark.createDataFrame(
+        [(i, _ivocab(i)) for i in range(20)], "doc_id long, text string"
+    )
+    dedup.commit_signatures(spark, base, sink, run_id="base")
+    inc = spark.createDataFrame(
+        [(100, _ivocab(100)), (101, _ivocab(1) + " tail")],
+        "doc_id long, text string",
+    )
+    surv = dedup.incremental_minhash_dedup(
+        spark, inc, sink, threshold=0.4, commit=False
+    )
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas, plan  # history IS read from parquet
+    for s in schemas:
+        assert "sig" in s and "text" not in s, s
+    assert {r[0] for r in surv.select("doc_id").collect()} == {100}
+
+
+def test_incremental_dedup_two_jvm(tmp_path):
+    """Two fresh interpreter/JVM pairs share only the signature sink on
+    disk: process 1 commits the base corpus, process 2 dedups an
+    increment against it — the persisted snapshot state alone carries the
+    dedup contract across runs (the hourly-ingest shape)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    sink = str(tmp_path / "sigs")
+    common = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, %r)
+        from artexin_spark.session import get_spark
+        from artexin_spark.operators import dedup
+        def vocab(i):
+            return " ".join(
+                "w%%dx%%d term%%d" %% (i, j, (i * 7 + j) %% 9973)
+                for j in range(24)
+            )
+        spark = get_spark("twojvm", cpus=4)
+        """
+        % (REPO_OPS,)
+    )
+    p1 = common + textwrap.dedent(
+        """
+        base = spark.createDataFrame(
+            [(i, vocab(i)) for i in range(30)], "doc_id long, text string")
+        dedup.commit_signatures(spark, base, %r, run_id="base")
+        print("COMMITTED")
+        """
+        % (sink,)
+    )
+    p2 = common + textwrap.dedent(
+        """
+        inc = spark.createDataFrame(
+            [(100, vocab(100)), (101, vocab(2) + " tail")],
+            "doc_id long, text string")
+        surv = dedup.incremental_minhash_dedup(
+            spark, inc, %r, threshold=0.4, run_id="inc1")
+        print("SURVIVORS", sorted(r[0] for r in surv.select("doc_id").collect()))
+        """
+        % (sink,)
+    )
+    for script, marker in ((p1, "COMMITTED"), (p2, "SURVIVORS [100]")):
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=420,
+            env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert marker in proc.stdout, proc.stdout
