@@ -1006,6 +1006,72 @@ def _mutated_union(docs: DataFrame, limit: int = 150, shift: int = 10000) -> Dat
     return base.unionByName(mut)
 
 
+def _synth_url():
+    """Deterministic per-doc URL over 20 domains × 2 TLDs, ~1/3 www-
+    prefixed — mirrored verbatim in the DuckDB oracles."""
+    return F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+_SQL_SYNTH_URL = (
+    "'http://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || 'd' || "
+    "(doc_id % 20) || '.example.' || CASE WHEN doc_id % 2 = 0 THEN 'com' "
+    "ELSE 'org' END || '/p/' || doc_id"
+)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus audit (r01 VERDICT item 8): host extraction +
+    one hash agg — docs, total/avg chars per domain (the reference's
+    pack.py:196-198 domain field, corpus-level)."""
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    return ts.domain_stats(docs)
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist curation with parent-domain suffix matching: blocking
+    d3.example.org also drops www.d3.example.org; a www-specific entry
+    drops only that host. Literal-list path = scan-side projection,
+    zero shuffle (plan-gated)."""
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    out = ts.blocklist_filter(
+        docs, ["d3.example.org", "d4.example.com", "www.d1.example.org"]
+    )
+    return out.select("doc_id", ts.url_host("url").alias("domain"))
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup at 20-token granularity over a corpus with
+    PLANTED cross-doc shared prefixes (30 tokens of a source doc + a
+    distinct tail): the copies' overlapping windows flag and merge into
+    maximal [start_tok, end_tok) spans; the first (lowest-id) occurrence
+    of each run is kept."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    toks = dd.tokens_col("text")
+    planted = (
+        docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 7 == 0))
+        .select(
+            (F.col("doc_id") + 30000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice(toks, 1, 30), " "),
+                F.lit(" planted unique tail marker "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    return dd.substring_dedup_spans(corpus, window=20)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Cross-run incremental dedup (r01 VERDICT item 5): commit the base
     corpus's minhash signatures to a snapshot table, then dedup a NEW
@@ -1831,8 +1897,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_skipping": q_stats_skipping,
         "merge_upsert": q_merge_upsert,
         # New in r02 (need their first driver verdict):
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "incremental_dedup": q_incremental_dedup,
+        "substring_dedup": q_substring_dedup,
+        "domain_stats": q_domain_stats,
+        "blocklist_filter": q_blocklist_filter,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -1863,7 +1933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -2664,6 +2733,66 @@ SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM est WHERE je >= 0.4
 # same LSH pipeline as lsh_pairs, then an exact transitive closure over
 # the thresholded pair graph (recursive CTE) — cluster id = min reachable
 # doc_id, singletons cluster with themselves
+_ORACLES["domain_stats"] = f"""
+WITH d AS (SELECT doc_id, text, {_SQL_SYNTH_URL} AS url FROM documents),
+h AS (SELECT lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain,
+        length(coalesce(text, '')) AS n
+      FROM d)
+SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_chars,
+       round(AVG(n), 6) AS avg_chars
+FROM h GROUP BY domain
+"""
+
+_ORACLES["blocklist_filter"] = f"""
+WITH d AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+h AS (SELECT doc_id, lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain
+      FROM d),
+s AS (SELECT doc_id, domain, string_split(domain, '.') AS parts FROM h),
+x AS (SELECT doc_id, domain,
+        list_transform(generate_series(1, len(parts) - 1),
+                       i -> array_to_string(parts[i:len(parts)], '.')) AS sfx
+      FROM s)
+SELECT doc_id, domain FROM x
+WHERE NOT list_has_any(sfx,
+      ['d3.example.org', 'd4.example.com', 'www.d1.example.org'])
+"""
+
+_ORACLES["substring_dedup"] = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+src AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        WHERE doc_id < 100 AND doc_id % 7 = 0),
+planted AS (SELECT doc_id + 30000 AS doc_id,
+                   array_to_string(toks[1:30], ' ')
+                   || ' planted unique tail marker ' || doc_id AS text
+            FROM src),
+d AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM d),
+w AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+19], ' ')) AS wh
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 20 + 1)) AS g(i)
+      WHERE len(toks) >= 20),
+f AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY wh) AS df
+      FROM w),
+fl AS (SELECT doc_id, pos, pos + 20 AS e FROM f
+       WHERE rn > 1 AND df <= 10000),
+isl AS (SELECT doc_id, pos, e,
+          CASE WHEN pos > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS ni
+        FROM fl),
+isl2 AS (SELECT doc_id, pos, e,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
+       CAST(max(e) AS INTEGER) AS end_tok
+FROM isl2 GROUP BY doc_id, island
+"""
+
 _ORACLES["incremental_dedup"] = f"""
 WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
 inc AS (

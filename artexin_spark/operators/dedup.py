@@ -595,6 +595,78 @@ def simhash_dedup(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+# --- exact substring dedup (Lee et al. 2021) ---------------------------------
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    max_df: int | None = 10000,
+) -> DataFrame:
+    """Maximal duplicated-substring spans at ``window``-token granularity
+    — the bucketed token-window approximation of Lee et al. 2021's
+    suffix-array exact-substring operator ("Deduplicating Training Data
+    Makes Language Models Better", 50-token threshold), r01 VERDICT
+    item 6.
+
+    Every ``window``-token window hashes; a window hash occurring more
+    than once corpus-wide is duplicate material. The FIRST occurrence
+    (lowest (doc_id, pos)) of each hash is kept; every other occurrence
+    flags, and a doc's flagged windows merge into maximal token spans
+    ``[start_tok, end_tok)`` — the ranges a cleaning pass would cut.
+    A duplicated run of L >= window tokens produces aligned matching
+    windows at every offset, so it is always detected (the paper's
+    threshold semantics); runs shorter than ``window`` never flag.
+
+    Scale shape: ONE explode to |corpus tokens| rows of (hash, doc, pos)
+    — linear, like the minhash shingle explode — then an equi-join back
+    on the hash (first-occurrence filter) and per-doc window merges.
+    No pairwise doc joins anywhere. ``max_df`` drops boilerplate hashes
+    (licence headers at 10^7 df) before the join, same cap as the
+    shingle paths. md5 keeps the oracle cross-engine; production would
+    swap a 64-bit binary rolling hash (Karp-Rabin) at this seam."""
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    win_hashes = F.when(
+        F.size("_toks") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - window),
+            lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = toks.select(
+        F.col(id_col), F.posexplode(win_hashes).alias("pos", "wh")
+    )
+    grp = occ.groupBy("wh").agg(
+        F.count("*").alias("df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    )
+    dup_hashes = grp.filter(F.col("df") >= 2)
+    if max_df:
+        dup_hashes = dup_hashes.filter(F.col("df") <= max_df)
+    flagged = (
+        occ.join(dup_hashes, "wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("first." + id_col))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = flagged.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("start_tok"), F.max("end").alias("end_tok")
+    ).select(id_col, "start_tok", "end_tok")
+
+
 # --- cross-run incremental dedup ---------------------------------------------
 
 

@@ -263,3 +263,73 @@ def repetition_stats(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+# --- domain-level curation (r01 VERDICT item 8) ------------------------------
+# The reference extracts a per-page domain at packaging time
+# (artexin/pack.py:196-198: urlparse(url).netloc into the meta dict);
+# generalized here to corpus-level operators: per-domain aggregation
+# stats and blocklist filtering with parent-domain (suffix) matching.
+
+
+def url_host(url_col):
+    """Lowercased host from an absolute URL — native regexp (mirrors the
+    reference's urlparse().netloc), userinfo and port stripped."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def domain_suffixes(host_col):
+    """All parent-domain suffixes with >= 2 labels: a.b.example.com →
+    [a.b.example.com, b.example.com, example.com]. Bounded fan-out (label
+    count), the scalable substitute for an endswith theta-join."""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    parts = F.split(c, r"\.")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 2),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus stats (docs, chars) — ONE hash aggregation on
+    the extracted host, partial map-side; the standard pre-curation
+    audit table (which domains dominate the corpus)."""
+    return (
+        df.select(
+            url_host(url_col).alias("domain"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_n"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_chars"),
+            F.round(F.avg("_n"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def blocklist_filter(df: DataFrame, blocked, url_col: str = "url") -> DataFrame:
+    """Drop rows whose host or ANY parent domain is blocklisted.
+
+    ``blocked`` as a Python list (the common case — blocklists are
+    10^3-10^5 entries) compiles to a scan-side ``arrays_overlap`` against
+    a literal array: pure projection, ZERO shuffle, pushdown-friendly.
+    ``blocked`` as a DataFrame (column ``domain``) broadcast-anti-joins
+    the exploded suffix chain — the path for blocklists too big to
+    inline."""
+    sfx = domain_suffixes(url_host(url_col))
+    if isinstance(blocked, DataFrame):
+        hit = (
+            df.select(F.col(url_col), F.explode(sfx).alias("domain"))
+            .join(F.broadcast(blocked.select(F.lower("domain").alias("domain"))), "domain", "left_semi")
+            .select(url_col)
+            .distinct()
+        )
+        return df.join(hit, url_col, "left_anti").select(*df.columns)
+    lit_blocked = F.array(*[F.lit(str(b).lower()) for b in blocked])
+    return df.filter(~F.arrays_overlap(sfx, lit_blocked))

@@ -1016,3 +1016,93 @@ def test_incremental_dedup_two_jvm(tmp_path):
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         assert marker in proc.stdout, proc.stdout
+
+
+def test_substring_dedup_planted_overlap_spans(spark):
+    """A 30-token run copied into a later doc flags exactly the copy's
+    [0, 30) span (keep-first); disjoint duplicated runs yield separate
+    maximal spans; sub-window overlaps never flag."""
+    words = lambda a, b: " ".join(f"tok{i}" for i in range(a, b))
+    rows = [
+        (1, words(0, 60)),                      # source
+        (2, words(100, 160)),                   # unrelated
+        (3, words(0, 30) + " " + words(500, 530)),   # copies source[0:30)
+        (4, words(10, 25) + " " + words(900, 950)),  # 15-tok overlap: below window
+        (5, words(0, 25) + " mid " + words(30, 60)),  # two disjoint runs vs doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in dedup.substring_dedup_spans(df, window=20).collect()
+    }
+    assert (3, 0, 30) in spans
+    assert not any(d == 4 for d, _, _ in spans)  # 15 < window never flags
+    doc5 = sorted((s, e) for d, s, e in spans if d == 5)
+    assert doc5 == [(0, 25), (26, 56)]  # two maximal islands, not one merged
+    assert not any(d in (1, 2) for d, _, _ in spans)  # first occurrences kept
+
+
+def test_substring_dedup_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.substring_dedup_spans(df, window=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan  # all native
+
+
+def test_domain_ops_suffix_matching(spark):
+    """Parent-domain blocking semantics + DataFrame-blocklist parity with
+    the literal-list path."""
+    rows = [
+        (1, "http://www.d3.example.org/x"),   # blocked via parent d3.example.org
+        (2, "http://d3.example.org/y"),       # blocked exactly
+        (3, "http://d3.example.com/z"),       # different TLD: kept
+        (4, "http://a.b.d3.example.org/w"),   # deep subdomain: blocked
+        (5, "https://user:pw@D3.EXAMPLE.ORG:8080/q"),  # userinfo+port+case
+        (6, "http://example.org/plain"),      # parent of blocked: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["d3.example.org"]
+    kept = {r[0] for r in textstats.blocklist_filter(df, blocked).collect()}
+    assert kept == {3, 6}
+    bl_df = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    kept2 = {r[0] for r in textstats.blocklist_filter(df, bl_df).collect()}
+    assert kept2 == kept  # both paths agree
+
+
+def test_salted_join_spreads_duplicate_hot_rows(spark):
+    """Byte-identical duplicates of a hot key (the common skew shape)
+    must spread over many salts — the per-row disambiguator, not the row
+    content, drives the salt. Also: a pre-existing _salt column is
+    rejected instead of silently clobbered."""
+    from artexin_spark.operators.joins import salted_join
+
+    fact = spark.range(4000).selectExpr("cast(1 as int) k", "cast(7 as long) v")
+    dim = spark.createDataFrame([(1, 10)], "k int, d long")
+    n_salt = 16
+    salts = (
+        fact.withColumn(
+            "_s",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id(), "k", "v"),
+                F.lit(n_salt),
+            ),
+        )
+        .groupBy("_s")
+        .count()
+    )
+    sizes = [r["count"] for r in salts.collect()]
+    assert len(sizes) >= n_salt - 2  # identical rows land on many salts
+    assert max(sizes) < 4000  # never one reducer
+    out = salted_join(fact, dim, ["k"], n_salt=n_salt)
+    assert out.count() == 4000  # join semantics intact under duplication
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(fact.withColumn("_salt", F.lit(1)), dim, ["k"])

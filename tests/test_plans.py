@@ -305,3 +305,15 @@ def test_salted_join_shuffles_on_salt(spark):
         assert "BroadcastHashJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_blocklist_filter_is_pure_projection(spark):
+    """Literal blocklists must compile to a scan-side arrays_overlap
+    filter: no join, no exchange — the curation gate costs nothing extra
+    at 100 TB."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_blocklist_filter(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

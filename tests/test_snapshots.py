@@ -671,3 +671,39 @@ def test_append_commit_multi_run_buckets_and_merge_normalizes(spark, tmp_path):
     live2 = {r["id"]: r["val"] for r in sink_io.read_snapshot(spark, sink).collect()}
     assert len(live2) == 14
     assert live2[0] == "m" and live2[2] == "a" and live2[100] == "b"
+
+
+def test_read_incremental_rejects_inverted_range(spark, tmp_path):
+    """since > to must raise like the other validation paths — a silently
+    empty delta reads as 'nothing changed'."""
+    import pytest as _pytest
+
+    from artexin_spark import storage as sink_io
+    from artexin_spark.pipeline import run_extract
+    from artexin_spark.corpus import gen_transcripts
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(gen_transcripts(n_convs=4, seed=3, with_source=True))
+    run_extract(spark, df.filter("turn_idx < 2"), sink, n_buckets=4, snapshot=True)
+    run_extract(spark, df, sink, n_buckets=4, snapshot=True)
+    with _pytest.raises(ValueError, match="inverted incremental range"):
+        sink_io.read_incremental(spark, sink, since_snapshot_id=2, to_snapshot_id=1)
+
+
+def _spec_race_worker(sink):
+    from artexin_spark.storage import ensure_bucket_spec
+
+    return ensure_bucket_spec(sink, 8)["n_buckets"]
+
+
+def test_bucket_spec_publish_is_atomic(tmp_path):
+    """Concurrent first-writers: exactly one pins the spec, losers always
+    read a COMPLETE file (the link(2) publish can't expose partial JSON)."""
+    import multiprocessing as mp
+    import os
+
+    sink = str(tmp_path / "race_sink")
+    with mp.Pool(8) as pool:
+        results = pool.map(_spec_race_worker, [sink] * 16)
+    assert results == [8] * 16
+    assert not [f for f in os.listdir(sink) if ".tmp." in f]  # no litter
