@@ -1072,6 +1072,92 @@ def q_substring_dedup(spark, sf_dir):
     return dd.substring_dedup_spans(corpus, window=20)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher pre-training filter stack (Rae et al. 2021 App. A) as
+    one native projection — features + composite pass flag, zero shuffle."""
+    return ts.gopher_quality(_docs(spark, sf_dir))
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL keep-first dedup over deliberately messy synthetic
+    URLs (case, default ports, fragments, trailing slashes): variants
+    collapse to one canonical key, one hash agg."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 1, F.lit("https")).otherwise(F.lit("http"))
+    scheme = F.when(d % 7 == 0, F.upper(scheme)).otherwise(scheme)
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("SITE")).otherwise(F.lit("site")),
+        (d % 25).cast("string"),
+        F.lit(".example.com"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 40).cast("string"),
+        F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    frag = F.when(
+        d % 5 == 0, F.concat(F.lit("#sec"), d.cast("string"))
+    ).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, path, frag)
+    return dd.url_dedup(docs.withColumn("url", url))
+
+
+def q_substring_apply(spark, sf_dir):
+    """The removal half of the Lee et al. substring operator: flagged
+    spans cut out of each doc, survivors rejoined — gated on the cleaned
+    text's md5 so the whole spans→tokens→rebuild path is value-checked."""
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    toks = dd.tokens_col("text")
+    planted = (
+        docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 7 == 0))
+        .select(
+            (F.col("doc_id") + 30000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice(toks, 1, 30), " "),
+                F.lit(" planted unique tail marker "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    spans = dd.substring_dedup_spans(corpus, window=20)
+    out = dd.substring_dedup_apply(corpus, spans)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+    )
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """The full user story in ONE composed frame (extract → score →
+    gate → dedup): vectorized HTML extraction over transcript payloads
+    (with planted duplicate conversations), native quality scoring of
+    the EXTRACTED text, a quality threshold, and exact-dedup keep-first
+    on extracted content — proving the Python extraction stage and the
+    native operator stack compose into one Catalyst plan with a single
+    Arrow crossing."""
+    from artexin_spark.udfs import with_extraction
+
+    tr = _transcripts_from_docs(spark, sf_dir)
+    dup = _transcripts_from_docs(spark, sf_dir).filter(
+        F.col("conv_id").cast("int") < 50
+    ).withColumn("conv_id", (F.col("conv_id").cast("int") + 100000).cast("string"))
+    ex = with_extraction(tr.unionByName(dup), text_col="text")
+    kept = ex.filter(F.col("error").isNull()).select(
+        "conv_id", F.col("extracted_text")
+    )
+    scored = kept.withColumn("quality", ts.quality_expr("extracted_text"))
+    gated = scored.filter(F.col("quality") >= 0.5)
+    ded = dd.exact_dedup(gated, text_col="extracted_text", id_col="conv_id")
+    return ded.select("content_key", "conv_id", F.col("group_size").cast("long").alias("group_size"))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Cross-run incremental dedup (r01 VERDICT item 5): commit the base
     corpus's minhash signatures to a snapshot table, then dedup a NEW
@@ -1903,6 +1989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "domain_stats": q_domain_stats,
         "blocklist_filter": q_blocklist_filter,
+        "gopher_quality": q_gopher_quality,
+        "url_dedup": q_url_dedup,
+        "substring_apply": q_substring_apply,
+        "pipeline_e2e": q_pipeline_e2e,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -2733,6 +2823,121 @@ SELECT id_a, id_b, round(je, 6) AS jaccard_est FROM est WHERE je >= 0.4
 # same LSH pipeline as lsh_pairs, then an exact transitive closure over
 # the thresholded pair graph (recursive CTE) — cluster id = min reachable
 # doc_id, singletons cluster with themselves
+_ORACLES["gopher_quality"] = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+    text
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    greatest(len(words), 1) AS n1,
+    greatest(len(lines), 1) AS nl,
+    round(list_sum(list_transform(words, x -> length(x))) * 1.0
+          / greatest(len(words), 1), 6) AS mean_word_len,
+    round((length(text) - length(regexp_replace(text, '[#…]', '', 'g'))) * 1.0
+          / greatest(len(words), 1), 6) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+          / greatest(len(lines), 1), 6) AS bullet_frac,
+    round(len(list_filter(lines, l -> regexp_matches(rtrim(l),
+          '(\\.\\.\\.|…)$'))) * 1.0 / greatest(len(lines), 1), 6) AS ellipsis_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+          / greatest(len(words), 1), 6) AS alpha_frac,
+    len(list_intersect(list_transform(words, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+       symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+       CAST(stop_hits AS INTEGER) AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND stop_hits >= 2) AS passes
+FROM f
+"""
+
+_ORACLES["url_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0
+          THEN upper(CASE WHEN doc_id % 2 = 1 THEN 'https' ELSE 'http' END)
+          ELSE CASE WHEN doc_id % 2 = 1 THEN 'https' ELSE 'http' END END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'SITE' ELSE 'site' END)
+    || (doc_id % 25) || '.example.com'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+    || '/p/' || (doc_id % 40)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    regexp_replace(url, '#.*$', '') AS u
+  FROM d),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[^:/]+://([^/?#]+)', 1)) AS host0,
+    regexp_extract(u, '^[^:/]+://[^/?#]*(.*)$', 1) AS rest0
+  FROM c),
+canon AS (
+  SELECT doc_id,
+    scheme || '://'
+    || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END)
+    || (CASE WHEN rest1 = '' THEN '/'
+             WHEN length(rest1) > 1 AND rest1 NOT LIKE '%?%'
+                  AND rest1 LIKE '%/'
+             THEN regexp_replace(rest1, '/$', '')
+             ELSE rest1 END) AS canonical_url
+  FROM (SELECT doc_id, scheme, host0,
+               CASE WHEN rest0 = '' THEN '' ELSE rest0 END AS rest1
+        FROM parts))
+SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       count(*) AS n_dups
+FROM canon GROUP BY canonical_url
+"""
+
+_ORACLES["substring_apply"] = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+src AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        WHERE doc_id < 100 AND doc_id % 7 = 0),
+planted AS (SELECT doc_id + 30000 AS doc_id,
+                   array_to_string(toks[1:30], ' ')
+                   || ' planted unique tail marker ' || doc_id AS text
+            FROM src),
+d AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM d),
+w AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+19], ' ')) AS wh
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 20 + 1)) AS g(i)
+      WHERE len(toks) >= 20),
+f AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY wh) AS df
+      FROM w),
+cutpos AS (SELECT DISTINCT doc_id, u.p AS pos
+           FROM f, LATERAL unnest(generate_series(f.pos, f.pos + 19)) AS u(p)
+           WHERE rn > 1 AND df <= 10000),
+alltok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+           FROM t, LATERAL unnest(generate_series(1, len(toks))) AS g(i)),
+kept AS (SELECT a.doc_id, a.pos, a.tok FROM alltok a
+         LEFT JOIN cutpos c ON a.doc_id = c.doc_id AND a.pos = c.pos
+         WHERE c.doc_id IS NULL),
+rebuilt AS (SELECT doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS cleaned,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id, md5(coalesce(r.cleaned, '')) AS cleaned_md5,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
 _ORACLES["domain_stats"] = f"""
 WITH d AS (SELECT doc_id, text, {_SQL_SYNTH_URL} AS url FROM documents),
 h AS (SELECT lower(regexp_extract(url,
@@ -2792,6 +2997,37 @@ SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
        CAST(max(e) AS INTEGER) AS end_tok
 FROM isl2 GROUP BY doc_id, island
 """
+
+_ORACLES["pipeline_e2e"] = f'''
+WITH uni AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS VARCHAR), text FROM documents WHERE doc_id < 50
+),
+ex AS (SELECT conv_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+       FROM uni),
+t AS (SELECT conv_id, text, {_SQL_TOKS} AS toks FROM ex),
+f AS (SELECT conv_id, text,
+  len(toks) AS n_words,
+  list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks),1)::DOUBLE AS mean_word_len,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text),1)::DOUBLE AS punct_ratio,
+  length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text),1)::DOUBLE AS upper_ratio,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text),1)::DOUBLE AS digit_ratio
+  FROM t),
+q AS (SELECT conv_id, text,
+  round(
+    (CASE WHEN n_words >= 10 THEN 0.25 ELSE n_words / 40.0 END)
+    + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END)
+    + least(punct_ratio * 5, 0.25)
+    + (CASE WHEN upper_ratio < 0.3 AND digit_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+  , 6) AS quality
+  FROM f)
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+       min(conv_id) AS conv_id,
+       count(*) AS group_size
+FROM q WHERE quality >= 0.5
+GROUP BY 1
+'''
 
 _ORACLES["incremental_dedup"] = f"""
 WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),

@@ -1005,3 +1005,86 @@ def entity_blocking_pairs(
         .agg(F.count("*").alias("cbs"))
         .filter(F.col("cbs") >= min_cbs)
     )
+
+
+def substring_dedup_apply(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ``substring_dedup_spans`` output: drop every token position
+    covered by a flagged span, rejoin survivors with single spaces — the
+    removal half of the Lee et al. operator (dedup at the SUBSTRING
+    level, the document survives minus its duplicated runs).
+
+    Linear shape: tokens and span positions each explode once, one equi
+    anti-join on (id, pos), one ordered re-aggregation per doc. Docs
+    without spans pass through; a doc whose every token is flagged
+    yields an empty string (never a dropped row)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    )
+    cut = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("start_tok"), F.col("end_tok") - 1)
+        ).alias("pos"),
+    )
+    kept = toks.join(cut, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_tokens_kept"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        )
+    )
+
+
+def canonical_url_expr(url_col: str = "url"):
+    """Native URL canonicalization expression: lowercase scheme and host,
+    strip fragment, strip default ports (http:80 / https:443), empty
+    path → '/', single trailing slash stripped on non-root query-free
+    paths. Mirrored verbatim in the DuckDB oracle."""
+    u = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host0 = F.lower(F.regexp_extract(u, r"^[^:/]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(host0)
+    )
+    rest0 = F.regexp_extract(u, r"^[^:/]+://[^/?#]*(.*)$", 1)
+    rest1 = F.when(rest0 == "", F.lit("/")).otherwise(rest0)
+    rest = F.when(
+        (F.length(rest1) > 1) & ~rest1.contains("?") & rest1.endswith("/"),
+        F.regexp_replace(rest1, r"/$", ""),
+    ).otherwise(rest1)
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL keep-first dedup (the crawl-frontier operator): one
+    projection + ONE hash aggregation keeping the lowest id per canonical
+    URL — no window sort, no join. The full RFC path algebra ('..'
+    resolution etc.) lives in urlx (artexin/urlutils.py parity); this is
+    its corpus-scale column-native counterpart."""
+    return (
+        df.select(canonical_url_expr(url_col).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )

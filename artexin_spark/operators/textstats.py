@@ -333,3 +333,74 @@ def blocklist_filter(df: DataFrame, blocked, url_col: str = "url") -> DataFrame:
         return df.join(hit, url_col, "left_anti").select(*df.columns)
     lit_blocked = F.array(*[F.lit(str(b).lower()) for b in blocked])
     return df.filter(~F.arrays_overlap(sfx, lit_blocked))
+
+
+# --- Gopher quality rules (Rae et al. 2021, Appendix A) ----------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher document-quality heuristics as ONE native projection
+    (no shuffle, no Python): word count bounds, mean word length bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, and a stop-word floor — the standard web-scale pre-training
+    filter stack ("Scaling Language Models: ... Gopher", Rae et al. 2021
+    Appendix A). Emits each feature plus the composite ``passes`` flag so
+    curation can tune thresholds without recomputing features."""
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n1 = F.greatest(n_words, F.lit(1))
+    word_lens = F.transform(words, lambda w: F.length(w))
+    mean_wl = F.aggregate(word_lens, F.lit(0), lambda a, x: a + x) / n1
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike(r"[a-zA-Z]"))) / n1
+    )
+    symbol_ratio = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))
+    ) / n1
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes)

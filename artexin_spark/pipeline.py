@@ -260,6 +260,7 @@ def run_extract(
     resume: bool = False,
     run_id: str | None = None,
     snapshot: bool = False,
+    repartition: bool = True,
 ) -> dict:
     """Full job: extract ``df`` into ``sink`` with lineage; with
     ``resume=True`` skip buckets whose latest lineage row is ok. With
@@ -299,7 +300,15 @@ def run_extract(
     # set. The r01 driver bench priced those at ~45% over pure compute
     # (q_extract_write 23.3s vs q_extract 12.75s).
     acc = spark.sparkContext.accumulator({}, _LineageAccumParam())
-    out = _extract_prepared(prepared, n_buckets, acc=acc)
+    # repartition=False is the SOURCE-BUCKETED fast path: when the input's
+    # file layout already aligns with the sink's bucket key (e.g. reading
+    # back a sink of the same spec, or an Iceberg write-distribution
+    # upstream), the payload shuffle — measured ~50% over pure compute on
+    # multi-KB text rows — is pure waste. Caller asserts alignment; a
+    # misaligned input still writes CORRECT data (part_key is computed
+    # per row either way), it just fans each task out over many bucket
+    # files — compact_snapshot normalizes that later.
+    out = _extract_prepared(prepared, n_buckets, acc=acc, repartition=repartition)
     # n_chars_out rides along in the sink as a narrow column — a few
     # bytes/row buying stats-skipping and measured per-bucket skew evidence
     out = out.withColumn(

@@ -52,4 +52,19 @@ def get_spark(app_name: str = "artexin-spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    # local-mode shuffle/spill on tmpfs when RAM allows: the bucket
+    # repartition moves multi-GB of text through spark.local.dir, and a
+    # slow /tmp (overlayfs) taxes it. A real cluster sets its own SSD
+    # local dirs — this only affects single-host runs. Opt out with
+    # SPARK_LOCAL_DIR (takes precedence verbatim).
+    local_dir = os.environ.get("SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 16 << 30:
+                local_dir = "/dev/shm/artexin-spark-local"
+        except OSError:
+            pass
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

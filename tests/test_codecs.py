@@ -241,3 +241,14 @@ def test_png_roundtrip_property(data):
     px = rng.integers(0, 256, size=shape, dtype=np.uint8)
     ft = data.draw(st.integers(0, 4))
     assert np.array_equal(C.decode_png(C.encode_png(px, filter_type=ft)), px)
+
+
+def test_sniffed_formats_resolve_via_reference_extension_map():
+    """Format names produced by the codec sniffing must resolve through
+    the reference's IEXTENSIONS map (fetch.py:34-50) — the sniff and the
+    asset-naming layer speak the same vocabulary."""
+    from artexin_spark.urlx import IEXTENSIONS
+
+    for fmt in ("PNG", "BMP", "GIF", "JPEG"):
+        assert fmt in IEXTENSIONS
+        assert IEXTENSIONS[fmt] == C.EXTENSIONS[fmt]

@@ -1106,3 +1106,52 @@ def test_salted_join_spreads_duplicate_hot_rows(spark):
 
     with _pytest.raises(ValueError, match="_salt"):
         salted_join(fact.withColumn("_salt", F.lit(1)), dim, ["k"])
+
+
+def test_gopher_quality_rules(spark):
+    rows = [
+        (1, " ".join(["the quick brown fox jumps over lazy dogs daily and"] * 6)),
+        (2, "short"),                                  # word-count floor
+        (3, "\n".join(["- bullet point here"] * 10)),  # bullet-heavy
+        (4, " ".join(["#### #### ####"] * 30)),        # symbol storm, no alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.gopher_quality(df).collect()}
+    assert out[1].passes and out[1].n_words == 60 and out[1].stop_hits >= 2
+    assert not out[2].passes            # 1 word
+    assert not out[3].passes            # bullet_frac 1.0 > 0.9 (and n_words)
+    assert not out[4].passes and out[4].alpha_frac == 0.0
+    plan = textstats.gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_url_dedup_canonicalization(spark):
+    rows = [
+        (1, "http://Example.com:80/a/"),
+        (2, "HTTP://example.com/a#frag"),
+        (3, "http://example.com/a"),
+        (4, "https://example.com:443/a"),   # different scheme: distinct
+        (5, "http://example.com/a?x=1/"),   # query: trailing slash kept
+        (6, "http://example.com"),          # empty path -> /
+        (7, "http://example.com/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.canonical_url: (r.doc_id, r.n_dups) for r in dedup.url_dedup(df).collect()}
+    assert out["http://example.com/a"] == (1, 3)
+    assert out["https://example.com/a"] == (4, 1)
+    assert out["http://example.com/a?x=1/"] == (5, 1)
+    assert out["http://example.com/"] == (6, 2)
+
+
+def test_substring_apply_cuts_planted_run(spark):
+    words = lambda a, b: " ".join(f"tok{i}" for i in range(a, b))
+    rows = [
+        (1, words(0, 60)),
+        (2, words(0, 30) + " " + words(500, 530)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.substring_dedup_spans(df, window=20)
+    out = {r.doc_id: r for r in dedup.substring_dedup_apply(df, spans).collect()}
+    assert out[1].cleaned_text == words(0, 60).lower()   # first occurrence intact
+    assert out[2].cleaned_text == words(500, 530).lower()  # dup run removed
+    assert out[2].n_tokens_kept == 30

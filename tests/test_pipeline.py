@@ -311,3 +311,21 @@ def test_read_transcripts_json_and_csv_match_parquet(spark, corpus_pdf, tmp_path
     assert turns("csv", f"{base}/t.csv") == want
     with pytest.raises(ValueError, match="unsupported"):
         read_transcripts(spark, base, "xml")
+
+
+def test_run_extract_no_repartition_same_content(spark, corpus_pdf, tmp_path):
+    """The source-bucketed fast path (repartition=False) skips the payload
+    shuffle but must produce an identical sink: same rows, same per-bucket
+    lineage totals — only the files-per-bucket layout may differ."""
+    df = spark.createDataFrame(corpus_pdf.head(400))
+    s1, s2 = str(tmp_path / "shuffled"), str(tmp_path / "aligned")
+    r1 = run_extract(spark, df, s1, n_buckets=8)
+    r2 = run_extract(spark, df, s2, n_buckets=8, repartition=False)
+    assert (r1["rows"], r1["errors"]) == (r2["rows"], r2["errors"])
+    a = sink_io.read_data(spark, s1).select("conv_id", "turn_idx", "content_hash")
+    b = sink_io.read_data(spark, s2).select("conv_id", "turn_idx", "content_hash")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    la = sink_io.read_lineage(spark, s1).toPandas().set_index("part_key")
+    lb = sink_io.read_lineage(spark, s2).toPandas().set_index("part_key")
+    for col in ("n_rows", "n_errors", "n_chars_in", "n_chars_out"):
+        assert (la[col].sort_index() == lb[col].sort_index()).all()
