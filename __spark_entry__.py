@@ -1142,20 +1142,43 @@ def q_pipeline_e2e(spark, sf_dir):
     on extracted content — proving the Python extraction stage and the
     native operator stack compose into one Catalyst plan with a single
     Arrow crossing."""
-    from artexin_spark.udfs import with_extraction
+    from artexin_spark.pipeline import extract_df
 
     tr = _transcripts_from_docs(spark, sf_dir)
     dup = _transcripts_from_docs(spark, sf_dir).filter(
         F.col("conv_id").cast("int") < 50
     ).withColumn("conv_id", (F.col("conv_id").cast("int") + 100000).cast("string"))
-    ex = with_extraction(tr.unionByName(dup), text_col="text")
-    kept = ex.filter(F.col("error").isNull()).select(
-        "conv_id", F.col("extracted_text")
+    # mapInPandas extraction (not the expression UDF): the opaque map node
+    # yields REAL attributes, so the downstream quality filter can neither
+    # be pushed inside it nor duplicate the extraction — one Python
+    # crossing total, plan-gated. (The expression-UDF form re-evaluated
+    # the extractor once for the filter and once for the projection.)
+    ex = extract_df(
+        spark, tr.unionByName(dup), n_buckets=8, source_col=None,
+        repartition=False,
     )
+    # error rows have NULL extracted_text → NULL quality → fail the gate
+    kept = ex.select("conv_id", "extracted_text")
     scored = kept.withColumn("quality", ts.quality_expr("extracted_text"))
     gated = scored.filter(F.col("quality") >= 0.5)
     ded = dd.exact_dedup(gated, text_col="extracted_text", id_col="conv_id")
     return ded.select("content_key", "conv_id", F.col("group_size").cast("long").alias("group_size"))
+
+
+def q_ngram_classifier(spark, sf_dir):
+    """fastText-style hashed-ngram linear scoring as pure column
+    expressions (model inference with NO Python in the plan): bigrams
+    hash into 64 buckets, score = mean literal-array weight, logistic
+    squash — the quality-classifier gate of a curation pipeline."""
+    w = ts.hashed_ngram_weights(64, seed=13)
+    return ts.hashed_ngram_score(_docs(spark, sf_dir), w, n=2)
+
+
+def q_unigram_lm(spark, sf_dir):
+    """CCNet-style unigram-LM scoring: corpus token frequencies (pass 1)
+    → per-doc mean token log-probability (pass 2, broadcast freq join) —
+    the LM-perplexity filter's scalable plan shape."""
+    return ts.unigram_logprob_score(_docs(spark, sf_dir))
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -1993,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "substring_apply": q_substring_apply,
         "pipeline_e2e": q_pipeline_e2e,
+        "ngram_classifier": q_ngram_classifier,
+        "unigram_lm": q_unigram_lm,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -3028,6 +3053,36 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
 FROM q WHERE quality >= 0.5
 GROUP BY 1
 '''
+
+_ORACLES["ngram_classifier"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+        (CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])
+          ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t),
+s AS (SELECT doc_id, len(grams) AS n_grams,
+        list_sum(list_transform(grams, x ->
+          ([-887100, -207825, 774731, 579769, 349308, -175991, -241926, -185040, -871510, -360625, 338350, 517957, -853874, 93253, -917999, 635344, -927986, -119113, 938904, 264032, -335566, 285486, -927386, 21441, 585063, -85736, 979297, 372204, 494738, 865078, 335035, -231201, -555355, -852914, -114261, -103998, -950859, 816645, 651099, -546920, -542859, -933741, 939432, 847477, 604539, -595769, -820596, -721041, 927323, 234228, 116079, 991875, 364181, 628622, 788437, 120475, -521189, -381654, -683036, -281867, 842743, -980148, -705365, 747269])[(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 64) + 1]))
+        / 1000000.0 / greatest(len(grams), 1) AS raw
+      FROM g)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       round(raw, 6) AS raw_score,
+       round(1.0 / (1.0 + exp(-raw * 4)), 6) AS prob
+FROM s
+"""
+
+_ORACLES["unigram_lm"] = f"""
+WITH e AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+f AS (SELECT tok, count(*) AS n FROM e GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM f),
+s AS (SELECT e.doc_id, ln(f.n * 1.0 / tot.total) AS lp
+      FROM e JOIN f USING (tok) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS mean_logprob
+FROM s GROUP BY doc_id
+"""
 
 _ORACLES["incremental_dedup"] = f"""
 WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),

@@ -404,3 +404,99 @@ def gopher_quality(
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("passes", passes)
+
+
+# --- model scoring without UDFs ----------------------------------------------
+
+
+def hashed_ngram_weights(n_buckets: int = 1024, seed: int = 13) -> list[float]:
+    """Deterministic stand-in weight vector for the hashed-ngram linear
+    classifier (a real deployment loads trained fastText-style weights
+    here; the SCORING path below is exactly what production runs)."""
+    import hashlib as _hashlib
+
+    out = []
+    for i in range(n_buckets):
+        h = int(_hashlib.md5(b"w%d:%d" % (seed, i)).hexdigest()[:8], 16)
+        out.append(round((h / 2**32) * 2.0 - 1.0, 6))
+    return out
+
+
+def hashed_ngram_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """fastText-style linear classifier scoring as PURE column
+    expressions — model inference at 100 TB without any Python in the
+    plan: word n-grams hash (md5, cross-engine) into ``len(weights)``
+    buckets, the document score is the mean bucket weight, squashed by a
+    logistic. The weight vector ships as a LITERAL array (broadcast by
+    the plan itself); swap in trained weights and nothing else changes.
+    One projection, zero shuffle, zero UDF."""
+    from .dedup import shingles_from, tokens_col
+
+    k = len(weights)
+    # quantize to integer micro-units: the bucket-weight SUM is then exact
+    # int64 arithmetic — independent of summation order, so Spark's
+    # sequential fold and an oracle's pairwise list_sum agree to the bit
+    # (a float sum diverges in the 7th decimal and flips round(…, 6))
+    iw = [int(round(float(w) * 1_000_000)) for w in weights]
+    warr = F.array(*[F.lit(v).cast("long") for v in iw])
+    grams = F.col("_grams")
+    bucket = lambda g: (
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % k
+    )
+    total = F.greatest(F.size(grams), F.lit(1))
+    s = (
+        F.aggregate(
+            grams,
+            F.lit(0).cast("long"),
+            lambda acc, g: acc + F.element_at(warr, (bucket(g) + 1).cast("int")),
+        ).cast("double")
+        / 1_000_000.0
+        / total
+    )
+    return (
+        df.withColumn("_toks", tokens_col(text_col))
+        .withColumn("_grams", shingles_from("_toks", n))
+        .select(
+            F.col(id_col),
+            F.size(grams).alias("n_grams"),
+            F.round(s, 6).alias("raw_score"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4)), 6).alias("prob"),
+        )
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model filtering with a corpus-trained unigram
+    model (the LM-perplexity gate's scalable skeleton — swap the unigram
+    table for KenLM shards and the plan shape holds): pass 1 aggregates
+    corpus token frequencies (one hash agg); pass 2 scores each document
+    by its mean token log-probability via an equi-join of the exploded
+    tokens against the (broadcast) frequency table — unseen-token
+    smoothing = log(0.5/total). Low scores = gibberish / OOD documents;
+    high = template-like. Two shuffles total, both on narrow columns."""
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = freqs.agg(F.sum("n")).collect()[0][0] or 1
+    scored = toks.join(F.broadcast(freqs), "tok", "left").select(
+        F.col(id_col),
+        F.coalesce(
+            F.log(F.col("n").cast("double") / float(total)),
+            F.lit(float(__import__("math").log(0.5 / total))),
+        ).alias("lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )

@@ -60,6 +60,8 @@ def read_transcripts(spark, path: str, fmt: str = "parquet"):
     ``prepare_input`` downstream still fail-fasts on missing columns."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":  # the other columnar interchange Spark ships natively
+        return spark.read.orc(path)
     if fmt == "json":  # JSON Lines, the common transcript interchange
         return spark.read.schema(TRANSCRIPT_DDL).json(path)
     if fmt == "csv":

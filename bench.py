@@ -242,22 +242,12 @@ def main() -> None:
         n_turns / timings["q_extract_write"], 1
     )
 
-    # the source-bucketed fast path: input laid out bucket-aligned (an
-    # upstream Iceberg write-distribution / our own sink read back) skips
-    # the payload shuffle — write ≈ extract + parquet encode
-    def run_extract_write_aligned():
-        from artexin_spark.pipeline import run_extract as _run
-
-        sink = tempfile.mkdtemp(prefix="bench_sink_al_")
-        try:
-            return _run(spark, transcripts, sink, source_col=None, repartition=False)
-        finally:
-            shutil.rmtree(sink, ignore_errors=True)
-
-    timed("q_extract_write_aligned", run_extract_write_aligned, warm_runs=0, reps=2)
-    extras["extract_write_aligned_turns_per_sec"] = round(
-        n_turns / timings["q_extract_write_aligned"], 1
-    )
+    # NOTE: run_extract(repartition=False) exists for genuinely bucket-
+    # aligned input (sink read-back / upstream write-distribution). The
+    # bench corpus is NOT aligned, and measuring the fast path on
+    # misaligned input just prices the small-file explosion it warns
+    # about — so it is not a bench metric; parity is pinned in
+    # tests/test_pipeline.py::test_run_extract_no_repartition_same_content.
 
     # the 500k-turn extract leaves multi-GB of text garbage; without an
     # explicit collection the first operator query below pays that GC debt

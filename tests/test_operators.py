@@ -1155,3 +1155,23 @@ def test_substring_apply_cuts_planted_run(spark):
     assert out[1].cleaned_text == words(0, 60).lower()   # first occurrence intact
     assert out[2].cleaned_text == words(500, 530).lower()  # dup run removed
     assert out[2].n_tokens_kept == 30
+
+
+def test_hashed_ngram_score_no_udf_no_shuffle(spark, docs):
+    w = textstats.hashed_ngram_weights(64)
+    out = textstats.hashed_ngram_score(docs.limit(50), w)
+    pdf = out.toPandas()
+    assert ((pdf.prob > 0) & (pdf.prob < 1)).all()
+    assert (pdf.raw_score.abs() <= 1.0).all()  # mean of [-1,1] weights
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan  # pure projection
+
+
+def test_unigram_logprob_separates_gibberish(spark):
+    rows = [(1, "the cat sat on the mat and the dog sat too")] * 1
+    rows += [(i, "the cat sat on the mat and the dog sat too") for i in range(2, 20)]
+    rows.append((99, "zxqv kjwq pfft glorbnak xyzzy"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.mean_logprob for r in textstats.unigram_logprob_score(df).collect()}
+    assert out[99] < out[2]  # rare-token doc scores much lower

@@ -294,6 +294,7 @@ def test_read_transcripts_json_and_csv_match_parquet(spark, corpus_pdf, tmp_path
     df = spark.createDataFrame(corpus_pdf).drop("source")
     base = str(tmp_path)
     df.write.parquet(f"{base}/t.parquet")
+    df.write.orc(f"{base}/t.orc")
     df.write.json(f"{base}/t.json")
     df.write.option("header", "true").option("escape", '"').option(
         "nullValue", "\\N"
@@ -307,6 +308,7 @@ def test_read_transcripts_json_and_csv_match_parquet(spark, corpus_pdf, tmp_path
         )
 
     want = turns("parquet", f"{base}/t.parquet")
+    assert turns("orc", f"{base}/t.orc") == want
     assert turns("json", f"{base}/t.json") == want
     assert turns("csv", f"{base}/t.csv") == want
     with pytest.raises(ValueError, match="unsupported"):

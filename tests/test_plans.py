@@ -109,11 +109,22 @@ def test_no_query_uses_per_row_python(spark):
     """Every graded query stays Arrow-vectorized or JVM-native."""
     import __spark_entry__ as e
 
+    # queries legitimately needing >1 Python node: ann_lsh buckets corpus
+    # AND queries (two inputs); pdf_extract chains payload-build → extract
+    # (dependent); embedding_near_dup re-derives LSH buckets on each side
+    # of the self-join (production persists signatures instead — the
+    # incremental_dedup path). Anything else exceeding ONE Python crossing
+    # is a double-eval regression (e.g. a filter on a UDF-derived column
+    # pushed below its projection re-runs the extractor per row — caught
+    # and fixed in pipeline_e2e this round).
+    allowed = {"ann_lsh": 2, "pdf_extract": 2, "embedding_near_dup": 4}
     for name, fn in e.queries().items():
         if name == "stream_extract":
             continue  # covered by test_streaming_inner_plan_is_vectorized
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, (name, plan)
+        n_py = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
+        assert n_py <= allowed.get(name, 1), (name, n_py, plan)
 
 
 def test_streaming_inner_plan_is_vectorized(spark, tmp_path):
@@ -317,3 +328,19 @@ def test_blocklist_filter_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_pipeline_e2e_single_arrow_crossing(spark):
+    """The composed extract→score→gate→dedup frame must cross into
+    Python exactly once (the extraction UDF); everything downstream of
+    it stays whole-stage-codegen JVM work."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_pipeline_e2e(spark, SF))
+    # count tree NODES ("ArrowEvalPython (N)"), not detail-section repeats;
+    # the union of base+planted branches may instantiate the UDF once per
+    # branch — each ROW still crosses into Python exactly once
+    n_python = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
+    assert 1 <= n_python <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,110 @@
+"""Codec mutation fuzz campaign (the test_codecs fuzz at campaign scale).
+
+Invariants under arbitrary truncation / bit-flips / zero-splices of
+valid payloads, per format:
+
+- PNG (CRC-protected): decode either raises ValueError or returns the
+  EXACT original pixels — a mutation can never ship wrong content.
+- BMP / WAV (no checksum in the format): decode either raises
+  ValueError or returns WELL-FORMED output (uint8/int16 ndarray whose
+  shape matches the header it parsed) — garbage-in-garbage-out is
+  inherent to checksum-free containers, but malformed structure must
+  always reject, and no mutation may raise a non-ValueError or hang.
+
+Run:  python tools/fuzz_codecs.py [n_mutations_per_format]
+Exit code 0 = no escapes; prints a JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from artexin_spark.operators import codecs as C  # noqa: E402
+
+
+def mutate(rng: np.random.Generator, payload: bytes) -> bytes:
+    b = bytearray(payload)
+    op = rng.integers(0, 4)
+    if op == 0:  # truncate
+        return bytes(b[: rng.integers(0, len(b))])
+    if op == 1:  # flip one byte
+        i = rng.integers(0, len(b))
+        b[i] ^= int(rng.integers(1, 256))
+    elif op == 2:  # zero a run
+        i = rng.integers(0, len(b))
+        j = min(len(b), i + int(rng.integers(1, 64)))
+        b[i:j] = b"\x00" * (j - i)
+    else:  # splice a random block
+        i = rng.integers(0, len(b))
+        j = min(len(b), i + int(rng.integers(1, 32)))
+        b[i:j] = bytes(rng.integers(0, 256, size=j - i, dtype=np.uint8))
+    return bytes(b)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    rng = np.random.default_rng(1234)
+    stats = {"mutations": 0, "rejected": 0, "roundtrip": 0, "escapes": 0}
+    escapes = []
+
+    def originals():
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            gray = r.integers(0, 256, size=(11, 17), dtype=np.uint8)
+            rgb = r.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+            rgba = r.integers(0, 256, size=(6, 6, 4), dtype=np.uint8)
+            pcm = r.integers(-2000, 2000, size=512).astype("<i2")
+            yield "png", C.encode_png(gray, filter_type=seed % 5), C.decode_png, gray
+            yield "png", C.encode_png(rgb, filter_type=(seed + 1) % 5), C.decode_png, rgb
+            yield "png", C.encode_png(rgba, filter_type=(seed + 2) % 5), C.decode_png, rgba
+            yield "bmp", C.encode_bmp(rgb), C.decode_bmp, rgb
+            yield "wav", C.encode_wav(8000, pcm), C.decode_wav, (8000, pcm)
+
+    corpus = list(originals())
+    per = max(1, n // len(corpus))
+    for fmt, payload, decode, want in corpus:
+        for _ in range(per):
+            stats["mutations"] += 1
+            mut = mutate(rng, payload)
+            try:
+                got = decode(mut)
+            except ValueError:
+                stats["rejected"] += 1
+                continue
+            except Exception as err:  # noqa: BLE001 — escape class 1
+                stats["escapes"] += 1
+                escapes.append(f"{fmt}: {type(err).__name__}: {err}")
+                continue
+            if fmt == "png":
+                # CRC-protected: the only survivable mutations are exact
+                if np.array_equal(got, want):
+                    stats["roundtrip"] += 1
+                else:
+                    stats["escapes"] += 1
+                    escapes.append("png: content mismatch survived CRC")
+            elif fmt == "bmp":
+                if isinstance(got, np.ndarray) and got.dtype == np.uint8 and got.ndim in (2, 3):
+                    stats["roundtrip"] += 1  # well-formed (checksum-free fmt)
+                else:
+                    stats["escapes"] += 1
+                    escapes.append("bmp: malformed decode output")
+            else:  # wav
+                sr, samples = got
+                if isinstance(sr, int) and samples.dtype == np.dtype("<i2"):
+                    stats["roundtrip"] += 1
+                else:
+                    stats["escapes"] += 1
+                    escapes.append("wav: malformed decode output")
+
+    print(json.dumps({**stats, "examples": escapes[:5]}))
+    return 0 if stats["escapes"] == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
