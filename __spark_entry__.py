@@ -1181,6 +1181,33 @@ def q_unigram_lm(spark, sf_dir):
     return ts.unigram_logprob_score(_docs(spark, sf_dir))
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing for training: docs shard by
+    id hash and pack into 512-token bins by cumulative token count — one
+    window per shard, shard-parallel, deterministic."""
+    from artexin_spark.operators import sampling as sp
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(dd.tokens_col("text")).alias("n_tokens")
+    )
+    return sp.sequential_pack(
+        docs, max_tokens=512, n_tokens_col="n_tokens", n_shards=8
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Pretraining data-mixture construction: output proportions match
+    the target weights (2:1:1 over three sources), limiting source kept
+    in full, others downsampled by deterministic id hash."""
+    from artexin_spark.operators import sampling as sp
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    out = sp.mixture_sample(docs, {"src0": 2, "src1": 1, "src2": 1})
+    return out.select("doc_id", "source")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Cross-run incremental dedup (r01 VERDICT item 5): commit the base
     corpus's minhash signatures to a snapshot table, then dedup a NEW
@@ -2018,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "ngram_classifier": q_ngram_classifier,
         "unigram_lm": q_unigram_lm,
+        "sequence_pack": q_sequence_pack,
+        "mixture_sample": q_mixture_sample,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -3082,6 +3111,36 @@ s AS (SELECT e.doc_id, ln(f.n * 1.0 / tot.total) AS lp
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(lp), 6) AS mean_logprob
 FROM s GROUP BY doc_id
+"""
+
+_ORACLES["sequence_pack"] = f"""
+WITH d AS (SELECT doc_id, len({_SQL_TOKS}) AS n FROM documents),
+s AS (SELECT doc_id, n,
+        CAST('0x' || substr(md5('pack|' || doc_id), 1, 15) AS BIGINT) % 8
+          AS shard
+      FROM d),
+c AS (SELECT doc_id, n, shard,
+        sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM s)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST((cum - n) // 512 AS BIGINT) AS bin,
+       CAST((cum - n) % 512 AS BIGINT) AS offset
+FROM c
+"""
+
+_ORACLES["mixture_sample"] = """
+WITH w(src, wt) AS (VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 1.0)),
+c AS (SELECT source AS src, count(*)::DOUBLE AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+shares AS (SELECT src, wt / (SELECT sum(wt) FROM w) AS share FROM w),
+lim AS (SELECT min(c.n / s.share) AS out_total
+        FROM c JOIN shares s USING (src)),
+r AS (SELECT s.src, least(1.0, s.share * lim.out_total / c.n) AS rate
+      FROM shares s JOIN c USING (src) CROSS JOIN lim)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.src
+WHERE CAST('0x' || substr(md5('mix|' || d.doc_id), 1, 15) AS BIGINT)
+      % 1000000 < floor(r.rate * 1000000)
 """
 
 _ORACLES["incremental_dedup"] = f"""

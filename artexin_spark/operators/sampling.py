@@ -151,3 +151,89 @@ def weighted_sample(
     )
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.filter(u < F.least(F.lit(1.0), F.lit(float(scale)) * w))
+
+
+def sequential_pack(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign documents to
+    fixed-budget training bins (the packing step before tokenized
+    examples become ``max_tokens``-length sequences).
+
+    Deterministic and shard-parallel: docs shard by id hash, each shard
+    packs independently in (id order) by cumulative token count — a
+    doc's bin is where its first token lands, ``floor((cumsum - n) /
+    max_tokens)``. This is the production "concat-and-chunk" policy
+    (GPT-style pretraining packing), not first-fit-decreasing: FFD is
+    inherently sequential corpus-wide, while this is ONE window function
+    per shard — embarrassingly parallel, same policy at any scale.
+    Oversized docs (n > max_tokens) still get a bin (they span several
+    chunks downstream). Emits (id, shard, bin, offset) — offset is where
+    the doc starts inside its bin's token stream."""
+    from pyspark.sql.window import Window
+
+    shard = hash_bucket(id_col, n_shards, salt="pack|")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    toks = F.col(n_tokens_col).cast("long")
+    out = (
+        df.select(F.col(id_col), toks.alias("_n"), shard.alias("shard"))
+        .withColumn("_cum", F.sum("_n").over(w))
+        .select(
+            F.col(id_col),
+            "shard",
+            F.floor((F.col("_cum") - F.col("_n")) / max_tokens)
+            .cast("long")
+            .alias("bin"),
+            ((F.col("_cum") - F.col("_n")) % max_tokens).cast("long").alias("offset"),
+        )
+    )
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture construction: keep rows so the OUTPUT
+    source proportions match ``weights`` (the pretraining-mixture step —
+    e.g. {'web': 0.6, 'code': 0.3, 'books': 0.1}).
+
+    The limiting source is used in full; every other source downsamples
+    by id hash to its ratio-matched share. Needs ONE count aggregation
+    over (source) — tiny — then a pure hash filter; rows of sources not
+    in ``weights`` drop. Reruns keep the same rows (id-hash coin, no
+    rand())."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive numbers")
+    total_w = float(sum(weights.values()))
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["src"] in weights
+    }
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from the corpus: {missing}")
+    # scale chosen so the scarcest source (relative to its weight) is
+    # kept in full: output_total = min_s count_s / share_s
+    out_total = min(counts[s] / (weights[s] / total_w) for s in weights)
+    rates = {
+        s: min(1.0, (weights[s] / total_w) * out_total / counts[s])
+        for s in weights
+    }
+    bucket = hash_bucket(id_col, 1_000_000, salt="mix|")
+    conds = None
+    for s, rate in rates.items():
+        # floor (not round): the oracle floors too, and identical IEEE
+        # doubles then yield identical thresholds on both engines
+        c = (F.col(source_col) == s) & (bucket < int(rate * 1_000_000))
+        conds = c if conds is None else (conds | c)
+    return df.filter(conds)

@@ -1175,3 +1175,41 @@ def test_unigram_logprob_separates_gibberish(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.mean_logprob for r in textstats.unigram_logprob_score(df).collect()}
     assert out[99] < out[2]  # rare-token doc scores much lower
+
+
+def test_sequential_pack_invariants(spark):
+    from artexin_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    out = sp.sequential_pack(df, max_tokens=512, n_shards=4).toPandas()
+    assert len(out) == 200
+    assert set(out.shard.unique()) <= set(range(4))
+    # offsets always inside the budget; bins start at 0 per shard
+    assert ((out.offset >= 0) & (out.offset < 512)).all()
+    assert (out.groupby("shard").bin.min() == 0).all()
+    # deterministic rerun
+    out2 = sp.sequential_pack(df, max_tokens=512, n_shards=4).toPandas()
+    assert out.sort_values("doc_id").equals(out2.sort_values("doc_id"))
+
+
+def test_mixture_sample_matches_ratios(spark):
+    from artexin_spark.operators import sampling as sp
+
+    rows = [(i, "web") for i in range(4000)]
+    rows += [(10000 + i, "code") for i in range(500)]
+    rows += [(20000 + i, "books") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sp.mixture_sample(df, {"web": 6, "code": 3, "books": 1})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # code is limiting (500 / 0.3 smallest) -> kept in full
+    assert counts["code"] == 500
+    # others near their ratio share of out_total=500/0.3
+    assert abs(counts["web"] - 1000) < 80
+    assert abs(counts["books"] - 167) < 40
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        sp.mixture_sample(df, {"web": 1, "nope": 1})
