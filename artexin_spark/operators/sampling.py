@@ -170,7 +170,9 @@ def sequential_pack(
     max_tokens)``. This is the production "concat-and-chunk" policy
     (GPT-style pretraining packing), not first-fit-decreasing: FFD is
     inherently sequential corpus-wide, while this is ONE window function
-    per shard — embarrassingly parallel, same policy at any scale.
+    per shard — embarrassingly parallel, same policy at any scale. Size
+    ``n_shards`` like the pipeline's bucket count (each shard is one
+    sort partition; 2^15 at 10^12 docs — 32 is a local-mode default).
     Oversized docs (n > max_tokens) still get a bin (they span several
     chunks downstream). Emits (id, shard, bin, offset) — offset is where
     the doc starts inside its bin's token stream."""

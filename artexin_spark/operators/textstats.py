@@ -472,7 +472,10 @@ def hashed_ngram_score(
 
 
 def unigram_logprob_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """CCNet-style language-model filtering with a corpus-trained unigram
     model (the LM-perplexity gate's scalable skeleton — swap the unigram
@@ -481,7 +484,13 @@ def unigram_logprob_score(
     by its mean token log-probability via an equi-join of the exploded
     tokens against the (broadcast) frequency table — unseen-token
     smoothing = log(0.5/total). Low scores = gibberish / OOD documents;
-    high = template-like. Two shuffles total, both on narrow columns."""
+    high = template-like. Two shuffles total, both on narrow columns.
+
+    ``broadcast_vocab=True`` fits vocabularies up to the broadcast budget
+    (tens of millions of terms); at web scale the unigram table outgrows
+    it — pass False for a plain shuffle hash join on the term (both
+    sides narrow), or persist the freq table bucketed by term and
+    bucket-join. The plan shape is otherwise identical."""
     from .dedup import tokens_col
 
     toks = df.select(
@@ -489,7 +498,9 @@ def unigram_logprob_score(
     )
     freqs = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = freqs.agg(F.sum("n")).collect()[0][0] or 1
-    scored = toks.join(F.broadcast(freqs), "tok", "left").select(
+    if broadcast_vocab:
+        freqs = F.broadcast(freqs)
+    scored = toks.join(freqs, "tok", "left").select(
         F.col(id_col),
         F.coalesce(
             F.log(F.col("n").cast("double") / float(total)),
