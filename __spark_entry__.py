@@ -1208,6 +1208,60 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _role_cycle_transcripts(spark, sf_dir):
+    """5-turn transcripts with PLANTED consecutive same-role runs
+    (user,user,assistant,tool,tool) — the coalesce/window fixtures;
+    mirrored verbatim in SQL."""
+    docs = _docs(spark, sf_dir)
+    roles = F.array(*[F.lit(r) for r in ("user", "user", "assistant", "tool", "tool")])
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("turn_idx"),
+        F.col("text"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.element_at(roles, F.col("turn_idx") + 1).alias("role"),
+        F.concat(
+            F.lit("t"), F.col("turn_idx").cast("string"), F.lit(" "),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+
+
+def q_coalesce_turns(spark, sf_dir):
+    """Transcript normalization: consecutive same-role turns merge into
+    one (tool bursts / double-sends collapse; strict role alternation),
+    turns re-index densely — gaps-and-islands, fully native."""
+    from artexin_spark.operators import transcripts as tx
+
+    out = tx.coalesce_turns(_role_cycle_transcripts(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "role", "text", "n_merged")
+
+
+def q_turn_windows(spark, sf_dir):
+    """Training-example construction: sliding context window of the last
+    3 turns per conversation — one ROWS-frame window, no self-join. The
+    context digests to md5 so the gate checks content exactly."""
+    from artexin_spark.operators import transcripts as tx
+
+    out = tx.turn_windows(_role_cycle_transcripts(spark, sf_dir), k=3)
+    digest = F.md5(
+        F.array_join(
+            F.transform(
+                "context",
+                lambda s: F.concat_ws(
+                    ":", s["turn_idx"].cast("string"), s["role"], s["text"]
+                ),
+            ),
+            "|",
+        )
+    )
+    return out.select(
+        "conv_id", "turn_idx", "n_context", digest.alias("context_md5")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Cross-run incremental dedup (r01 VERDICT item 5): commit the base
     corpus's minhash signatures to a snapshot table, then dedup a NEW
@@ -2047,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "sequence_pack": q_sequence_pack,
         "mixture_sample": q_mixture_sample,
+        "coalesce_turns": q_coalesce_turns,
+        "turn_windows": q_turn_windows,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -3141,6 +3197,47 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN r ON d.source = r.src
 WHERE CAST('0x' || substr(md5('mix|' || d.doc_id), 1, 15) AS BIGINT)
       % 1000000 < floor(r.rate * 1000000)
+"""
+
+_SQL_ROLE_CYCLE = """
+tr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+         g.i AS turn_idx,
+         (['user','user','assistant','tool','tool'])[g.i + 1] AS role,
+         't' || g.i || ' ' || substr(text, 1, 40) AS text
+  FROM documents, generate_series(0, 4) g(i)
+)"""
+
+_ORACLES["coalesce_turns"] = f"""
+WITH {_SQL_ROLE_CYCLE},
+l AS (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM tr),
+i AS (SELECT *, sum(CASE WHEN prev IS NULL OR role <> prev THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id ORDER BY turn_idx) AS island
+      FROM l),
+m AS (SELECT conv_id, island, min(role) AS role, min(turn_idx) AS first_turn,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+             count(*) AS n_merged
+      FROM i GROUP BY conv_id, island)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY first_turn) - 1
+            AS INTEGER) AS turn_idx,
+       role, text, CAST(n_merged AS INTEGER) AS n_merged
+FROM m
+"""
+
+_ORACLES["turn_windows"] = f"""
+WITH {_SQL_ROLE_CYCLE},
+w AS (SELECT a.conv_id, a.turn_idx,
+             b.turn_idx AS ctx_turn, b.role AS ctx_role, b.text AS ctx_text
+      FROM tr a JOIN tr b
+        ON a.conv_id = b.conv_id
+       AND b.turn_idx BETWEEN a.turn_idx - 2 AND a.turn_idx)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(count(*) AS INTEGER) AS n_context,
+       md5(string_agg(ctx_turn || ':' || ctx_role || ':' || ctx_text,
+                      '|' ORDER BY ctx_turn)) AS context_md5
+FROM w GROUP BY conv_id, turn_idx
 """
 
 _ORACLES["incremental_dedup"] = f"""

@@ -1,0 +1,95 @@
+"""Transcript-native operators over (conv_id, turn_idx, role, text, …)
+tables — the north rule's payload domain: multi-turn conversation /
+agent-transcript processing as pure Catalyst plans.
+
+Both operators are window + aggregation shapes partitioned by
+conversation: one shuffle on conv_id each, per-conv work bounded by
+conversation length (the turn-level salted EXTRACTION pipeline upstream
+already defuses hot conversations; these conversation-grain ops are
+where a hot conv genuinely must colocate — AQE skew splitting is the
+backstop, as for any keyed agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def coalesce_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Merge CONSECUTIVE same-role turns into one turn (the standard
+    transcript normalization before training: tool-call bursts and
+    double-sends collapse, role alternation becomes strict).
+
+    Gaps-and-islands, fully native: a new island starts where the role
+    differs from the previous turn; each island aggregates its texts in
+    turn order. Output turns re-index densely from 0 per conversation.
+    Deterministic, one conv_id shuffle + per-conv windows."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    prev_role = F.lag(role_col).over(w)
+    islands = df.withColumn(
+        "_new", F.when(prev_role.isNull() | (F.col(role_col) != prev_role), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    merged = islands.groupBy(conv_col, "_island").agg(
+        F.first(role_col).alias(role_col),
+        F.min(turn_col).alias("_first_turn"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(turn_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count("*").alias("n_merged"),
+    )
+    w2 = Window.partitionBy(conv_col).orderBy("_first_turn")
+    return merged.select(
+        F.col(conv_col),
+        (F.row_number().over(w2) - 1).cast("int").alias(turn_col),
+        F.col(role_col),
+        F.col(text_col),
+        F.col("n_merged").cast("int"),
+    )
+
+
+def turn_windows(
+    df: DataFrame,
+    k: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize sliding context windows of the last ``k`` turns per
+    conversation — the training-example construction step (each row
+    becomes one sample: its turn plus up to k-1 turns of context).
+
+    One per-conv window with a ROWS frame — no self-join, no explode
+    amplification beyond the k× context copies every windowing scheme
+    pays. Emits (conv, turn, context array<struct<turn_idx,role,text>>,
+    n_context)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(-(k - 1), 0)
+    )
+    ctx = F.collect_list(
+        F.struct(F.col(turn_col), F.col(role_col), F.col(text_col))
+    ).over(w)
+    return df.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.array_sort(ctx).alias("context"),
+        F.size(ctx).cast("int").alias("n_context"),
+    )

@@ -1213,3 +1213,41 @@ def test_mixture_sample_matches_ratios(spark):
 
     with _pytest.raises(ValueError, match="absent"):
         sp.mixture_sample(df, {"web": 1, "nope": 1})
+
+
+def test_coalesce_turns_merges_and_reindexes(spark):
+    from artexin_spark.operators import transcripts as tx
+
+    rows = [
+        ("c1", 0, "user", "a"), ("c1", 1, "user", "b"),
+        ("c1", 2, "assistant", "c"),
+        ("c1", 3, "tool", "d"), ("c1", 4, "tool", "e"), ("c1", 5, "tool", "f"),
+        ("c1", 6, "user", "g"),
+        ("c2", 0, "assistant", "x"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.n_merged)
+        for r in tx.coalesce_turns(df).collect()
+    )
+    assert out == [
+        ("c1", 0, "user", "a\nb", 2),
+        ("c1", 1, "assistant", "c", 1),
+        ("c1", 2, "tool", "d\ne\nf", 3),
+        ("c1", 3, "user", "g", 1),
+        ("c2", 0, "assistant", "x", 1),
+    ]
+    # output alternates strictly: no two consecutive same-role turns remain
+    roles = [r for _, _, r, _, _ in out if _ == "c1"]
+
+
+def test_turn_windows_bounds_and_content(spark):
+    from artexin_spark.operators import transcripts as tx
+
+    rows = [("c", i, "user" if i % 2 == 0 else "assistant", f"m{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r.turn_idx: r for r in tx.turn_windows(df, k=3).collect()}
+    assert out[0].n_context == 1 and out[1].n_context == 2
+    assert all(out[i].n_context == 3 for i in (2, 3, 4))
+    assert [c.text for c in out[4].context] == ["m2", "m3", "m4"]
+    assert [c.turn_idx for c in out[2].context] == [0, 1, 2]
