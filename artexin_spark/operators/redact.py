@@ -54,3 +54,41 @@ def redact_pii(
         F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
         F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+# --- secrets scrubbing (r02) -------------------------------------------------
+# Transcripts of AGENT sessions leak credentials far more often than web
+# text leaks phone numbers — tool outputs echo env vars, API responses,
+# and pasted configs. Same design rules as the PII pass: Java-regex ∩ RE2
+# subset only, ordered replaces, counts on the pre-replacement chain.
+
+PRIVATE_KEY_RE = r"-----BEGIN [A-Z ]+PRIVATE KEY-----"
+AWS_KEY_RE = r"\bAKIA[0-9A-Z]{16}\b"
+GH_TOKEN_RE = r"\bgh[pousr]_[A-Za-z0-9]{36,}\b"
+BEARER_RE = r"(?i)\bbearer +[A-Za-z0-9._~+/=-]{16,}"
+# separator form only: a bare 16-digit run is indistinguishable from the
+# phone class (which the PII pass already masks)
+CC_RE = r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"
+
+SECRET_TOKENS = {
+    "private_keys": (PRIVATE_KEY_RE, "[PRIVATE_KEY]"),
+    "aws_keys": (AWS_KEY_RE, "[AWS_KEY]"),
+    "gh_tokens": (GH_TOKEN_RE, "[GH_TOKEN]"),
+    "bearer_tokens": (BEARER_RE, "[BEARER]"),
+    "cards": (CC_RE, "[CARD]"),
+}
+
+
+def redact_secrets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clean_text, n_<kind>...): credential scrubbing with per-kind
+    hit counts — ordered so specific token shapes (AWS/GitHub) are
+    counted before the generic bearer pattern could swallow them. Pure
+    regexp projection: zero Python, zero shuffle."""
+    chain = F.col(text_col)
+    counts = []
+    for kind, (pat, token) in SECRET_TOKENS.items():
+        counts.append(F.regexp_count(chain, F.lit(pat)).alias(f"n_{kind}"))
+        chain = F.regexp_replace(chain, pat, token)
+    return df.select(F.col(id_col), chain.alias("clean_text"), *counts)
