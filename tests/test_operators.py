@@ -1272,3 +1272,105 @@ def test_redact_secrets_classes_and_order(spark):
     assert r.clean_text.count("[BEARER]") == 1
     plan = rd.redact_secrets(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# --- randomized invariants for the r02 operators (seeded, Spark-backed) ------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_substring_dedup_then_apply_reaches_fixpoint(spark, seed):
+    """Removing every flagged span leaves a corpus in which a re-run
+    finds NOTHING: span removal is a fix-point on corpora whose only
+    duplicate runs were the planted ones (removal must not manufacture
+    new window-sized duplicates at the cut seams)."""
+    import random
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(12):
+        words = [f"s{seed}d{i}w{j}" for j in range(rng.randint(25, 60))]
+        docs.append((i, " ".join(words)))
+    # plant: copies of doc k's first 25 tokens + distinct tail
+    for j, (k, _) in enumerate(docs[:4]):
+        src_tokens = docs[k][1].split()[:25]
+        tail = [f"tail{seed}x{j}y{t}" for t in range(10)]
+        docs.append((100 + j, " ".join(src_tokens + tail)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dedup.substring_dedup_spans(df, window=20)
+    assert spans.count() >= 4  # every planted copy flagged
+    cleaned = dedup.substring_dedup_apply(df, spans).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    again = dedup.substring_dedup_spans(cleaned, window=20)
+    assert again.count() == 0
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_coalesce_turns_randomized_invariants(spark, seed):
+    """(a) output never has consecutive same-role turns, (b) every input
+    text survives in order, (c) merged counts sum to the input size."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(6):
+        for t in range(rng.randint(1, 15)):
+            rows.append(
+                (f"c{c}", t, rng.choice(["user", "assistant", "tool"]), f"m{c}:{t}")
+            )
+    from artexin_spark.operators import transcripts as tx
+
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = tx.coalesce_turns(df).collect()
+    by_conv = {}
+    for r in sorted(out, key=lambda r: (r.conv_id, r.turn_idx)):
+        by_conv.setdefault(r.conv_id, []).append(r)
+    total_merged = 0
+    for conv, turns in by_conv.items():
+        roles = [t.role for t in turns]
+        assert all(a != b for a, b in zip(roles, roles[1:])), roles
+        assert [t.turn_idx for t in turns] == list(range(len(turns)))
+        rebuilt = [x for t in turns for x in t.text.split("\n")]
+        orig = [r[3] for r in sorted(rows) if r[0] == conv]
+        assert rebuilt == orig
+        total_merged += sum(t.n_merged for t in turns)
+    assert total_merged == len(rows)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_sequential_pack_randomized_offset_recurrence(spark, seed):
+    """Within each shard (in id order): offsets follow the exact
+    concat-and-chunk recurrence off_{i+1} = (off_i + n_i) mod B and bins
+    never decrease — verified against a pandas replay."""
+    import random
+
+    rng = random.Random(seed)
+    from artexin_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, rng.randint(1, 900)) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    out = sp.sequential_pack(df, max_tokens=512, n_shards=4).toPandas()
+    n_by_id = {i: n for i, n in df.collect()}
+    for shard, grp in out.sort_values("doc_id").groupby("shard"):
+        cum = 0
+        prev_bin = -1
+        for r in grp.itertuples():
+            assert r.offset == cum % 512
+            assert r.bin == cum // 512
+            assert r.bin >= prev_bin
+            prev_bin = r.bin
+            cum += n_by_id[r.doc_id]
+
+
+def test_mixture_sample_partitioning_invariant(spark):
+    """Membership is a pure function of (id, rates): repartitioning the
+    input must select the identical rows."""
+    from artexin_spark.operators import sampling as sp
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"a": 2, "b": 1, "c": 1}
+    k1 = {r.doc_id for r in sp.mixture_sample(df, w).collect()}
+    k2 = {r.doc_id for r in sp.mixture_sample(df.repartition(7), w).collect()}
+    assert k1 == k2 and len(k1) > 0
