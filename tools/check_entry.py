@@ -53,6 +53,7 @@ def main(only: list[str] | None = None) -> int:
             spark.stop()
             return 2
     failures = []
+    results: dict[str, dict] = {}
     n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -63,28 +64,34 @@ def main(only: list[str] | None = None) -> int:
         except Exception as err:
             print(f"FAIL {name}: spark error: {err}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {err}"[:200]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as err:
             print(f"FAIL {name}: oracle error: {err}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"oracle: {err}"[:200]}
             continue
         s, o = canon(sdf), canon(odf)
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": "schema mismatch"}
             continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": "row count mismatch"}
             continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"OK   {name}: {len(s)} rows")
+            results[name] = {"status": "ok", "rows": len(s)}
         except AssertionError as err:
             print(f"FAIL {name}: value mismatch\n{str(err)[:600]}")
             # show first differing rows
@@ -95,9 +102,22 @@ def main(only: list[str] | None = None) -> int:
                     print("  spark :", s.loc[i].to_dict())
                     print("  oracle:", o.loc[i].to_dict())
             failures.append(name)
+            results[name] = {"status": "fail", "err": "value mismatch"}
     skipped = len(qs) - n_run
     tail = f" ({skipped} not run: filtered)" if skipped else ""
     print(f"\n{n_run - len(failures)}/{n_run} queries match{tail}")
+    out_json = os.environ.get("CHECK_JSON")
+    if out_json:
+        # machine-readable record of the local gate (what the judge's
+        # stand-in run produces), e.g. BENCH/check_local.json
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "n_queries": len(qs), "n_run": n_run,
+                 "n_ok": n_run - len(failures), "results": results},
+                fh, indent=1,
+            )
     spark.stop()
     return 1 if failures else 0
 
