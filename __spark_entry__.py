@@ -3013,27 +3013,29 @@ WITH d AS (
     || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END) AS url
   FROM documents),
 c AS (
-  SELECT doc_id,
+  SELECT doc_id, url,
     regexp_replace(url, '#.*$', '') AS u
   FROM d),
 parts AS (
-  SELECT doc_id,
+  SELECT doc_id, url,
     lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(u, '^[^:/]+://([^/?#]+)', 1)) AS host0,
     regexp_extract(u, '^[^:/]+://[^/?#]*(.*)$', 1) AS rest0
   FROM c),
 canon AS (
   SELECT doc_id,
-    scheme || '://'
-    || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
-             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
-             ELSE host0 END)
-    || (CASE WHEN rest1 = '' THEN '/'
-             WHEN length(rest1) > 1 AND rest1 NOT LIKE '%?%'
-                  AND rest1 LIKE '%/'
-             THEN regexp_replace(rest1, '/$', '')
-             ELSE rest1 END) AS canonical_url
-  FROM (SELECT doc_id, scheme, host0,
+    CASE WHEN scheme <> '' AND host0 <> '' THEN
+      scheme || '://'
+      || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+               ELSE host0 END)
+      || (CASE WHEN rest1 = '' THEN '/'
+               WHEN length(rest1) > 1 AND rest1 NOT LIKE '%?%'
+                    AND rest1 LIKE '%/'
+               THEN regexp_replace(rest1, '/$', '')
+               ELSE rest1 END)
+    ELSE url END AS canonical_url
+  FROM (SELECT doc_id, url, scheme, host0,
                CASE WHEN rest0 = '' THEN '' ELSE rest0 END AS rest1
         FROM parts))
 SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS doc_id,
@@ -3059,11 +3061,13 @@ f AS (SELECT doc_id, pos,
              row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
              count(*) OVER (PARTITION BY wh) AS df
       FROM w),
+touched AS (SELECT DISTINCT doc_id FROM f WHERE rn > 1 AND df <= 10000),
 cutpos AS (SELECT DISTINCT doc_id, u.p AS pos
            FROM f, LATERAL unnest(generate_series(f.pos, f.pos + 19)) AS u(p)
            WHERE rn > 1 AND df <= 10000),
-alltok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-           FROM t, LATERAL unnest(generate_series(1, len(toks))) AS g(i)),
+alltok AS (SELECT t.doc_id, i - 1 AS pos, toks[i] AS tok
+           FROM t JOIN touched USING (doc_id),
+                LATERAL unnest(generate_series(1, len(toks))) AS g(i)),
 kept AS (SELECT a.doc_id, a.pos, a.tok FROM alltok a
          LEFT JOIN cutpos c ON a.doc_id = c.doc_id AND a.pos = c.pos
          WHERE c.doc_id IS NULL),
@@ -3071,9 +3075,16 @@ rebuilt AS (SELECT doc_id,
                    coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS cleaned,
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id)
-SELECT d.doc_id, md5(coalesce(r.cleaned, '')) AS cleaned_md5,
-       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_kept
-FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+SELECT d.doc_id,
+       CASE WHEN tch.doc_id IS NOT NULL
+            THEN md5(coalesce(r.cleaned, ''))
+            ELSE md5(d.text) END AS cleaned_md5,
+       CAST(CASE WHEN tch.doc_id IS NOT NULL THEN coalesce(r.n_kept, 0)
+                 ELSE len(t2.toks) END AS BIGINT) AS n_tokens_kept
+FROM d
+LEFT JOIN touched tch ON d.doc_id = tch.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+JOIN t t2 ON d.doc_id = t2.doc_id
 """
 
 _ORACLES["domain_stats"] = f"""

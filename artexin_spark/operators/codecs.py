@@ -185,8 +185,18 @@ def decode_png(payload) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("png: zero dimension")
     ch = _PNG_CHANNELS[ctype_]
+    expected = h * (w * ch + 1)
+    if expected > 1 << 30:
+        raise ValueError(f"png: claimed dimensions too large ({w}x{h}x{ch})")
+    # bounded inflate: the expected raw size is known from IHDR, so a
+    # decompression bomb (tiny IDAT claiming small dims but inflating to
+    # multi-GB) is rejected after expected+1 bytes instead of
+    # materializing the full stream in executor memory
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+        if len(raw) > expected or d.decompress(b"", 1):
+            raise ValueError("png: decompressed size mismatch")
     except zlib.error as err:
         raise ValueError(f"png: idat inflate failed: {err}") from None
     px = _unfilter(raw, w, h, ch)

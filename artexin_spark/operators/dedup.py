@@ -686,13 +686,29 @@ def commit_signatures(
     continuous-ingest pipeline carries between runs). The table is tiny
     relative to the corpus — k longs + id per document — so at 10^12 docs
     it is the only state future increments ever reprocess."""
+    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    return commit_signature_frame(spark, sigs, sig_sink, run_id, id_col, n_buckets)
+
+
+def commit_signature_frame(
+    spark,
+    sigs: DataFrame,
+    sig_sink: str,
+    run_id: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> int:
+    """Append-commit an ALREADY-computed (id, sig) frame — the reuse seam
+    for callers that computed signatures earlier in the same job (the
+    incremental dedup path: re-minhashing survivors would re-pay the
+    shingle explode + md5 + k-min pass over the full increment text)."""
     from .. import storage as sink_io
 
-    sigs = minhash_signatures(df, text_col, id_col, k, n).withColumn(
+    keyed = sigs.withColumn(
         "part_key", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     )
     sink_io.ensure_bucket_spec(sig_sink, n_buckets, bucket_cols=(id_col,))
-    sink_io.write_run_data(sigs, sig_sink, run_id)
+    sink_io.write_run_data(keyed, sig_sink, run_id)
     return sink_io.commit_snapshot(spark, sig_sink, run_id, operation="append")
 
 
@@ -729,6 +745,17 @@ def incremental_minhash_dedup(
 
     inc_sigs = minhash_signatures(increment, text_col, id_col, k, n)
     hist = sink_io.read_snapshot(spark, sig_sink).select(F.col(id_col), "sig")
+    # fail fast on a k mismatch: bands over 8-slot history sigs vs 16-slot
+    # increment sigs essentially never collide, silently turning the
+    # whole cross-run dedup into a no-op (duplicates accumulate with no
+    # error) — one limit-1 probe of the committed table catches it
+    probe = hist.select(F.size("sig").alias("klen")).limit(1).collect()
+    if probe and probe[0]["klen"] != k:
+        raise ValueError(
+            f"signature table at {sig_sink} holds k={probe[0]['klen']} "
+            f"signatures but this run asked for k={k} — use the committed "
+            "k (signature spec evolution requires a table rewrite)"
+        )
     a = banded_sigs(inc_sigs, id_col, bands, max_bucket).alias("a")
     b_hist = banded_sigs(hist, id_col, bands, max_bucket).withColumn(
         "is_hist", F.lit(True)
@@ -760,15 +787,16 @@ def incremental_minhash_dedup(
     )
     survivors = increment.join(F.broadcast(dropped), id_col, "left_anti")
     if commit:
-        commit_signatures(
+        # reuse inc_sigs: the survivors' signatures are exactly the
+        # increment's minus the dropped ids — committing via the frame
+        # seam avoids a second full tokenize+minhash pass over the text
+        surv_sigs = inc_sigs.join(F.broadcast(dropped), id_col, "left_anti")
+        commit_signature_frame(
             spark,
-            survivors,
+            surv_sigs,
             sig_sink,
             run_id or ("inc-" + _uuid.uuid4().hex[:10]),
-            text_col,
             id_col,
-            k,
-            n,
         )
     return survivors
 
@@ -1018,12 +1046,19 @@ def substring_dedup_apply(
     removal half of the Lee et al. operator (dedup at the SUBSTRING
     level, the document survives minus its duplicated runs).
 
-    Linear shape: tokens and span positions each explode once, one equi
-    anti-join on (id, pos), one ordered re-aggregation per doc. Docs
-    without spans pass through; a doc whose every token is flagged
-    yields an empty string (never a dropped row)."""
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    Linear shape: tokens and span positions each explode once (for the
+    TOUCHED docs only), one equi anti-join on (id, pos), one ordered
+    re-aggregation per touched doc. Docs without spans pass through with
+    their ORIGINAL text verbatim (cleaning must not normalize the whole
+    corpus as a side effect — r02 review finding); a touched doc is
+    rebuilt at token granularity (lowercased, punctuation-split — the
+    same normalization its spans were computed under, documented), and a
+    doc whose every token is flagged yields an empty string (never a
+    dropped row)."""
+    touched = spans.select(F.col(id_col)).distinct()
+    toks = (
+        df.join(touched, id_col, "left_semi")
+        .select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
     )
     cut = spans.select(
         F.col(id_col),
@@ -1039,16 +1074,23 @@ def substring_dedup_apply(
                 lambda s: s.tok,
             ),
             " ",
-        ).alias("cleaned_text"),
-        F.count("*").alias("n_tokens_kept"),
+        ).alias("_rebuilt"),
+        F.count("*").alias("_n_kept"),
     )
+    is_touched = F.col("_touched").isNotNull()
     return (
-        df.select(F.col(id_col))
+        df.select(F.col(id_col), F.col(text_col))
+        .join(touched.withColumn("_touched", F.lit(True)), id_col, "left")
         .join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.when(is_touched, F.coalesce("_rebuilt", F.lit("")))
+            .otherwise(F.col(text_col))
+            .alias("cleaned_text"),
+            F.when(is_touched, F.coalesce("_n_kept", F.lit(0)))
+            .otherwise(F.size(tokens_col(text_col)))
+            .cast("long")
+            .alias("n_tokens_kept"),
         )
     )
 
@@ -1072,7 +1114,15 @@ def canonical_url_expr(url_col: str = "url"):
         (F.length(rest1) > 1) & ~rest1.contains("?") & rest1.endswith("/"),
         F.regexp_replace(rest1, r"/$", ""),
     ).otherwise(rest1)
-    return F.concat(scheme, F.lit("://"), host, rest)
+    # non-absolute / malformed URLs (relative paths, scheme-relative,
+    # mailto:, garbage) must NOT all collapse onto one key (':///' would
+    # merge them into a single keep-first group — silent mass dedup of
+    # unrelated rows); fall back to the raw string, so such rows dedup
+    # only on exact equality
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, rest),
+    ).otherwise(F.col(url_col))
 
 
 def url_dedup(

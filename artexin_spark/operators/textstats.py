@@ -284,12 +284,22 @@ def url_host(url_col):
 def domain_suffixes(host_col):
     """All parent-domain suffixes with >= 2 labels: a.b.example.com →
     [a.b.example.com, b.example.com, example.com]. Bounded fan-out (label
-    count), the scalable substitute for an endswith theta-join."""
+    count), the scalable substitute for an endswith theta-join.
+
+    Degenerate hosts are TOTAL, never a crash (one localhost URL must not
+    kill a 10^12-row curation job): a single-label host yields [host]
+    (so blocking 'localhost' works), an empty/unparseable host yields []
+    (matches nothing)."""
     c = F.col(host_col) if isinstance(host_col, str) else host_col
     parts = F.split(c, r"\.")
-    return F.transform(
+    multi = F.transform(
         F.sequence(F.lit(0), F.size(parts) - 2),
         lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
+    )
+    return (
+        F.when(c.isNull() | (c == ""), F.array().cast("array<string>"))
+        .when(F.size(parts) >= 2, multi)
+        .otherwise(F.array(c))
     )
 
 
@@ -332,7 +342,10 @@ def blocklist_filter(df: DataFrame, blocked, url_col: str = "url") -> DataFrame:
         )
         return df.join(hit, url_col, "left_anti").select(*df.columns)
     lit_blocked = F.array(*[F.lit(str(b).lower()) for b in blocked])
-    return df.filter(~F.arrays_overlap(sfx, lit_blocked))
+    # coalesce: a NULL url (NULL suffix array) must KEEP the row — it is
+    # not blocklisted — matching the DataFrame-blocklist path's anti-join
+    # semantics instead of silently dropping it through a NULL predicate
+    return df.filter(F.coalesce(~F.arrays_overlap(sfx, lit_blocked), F.lit(True)))
 
 
 # --- Gopher quality rules (Rae et al. 2021, Appendix A) ----------------------

@@ -286,6 +286,16 @@ def run_extract(
             n_buckets = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     sink_io.ensure_bucket_spec(sink, n_buckets)
 
+    if snapshot and not resume and sink_io.run_id_committed(spark, sink, run_id):
+        # immutable-run-dir contract: write_run_data(mode=overwrite) on a
+        # COMMITTED run would clobber data a published snapshot still
+        # references. A retry of an uncommitted crash may reuse its id
+        # (nothing references it yet); a committed one must not.
+        raise ValueError(
+            f"run_id {run_id!r} is already committed in {sink} — run dirs "
+            "are immutable once published; pass a new run_id (or resume=True)"
+        )
+
     prepared = prepare_input(df, n_buckets, source_col)
     if resume:
         done = sink_io.completed_buckets(spark, sink)
@@ -295,6 +305,27 @@ def run_extract(
             # an anti-join placed after mapInPandas cannot be pushed below
             # the opaque Python node, so it would re-extract and discard
             prepared = prepared.join(F.broadcast(done), "part_key", "left_anti")
+            # cheap pre-write guard (narrow scan, limit-1 early-out): a
+            # FULLY-resumed run must return before any write — the write
+            # below overwrites data/run=<run_id>, and if that id is
+            # already committed (idempotent retry of a finished job) the
+            # overwrite-then-cleanup would destroy data the published
+            # snapshot references (r02 review finding, empirically
+            # reproduced: read_snapshot PATH_NOT_FOUND after a resumed
+            # retry).
+            if prepared.select("part_key").limit(1).count() == 0:
+                result = {"run_id": run_id, "buckets": 0, "rows": 0, "errors": 0}
+                if snapshot:
+                    result["snapshot_id"] = sink_io.latest_snapshot_id(spark, sink)
+                return result
+    if snapshot and resume and sink_io.run_id_committed(spark, sink, run_id):
+        # partially-resumed work remains but this id is already published:
+        # writing the remaining buckets under the same dir would clobber
+        # the committed buckets the snapshot references
+        raise ValueError(
+            f"run_id {run_id!r} is already committed in {sink} but buckets "
+            "remain to extract — pass a fresh run_id for the remainder"
+        )
 
     # Per-bucket lineage counters fold task-side into this accumulator
     # during the single write action — ONE pass total: no read-back of

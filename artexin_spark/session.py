@@ -52,16 +52,21 @@ def get_spark(app_name: str = "artexin-spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
-    # local-mode shuffle/spill on tmpfs when RAM allows: the bucket
-    # repartition moves multi-GB of text through spark.local.dir, and a
-    # slow /tmp (overlayfs) taxes it. A real cluster sets its own SSD
-    # local dirs — this only affects single-host runs. Opt out with
-    # SPARK_LOCAL_DIR (takes precedence verbatim).
+    # local-mode shuffle/spill on tmpfs when RAM clearly allows: the
+    # bucket repartition moves multi-GB of text through spark.local.dir,
+    # and a slow /tmp (overlayfs) taxes it. A real cluster sets its own
+    # SSD local dirs — this only affects single-host runs. The 64 GiB
+    # floor is deliberate headroom, not a fit check: tmpfs pages compete
+    # with the heap and the check runs once at startup, so a job whose
+    # shuffle outgrows /dev/shm mid-run would hit ENOSPC where plain
+    # /tmp would have completed — prefer missing the speedup on small
+    # hosts over failing big jobs. Opt out (or point at fast disk) with
+    # SPARK_LOCAL_DIR; SPARK_LOCAL_DIR="" forces the Spark default.
     local_dir = os.environ.get("SPARK_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
         try:
             st = os.statvfs("/dev/shm")
-            if st.f_bavail * st.f_frsize >= 16 << 30:
+            if st.f_bavail * st.f_frsize >= 64 << 30:
                 local_dir = "/dev/shm/artexin-spark-local"
         except OSError:
             pass

@@ -148,6 +148,16 @@ def _read_manifest(spark: SparkSession, sink: str) -> DataFrame | None:
         return None  # no snapshot committed yet
 
 
+def run_id_committed(spark: SparkSession, sink: str, run_id: str) -> bool:
+    """True when a published snapshot references ``run_id`` — its data
+    dir is then IMMUTABLE (overwriting it would corrupt committed
+    reads)."""
+    man = _read_manifest(spark, sink)
+    if man is None:
+        return False
+    return man.filter(F.col("run_id") == run_id).limit(1).count() > 0
+
+
 def latest_snapshot_id(spark: SparkSession, sink: str) -> int | None:
     """Highest committed snapshot id, or None when nothing is committed."""
     man = _read_manifest(spark, sink)

@@ -252,3 +252,32 @@ def test_sniffed_formats_resolve_via_reference_extension_map():
     for fmt in ("PNG", "BMP", "GIF", "JPEG"):
         assert fmt in IEXTENSIONS
         assert IEXTENSIONS[fmt] == C.EXTENSIONS[fmt]
+
+
+def test_png_decompression_bomb_rejected_bounded():
+    """A valid-CRC PNG claiming 2x2 whose IDAT inflates to ~64 MB must be
+    rejected WITHOUT materializing the stream (bounded decompressobj)."""
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    bomb_raw = b"\x00" * (64 << 20)  # compresses ~65000:1
+    png = (
+        C.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bomb_raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert len(png) < 200_000  # the payload itself is small
+    with pytest.raises(ValueError, match="size mismatch"):
+        C.decode_png(png)
+    # absurd claimed dims are rejected before any inflate
+    huge = (
+        C.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 16, 1 << 15, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", b"x")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large"):
+        C.decode_png(huge)

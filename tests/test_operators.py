@@ -1374,3 +1374,60 @@ def test_mixture_sample_partitioning_invariant(spark):
     k1 = {r.doc_id for r in sp.mixture_sample(df, w).collect()}
     k2 = {r.doc_id for r in sp.mixture_sample(df.repartition(7), w).collect()}
     assert k1 == k2 and len(k1) > 0
+
+
+def test_substring_apply_passthrough_preserves_untouched_docs(spark):
+    """Docs without flagged spans return their ORIGINAL text verbatim —
+    case, punctuation, whitespace intact (cleaning must not normalize
+    the whole corpus as a side effect)."""
+    words = lambda a, b: " ".join(f"tok{i}" for i in range(a, b))
+    rows = [
+        (1, "Hello, World! This is Fine.\n\nSecond para?"),
+        (2, words(0, 40)),
+        (3, words(0, 25) + " " + words(900, 920)),  # dups doc 2's run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.substring_dedup_spans(df, window=20)
+    out = {r.doc_id: r for r in dedup.substring_dedup_apply(df, spans).collect()}
+    assert out[1].cleaned_text == rows[0][1]  # byte-identical passthrough
+    assert out[2].cleaned_text == rows[1][1]  # kept-first also untouched
+    assert out[3].cleaned_text == words(900, 920)  # only the copy rebuilt
+
+
+def test_blocklist_filter_total_on_degenerate_urls(spark):
+    """One localhost/garbage/NULL URL must neither crash the job nor be
+    silently dropped (r02 review findings: slice() crash on single-label
+    hosts; NULL predicate dropping unblocked rows). Single-label hosts
+    ARE blockable by exact name."""
+    rows = [
+        (1, "http://localhost/x"),
+        (2, "not a url at all"),
+        (3, None),
+        (4, "http://bad.example.org/y"),
+        (5, "http://ok.example.net/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r.doc_id for r in textstats.blocklist_filter(df, ["example.org"]).collect()}
+    assert kept == {1, 2, 3, 5}  # only the blocklisted domain dropped
+    kept2 = {r.doc_id for r in textstats.blocklist_filter(df, ["localhost"]).collect()}
+    assert kept2 == {2, 3, 4, 5}  # single-label host blockable
+    # DataFrame-blocklist path agrees on the same degenerate corpus
+    bl = spark.createDataFrame([("example.org",)], "domain string")
+    kept3 = {r.doc_id for r in textstats.blocklist_filter(df, bl).collect()}
+    assert kept3 == kept
+
+
+def test_url_dedup_malformed_urls_do_not_collapse(spark):
+    """Malformed/non-absolute URLs must dedup only on exact string
+    equality — never all onto one ':///' key (r02 review finding)."""
+    rows = [
+        (1, "notaurl"), (2, "//ex.com/a"), (3, "mailto:x@y.z"),
+        (4, "notaurl"), (5, "http://ex.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.canonical_url: (r.doc_id, r.n_dups) for r in dedup.url_dedup(df).collect()}
+    assert out["notaurl"] == (1, 2)          # exact-equality dedup only
+    assert out["//ex.com/a"] == (2, 1)
+    assert out["mailto:x@y.z"] == (3, 1)
+    assert out["http://ex.com/a"] == (5, 1)
+    assert ":///" not in out

@@ -331,3 +331,48 @@ def test_run_extract_no_repartition_same_content(spark, corpus_pdf, tmp_path):
     lb = sink_io.read_lineage(spark, s2).toPandas().set_index("part_key")
     for col in ("n_rows", "n_errors", "n_chars_in", "n_chars_out"):
         assert (la[col].sort_index() == lb[col].sort_index()).all()
+
+
+def test_resumed_snapshot_retry_preserves_committed_run_dir(spark, corpus_pdf, tmp_path):
+    """Idempotent retry of a COMPLETED snapshot job (same run_id,
+    resume=True) must be a clean no-op that leaves the committed run
+    directory intact — the r02 review reproduced committed-data loss
+    here (overwrite-then-cleanup of data/run=R). Also: reusing a
+    committed run_id without resume must fail fast, and a partial resume
+    under a committed id must fail rather than clobber."""
+    import pytest as _pytest
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(corpus_pdf.head(300))
+    r1 = run_extract(spark, df, sink, n_buckets=8, snapshot=True, run_id="R")
+    n = sink_io.read_snapshot(spark, sink).count()
+    assert n == 300 and r1["snapshot_id"] == 1
+
+    retry = run_extract(
+        spark, df, sink, n_buckets=8, snapshot=True, run_id="R", resume=True
+    )
+    assert retry["rows"] == 0 and retry["snapshot_id"] == 1
+    assert sink_io.read_snapshot(spark, sink).count() == 300  # data intact
+
+    with _pytest.raises(ValueError, match="already committed"):
+        run_extract(spark, df, sink, n_buckets=8, snapshot=True, run_id="R")
+
+    # partial resume under a committed id: a sink whose committed run R
+    # covers only half the buckets leaves real work — proceeding would
+    # overwrite R's dir, so it must refuse
+    sink2 = str(tmp_path / "sink2")
+    from artexin_spark.pipeline import prepare_input
+
+    half = (
+        prepare_input(spark.createDataFrame(corpus_pdf), 8, "source")
+        .filter(F.col("part_key") < 4)
+        .drop("part_key", "source")
+    )
+    run_extract(spark, half, sink2, n_buckets=8, snapshot=True, run_id="R")
+    n2 = sink_io.read_snapshot(spark, sink2).count()
+    with _pytest.raises(ValueError, match="buckets remain"):
+        run_extract(
+            spark, spark.createDataFrame(corpus_pdf), sink2, n_buckets=8,
+            snapshot=True, run_id="R", resume=True,
+        )
+    assert sink_io.read_snapshot(spark, sink2).count() == n2  # intact
