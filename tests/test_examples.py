@@ -67,3 +67,18 @@ def test_doc_query_counts_match_registry():
         assert int(claim) == n
     for claim in re.findall(r"(\d+)/(\d+) `__spark_entry__.queries\(\)`", bench):
         assert int(claim[0]) == int(claim[1]) == n
+
+
+def test_incremental_ingest_example():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "incremental_ingest.py")],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "hour 2:" in r.stdout and "dropped_as_dup=" in r.stdout
+    # the hour-2 replay MUST be caught by the committed signatures
+    import re as _re
+
+    m = _re.search(r"hour 2:.*dropped_as_dup=(\d+)", r.stdout)
+    assert m and int(m.group(1)) > 0, r.stdout
