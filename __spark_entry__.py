@@ -1289,6 +1289,24 @@ def q_redact_secrets(spark, sf_dir):
     return rd.redact_secrets(planted)
 
 
+def q_unicode_quality(spark, sf_dir):
+    """Encoding-health gate over a corpus with PLANTED mojibake: every
+    7th doc gets U+FFFD scars, every 11th gets control characters — the
+    ratios and the pass flag mirror in SQL exactly."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\ufffd\ufffdbad"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\x01\x02ctl"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ts.unicode_quality(planted)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Cross-run incremental dedup (r01 VERDICT item 5): commit the base
     corpus's minhash signatures to a snapshot table, then dedup a NEW
@@ -2131,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_turns": q_coalesce_turns,
         "turn_windows": q_turn_windows,
         "redact_secrets": q_redact_secrets,
+        "unicode_quality": q_unicode_quality,
         # Driver-green in CORRECTNESS_r01:
         "extract_transcript": q_extract_transcript,
         "sql_extract": q_sql_extract,
@@ -3309,6 +3328,29 @@ SELECT doc_id, t4 AS clean_text,
   CAST(n_bearer_tokens AS INT) AS n_bearer_tokens,
   CAST(n_cards AS INT) AS n_cards
 FROM s4
+"""
+
+_ORACLES["unicode_quality"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+    substr(text, 1, 80)
+    || (CASE WHEN doc_id % 7 = 0 THEN chr(65533) || chr(65533) || 'bad'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN chr(1) || chr(2) || 'ctl'
+             ELSE '' END) AS text
+  FROM documents),
+f AS (SELECT doc_id,
+        greatest(length(text), 1) AS n,
+        length(text) - length(replace(text, chr(65533), '')) AS repl,
+        length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS ctrl
+      FROM planted)
+SELECT doc_id,
+       round(repl * 1.0 / n, 6) AS replacement_ratio,
+       round(ctrl * 1.0 / n, 6) AS control_ratio,
+       (round(repl * 1.0 / n, 6) <= 0.001 AND round(ctrl * 1.0 / n, 6) <= 0.001)
+         AS passes
+FROM f
 """
 
 _ORACLES["incremental_dedup"] = f"""

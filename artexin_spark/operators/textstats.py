@@ -524,3 +524,28 @@ def unigram_logprob_score(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+def unicode_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-health gate (the C4-style mojibake filter): ratios of
+    U+FFFD replacement characters (the scar a bad charset transcode
+    leaves) and of non-whitespace C0/C1 control characters, plus a
+    composite pass flag. Pure projection, zero shuffle — one regex scan
+    per class."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c), F.lit(1))
+    repl = F.length(c) - F.length(F.regexp_replace(c, "�", ""))
+    ctrl = F.length(c) - F.length(
+        F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.round(repl / n, 6).alias("replacement_ratio"),
+        F.round(ctrl / n, 6).alias("control_ratio"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("replacement_ratio") <= 0.001) & (F.col("control_ratio") <= 0.001),
+    )

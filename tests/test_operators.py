@@ -1431,3 +1431,19 @@ def test_url_dedup_malformed_urls_do_not_collapse(spark):
     assert out["mailto:x@y.z"] == (3, 1)
     assert out["http://ex.com/a"] == (5, 1)
     assert ":///" not in out
+
+
+def test_unicode_quality_flags_mojibake(spark):
+    rows = [
+        (1, "perfectly clean text here"),
+        (2, "scarred ��� transcode " + "x" * 20),
+        (3, "ctl\x01\x02chars" + "y" * 20),
+        (4, "tabs\tand\nnewlines are fine " + "z" * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.unicode_quality(df).collect()}
+    assert out[1].passes and out[4].passes  # whitespace controls exempt
+    assert not out[2].passes and out[2].replacement_ratio > 0.05
+    assert not out[3].passes and out[3].control_ratio > 0.05
+    plan = textstats.unicode_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
