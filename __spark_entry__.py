@@ -1053,7 +1053,12 @@ def q_substring_dedup(spark, sf_dir):
     PLANTED cross-doc shared prefixes (30 tokens of a source doc + a
     distinct tail): the copies' overlapping windows flag and merge into
     maximal [start_tok, end_tok) spans; the first (lowest-id) occurrence
-    of each run is kept."""
+    of each run is kept.
+
+    Runs the PRODUCTION hasher (hash_mode='rolling', the linear
+    Karp-Rabin path): span output is hash-scheme-independent (equal
+    windows hash equal under rolling and md5 alike), so the md5-based
+    DuckDB oracle value-checks the rolling path cross-engine."""
     docs = _docs(spark, sf_dir)
     base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
     toks = dd.tokens_col("text")
@@ -1109,7 +1114,12 @@ def q_url_dedup(spark, sf_dir):
 def q_substring_apply(spark, sf_dir):
     """The removal half of the Lee et al. substring operator: flagged
     spans cut out of each doc, survivors rejoined — gated on the cleaned
-    text's md5 so the whole spans→tokens→rebuild path is value-checked."""
+    text's md5 so the whole spans→tokens→rebuild path is value-checked.
+    Uses the md5 oracle-twin hasher: apply references the spans frame
+    three times, and without a persist (queries here must stay pure
+    plans for the driver) the rolling UDF would re-evaluate per
+    reference; span semantics are hasher-independent and the rolling
+    hasher itself is driver-gated via `substring_dedup`."""
     docs = _docs(spark, sf_dir)
     base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
     toks = dd.tokens_col("text")
@@ -1125,7 +1135,7 @@ def q_substring_apply(spark, sf_dir):
         )
     )
     corpus = base.unionByName(planted)
-    spans = dd.substring_dedup_spans(corpus, window=20)
+    spans = dd.substring_dedup_spans(corpus, window=20, hash_mode="md5")
     out = dd.substring_dedup_apply(corpus, spans)
     return out.select(
         "doc_id",

@@ -27,6 +27,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # Tokenization used by all text dedup ops — MUST stay in lockstep with the
@@ -597,6 +598,81 @@ def simhash_dedup(
 
 # --- exact substring dedup (Lee et al. 2021) ---------------------------------
 
+# Karp-Rabin polynomial base for rolling window hashes: odd → invertible
+# mod 2^64, so prefix hashes can be position-normalized with cumulative
+# inverse powers (the trick that makes the whole per-doc computation
+# vectorized numpy, no per-token Python loop).
+_KR_BASE = 0x9E3779B97F4A7C15
+_KR_BASE_INV = pow(_KR_BASE, -1, 1 << 64)
+
+
+def _rolling_window_hash_udf(window: int):
+    """Vectorized Arrow UDF: per-doc token-hash array (array<long>) →
+    Karp-Rabin hashes of every ``window``-token window (array<long>).
+
+    Linear-time formulation (the r02 VERDICT item-2 swap: the md5 twin
+    materializes O(tokens × window) strings; this does O(tokens) integer
+    ops): with B odd and arithmetic mod 2^64 (native uint64 wraparound),
+
+        q[i]   = sum_{j<i} th[j] * B^-j          (prefix, cumsum of
+                                                  th * cumprod(B^-1))
+        h[i]   = (q[i+w] - q[i]) * B^i * B^(w-1)  (canonical poly hash
+                                                  of window [i, i+w))
+
+    — every step is a numpy cumprod/cumsum/elementwise op over the whole
+    doc, so a 100k-token document costs ~5 vector passes, not 100k Python
+    iterations. Power tables are grown geometrically and shared across
+    the Arrow batch. Equal windows always hash equal; distinct windows
+    collide at ~2^-64 over the effectively-random xxhash64 token inputs
+    (mod-2^64 poly hashes are only adversarially weak, which dedup
+    tolerates: a collision merely over-flags one window)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def roll(th_series: pd.Series) -> pd.Series:
+        err = np.seterr(over="ignore")  # mod-2^64 wraparound IS the modulus
+        try:
+            B = np.uint64(_KR_BASE)
+            Binv = np.uint64(_KR_BASE_INV)
+            Bw1 = np.uint64(pow(_KR_BASE, window - 1, 1 << 64))
+            pows = {
+                "b": np.array([1], dtype=np.uint64),
+                "i": np.array([1], dtype=np.uint64),
+            }
+
+            def powers(tag, base, n):
+                cur = pows[tag]
+                if len(cur) < n:
+                    grow = max(n, 2 * len(cur))
+                    tail = cur[-1] * np.cumprod(
+                        np.full(grow - len(cur), base, dtype=np.uint64)
+                    )
+                    cur = np.concatenate([cur, tail])
+                    pows[tag] = cur
+                return cur
+
+            out = []
+            for th in th_series:
+                if th is None:
+                    out.append([])
+                    continue
+                th = np.asarray(th, dtype=np.int64).view(np.uint64)
+                n = len(th)
+                if n < window:
+                    out.append([])
+                    continue
+                m = n - window + 1
+                q = np.empty(n + 1, dtype=np.uint64)
+                q[0] = 0
+                np.cumsum(th * powers("i", Binv, n)[:n], out=q[1:])
+                h = (q[window:] - q[:m]) * powers("b", B, m)[:m] * Bw1
+                out.append(h.view(np.int64))
+            return pd.Series(out)
+        finally:
+            np.seterr(**err)
+
+    return roll
+
 
 def substring_dedup_spans(
     df: DataFrame,
@@ -604,6 +680,7 @@ def substring_dedup_spans(
     id_col: str = "doc_id",
     window: int = 50,
     max_df: int | None = 10000,
+    hash_mode: str = "rolling",
 ) -> DataFrame:
     """Maximal duplicated-substring spans at ``window``-token granularity
     — the bucketed token-window approximation of Lee et al. 2021's
@@ -625,37 +702,65 @@ def substring_dedup_spans(
     on the hash (first-occurrence filter) and per-doc window merges.
     No pairwise doc joins anywhere. ``max_df`` drops boilerplate hashes
     (licence headers at 10^7 df) before the join, same cap as the
-    shingle paths. md5 keeps the oracle cross-engine; production would
-    swap a 64-bit binary rolling hash (Karp-Rabin) at this seam."""
+    shingle paths.
+
+    ``hash_mode`` picks the window hasher — identical output spans either
+    way (equal windows hash equal under both; collisions ~2^-64):
+
+    - ``"rolling"`` (default, the 100 TB path): per-token xxhash64
+      JVM-side, then a linear Karp-Rabin rolling hash in ONE vectorized
+      Arrow stage — O(tokens) per doc (see ``_rolling_window_hash_udf``).
+    - ``"md5"``: ``md5(array_join(slice(toks, i, window)))`` per window —
+      O(tokens × window) string materialization, kept ONLY as the
+      cross-engine oracle twin (DuckDB computes the identical hashes) and
+      the equivalence baseline for the rolling path's property tests."""
+    if hash_mode not in ("rolling", "md5"):
+        raise ValueError(f"hash_mode must be 'rolling' or 'md5', not {hash_mode!r}")
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
-    win_hashes = F.when(
-        F.size("_toks") >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - window),
-            lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if hash_mode == "md5":
+        win_hashes = F.when(
+            F.size("_toks") >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - window),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        # per-token 64-bit hashes stay JVM-side (one native transform);
+        # only the narrow array<long> crosses into Arrow for the O(n) roll
+        toks = toks.select(
+            F.col(id_col),
+            F.transform("_toks", lambda t: F.xxhash64(t)).alias("_toks"),
+        )
+        win_hashes = _rolling_window_hash_udf(window)(F.col("_toks"))
     occ = toks.select(
         F.col(id_col), F.posexplode(win_hashes).alias("pos", "wh")
     )
-    grp = occ.groupBy("wh").agg(
-        F.count("*").alias("df"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
-    )
-    dup_hashes = grp.filter(F.col("df") >= 2)
-    if max_df:
-        dup_hashes = dup_hashes.filter(F.col("df") <= max_df)
-    flagged = (
-        occ.join(dup_hashes, "wh")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col("first." + id_col))
-                & (F.col("pos") == F.col("first.pos"))
-            )
-        )
-        .select(F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end"))
-    )
     from pyspark.sql.window import Window
+
+    # df + first-occurrence as WINDOW aggregates over wh partitions, not a
+    # groupBy + self-join back on wh: the join form instantiates the occ
+    # subtree (scan + tokenize + window hashing) TWICE in the plan — the
+    # two branches' exchanges differ (one has a partial agg below it) so
+    # exchange reuse never fires and the corpus is hashed twice. One
+    # window pass = one shuffle on wh, one hash evaluation. Per-wh groups
+    # are df-sized (≤ max_df), so no partition-skew risk from the sort.
+    wh_w = Window.partitionBy("wh")
+    ann = occ.select(
+        F.col(id_col),
+        "pos",
+        F.count("*").over(wh_w).alias("df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh_w).alias("first"),
+    )
+    dup = ann.filter(F.col("df") >= 2)
+    if max_df:
+        dup = dup.filter(F.col("df") <= max_df)
+    flagged = dup.filter(
+        ~(
+            (F.col(id_col) == F.col("first." + id_col))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    ).select(F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end"))
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1048,7 +1153,11 @@ def substring_dedup_apply(
 
     Linear shape: tokens and span positions each explode once (for the
     TOUCHED docs only), one equi anti-join on (id, pos), one ordered
-    re-aggregation per touched doc. Docs without spans pass through with
+    re-aggregation per touched doc. NOTE: ``spans`` is referenced three
+    times in this plan (touched-doc semi-join, touched flag, position
+    cut) — at scale, persist()/checkpoint the spans frame (it is tiny:
+    one row per flagged span, not per token) before calling, or Spark
+    re-derives it per reference. Docs without spans pass through with
     their ORIGINAL text verbatim (cleaning must not normalize the whole
     corpus as a side effect — r02 review finding); a touched doc is
     rebuilt at token granularity (lowercased, punctuation-split — the

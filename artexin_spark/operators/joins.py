@@ -132,8 +132,10 @@ def salted_join(
     """Skew-defusing equi-join (the explicit salting pattern the 100 TB
     north rule calls for when AQE's runtime skew split isn't enough —
     e.g. one poison key holding >1 executor-heap of fact rows). The fact
-    side gets a deterministic per-row salt (whole-row xxhash64, stable
-    under task retries); the dim side is replicated ``n_salt`` times, so
+    side gets a deterministic per-row salt (whole-row xxhash64 — a pure
+    function of row content, so stable under task retries and speculative
+    attempts; byte-identical duplicate rows share one salt, see body
+    comment); the dim side is replicated ``n_salt`` times, so
     a hot key's rows spread over ``n_salt`` shuffle partitions instead of
     pinning one task. Dim replication costs |dim| × n_salt — use for
     MEDIUM dims too big to broadcast; broadcast small ones instead.
@@ -147,13 +149,18 @@ def salted_join(
     if "_salt" in fact.columns or "_salt" in dim.columns:
         # clobbering a caller's _salt would silently join on the wrong key
         raise ValueError("input already carries a _salt column — rename it")
-    # mix a per-row disambiguator into the salt: a hot key duplicated as
-    # byte-identical rows (a common skew shape) would otherwise hash every
-    # copy to ONE salt and still pin a single reducer. mono_id is
-    # (partition_id << 33 | row_pos) — deterministic per recomputation of
-    # a stable input partitioning, so retries re-derive the same salt.
+    # deterministic whole-row salt: xxhash64 over every fact column is a
+    # pure function of row CONTENT, so a fetch-failure map-stage
+    # recomputation or speculative attempt re-derives the identical salt
+    # (the salt is a shuffle join key — a retry-unstable salt such as
+    # monotonically_increasing_id would duplicate or drop fact rows).
+    # Known limitation, accepted for determinism: BYTE-IDENTICAL duplicate
+    # fact rows all hash to one salt and stay on one reducer. Any per-row
+    # index that would spread them (mono_id, partition offset) depends on
+    # physical layout and breaks under recomputation; if exact-duplicate
+    # skew is the bottleneck, dedup-with-count first, join, then re-explode.
     salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in fact.columns]),
+        F.xxhash64(*[F.col(c) for c in fact.columns]),
         F.lit(n_salt),
     )
     f = fact.withColumn("_salt", salt.cast("int"))

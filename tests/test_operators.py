@@ -1047,13 +1047,62 @@ def test_substring_dedup_plan_no_cartesian(spark):
         [(i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(20)],
         "doc_id long, text string",
     )
-    plan = (
-        dedup.substring_dedup_spans(df, window=10)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "EvalPython" not in plan and "MapInPandas" not in plan  # all native
+    for mode, n_py in (("rolling", 1), ("md5", 0)):
+        plan = (
+            dedup.substring_dedup_spans(df, window=10, hash_mode=mode)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # rolling: exactly ONE vectorized Arrow crossing (the O(n) roll);
+        # md5 (oracle twin): fully native. Never row-at-a-time Python.
+        # (executedPlan toString prints "ArrowEvalPython [exprs]")
+        assert "BatchEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == n_py, (mode, plan)
+
+
+def test_substring_rolling_equals_md5_spans(spark):
+    """The Karp-Rabin rolling hasher and the md5 oracle twin must produce
+    IDENTICAL span output (equal windows hash equal under both schemes) —
+    random corpora with planted shared runs, several window sizes, plus
+    the degenerate shapes (short docs, null text, repeated tokens)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"tok{i}" for i in range(200)]
+    shared = {
+        w: " ".join(rng.choice(vocab) for _ in range(w + rng.randrange(25)))
+        for w in (5, 20)
+    }
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 80)))
+        if i % 3 == 0:
+            body = shared[20] + " " + body
+        if i % 4 == 0:
+            body = body + " " + shared[5] + " " + shared[20]
+        if i % 7 == 0:
+            body = "same same same same same " * 8  # repeated-token runs
+        rows.append((i, body))
+    rows.append((97, None))  # null text
+    rows.append((98, ""))
+    rows.append((99, "one two"))  # sub-window doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for window in (5, 20):
+        got = {
+            (r.doc_id, r.start_tok, r.end_tok)
+            for r in dedup.substring_dedup_spans(
+                df, window=window, hash_mode="rolling"
+            ).collect()
+        }
+        want = {
+            (r.doc_id, r.start_tok, r.end_tok)
+            for r in dedup.substring_dedup_spans(
+                df, window=window, hash_mode="md5"
+            ).collect()
+        }
+        assert got == want, (window, got ^ want)
+        assert want  # the planted runs guarantee a non-trivial comparison
 
 
 def test_domain_ops_suffix_matching(spark):
@@ -1076,32 +1125,38 @@ def test_domain_ops_suffix_matching(spark):
     assert kept2 == kept  # both paths agree
 
 
-def test_salted_join_spreads_duplicate_hot_rows(spark):
-    """Byte-identical duplicates of a hot key (the common skew shape)
-    must spread over many salts — the per-row disambiguator, not the row
-    content, drives the salt. Also: a pre-existing _salt column is
-    rejected instead of silently clobbered."""
+def test_salted_join_salt_is_deterministic_and_spreads_distinct_rows(spark):
+    """The salt is a pure function of row CONTENT (whole-row xxhash64):
+    recomputing it — as a map-stage retry or speculative attempt would —
+    yields the identical assignment, and distinct rows of one hot KEY
+    spread over many salts. Byte-identical duplicate rows sharing one
+    salt is the documented limitation of determinism (a per-row index
+    such as monotonically_increasing_id would spread them but re-derive
+    DIFFERENT salts on recomputation, duplicating/dropping join rows).
+    Also: a pre-existing _salt column is rejected, not clobbered."""
     from artexin_spark.operators.joins import salted_join
 
-    fact = spark.range(4000).selectExpr("cast(1 as int) k", "cast(7 as long) v")
+    # one hot key, 4000 DISTINCT rows (v varies) — the realistic skew shape
+    fact = spark.range(4000).selectExpr("cast(1 as int) k", "id as v")
     dim = spark.createDataFrame([(1, 10)], "k int, d long")
     n_salt = 16
-    salts = (
-        fact.withColumn(
-            "_s",
-            F.pmod(
-                F.xxhash64(F.monotonically_increasing_id(), "k", "v"),
-                F.lit(n_salt),
-            ),
-        )
-        .groupBy("_s")
-        .count()
-    )
+    salt_expr = F.pmod(F.xxhash64("k", "v"), F.lit(n_salt))
+    salts = fact.withColumn("_s", salt_expr).groupBy("_s").count()
     sizes = [r["count"] for r in salts.collect()]
-    assert len(sizes) >= n_salt - 2  # identical rows land on many salts
+    assert len(sizes) >= n_salt - 2  # hot key's rows land on many salts
     assert max(sizes) < 4000  # never one reducer
+    # determinism under recomputation: re-deriving the salt on a
+    # differently-partitioned copy of the same rows gives the same map
+    a = dict(fact.withColumn("_s", salt_expr).select("v", "_s").collect())
+    b = dict(
+        fact.repartition(7).withColumn("_s", salt_expr).select("v", "_s").collect()
+    )
+    assert a == b
     out = salted_join(fact, dim, ["k"], n_salt=n_salt)
-    assert out.count() == 4000  # join semantics intact under duplication
+    assert out.count() == 4000
+    # byte-identical duplicates: correctness intact (one salt, same rows)
+    dup = spark.range(100).selectExpr("cast(1 as int) k", "cast(7 as long) v")
+    assert salted_join(dup, dim, ["k"], n_salt=n_salt).count() == 100
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="_salt"):
