@@ -960,6 +960,12 @@ def test_incremental_dedup_never_rereads_history_text(spark, tmp_path):
     assert schemas, plan  # history IS read from parquet
     for s in schemas:
         assert "sig" in s and "text" not in s, s
+    # the survivor anti-joins must NOT force a broadcast of the dropped-id
+    # set (its size is bounded only by the increment's dup rate — a forced
+    # broadcast OOMs the driver on a high-dup 10^9-row increment); AQE
+    # picks the strategy at runtime instead (r02 VERDICT item 3)
+    logical = surv._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
     assert {r[0] for r in surv.select("doc_id").collect()} == {100}
 
 

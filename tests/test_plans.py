@@ -103,6 +103,20 @@ def test_embedding_near_dup_lsh_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # shuffle discipline: the bucket exchange moves (table_idx, bucket,
+    # id) ONLY — the embedding vector must never ride through a
+    # partitioning on the bucket key (it rejoins once, by id, for the
+    # exact-cosine verify). r02 VERDICT item 4.
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "bucket" in keys or "table_idx" in keys:
+            assert "embedding" not in keys and "vec#" not in keys, keys
+    # and no Exchange output row should carry the vector alongside bucket
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line and "bucket" in line:
+            assert "embedding" not in line, line
 
 
 def test_no_query_uses_per_row_python(spark):
