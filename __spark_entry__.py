@@ -1048,6 +1048,24 @@ def q_blocklist_filter(spark, sf_dir):
     return out.select("doc_id", ts.url_host("url").alias("domain"))
 
 
+def q_blocklist_large(spark, sf_dir):
+    """Blocklist curation on the SCALE-OUT path (r02 VERDICT item 6):
+    the blocklist is a DataFrame joined in mode='shuffle' — no broadcast
+    hint anywhere, so a 10^8+-entry list never has to fit in driver or
+    executor memory; the narrow (url, domain) suffix frame and the list
+    shuffle on domain and AQE picks the physical join. Same parent-
+    domain suffix semantics as the literal path (plan-gated both modes
+    in tests/test_plans.py)."""
+    docs = _docs(spark, sf_dir).withColumn("url", _synth_url())
+    bl = spark.range(0, 20, 3).select(
+        F.concat(F.lit("d"), F.col("id").cast("string"), F.lit(".example.com")).alias(
+            "domain"
+        )
+    )
+    out = ts.blocklist_filter(docs, bl, mode="shuffle")
+    return out.select("doc_id", ts.url_host("url").alias("domain"))
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact substring dedup at 20-token granularity over a corpus with
     PLANTED cross-doc shared prefixes (30 tokens of a source doc + a
@@ -2111,8 +2129,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Driver-unchecked in r01 registered first so CORRECTNESS_r02
-        # covers them (VERDICT.md 'Next round' item 1).
+        # Registry ORDER = driver-verdict priority (the driver checks the
+        # first ~50): r03 additions and r03-changed queries first, then
+        # the r01-verified back half rotated forward (r02 VERDICT item 1).
+        "blocklist_large": q_blocklist_large,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "skew_salted_join": q_skew_salted_join,
@@ -3140,6 +3160,23 @@ x AS (SELECT doc_id, domain,
 SELECT doc_id, domain FROM x
 WHERE NOT list_has_any(sfx,
       ['d3.example.org', 'd4.example.com', 'www.d1.example.org'])
+"""
+
+_ORACLES["blocklist_large"] = f"""
+WITH d AS (SELECT doc_id, {_SQL_SYNTH_URL} AS url FROM documents),
+h AS (SELECT doc_id, lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain
+      FROM d),
+s AS (SELECT doc_id, domain, string_split(domain, '.') AS parts FROM h),
+x AS (SELECT doc_id, domain,
+        list_transform(generate_series(1, len(parts) - 1),
+                       i -> array_to_string(parts[i:len(parts)], '.')) AS sfx
+      FROM s),
+bl AS (SELECT 'd' || i || '.example.com' AS domain
+       FROM generate_series(0, 19, 3) AS g(i)),
+hits AS (SELECT DISTINCT doc_id
+         FROM x, unnest(x.sfx) AS u(sfx1), bl WHERE sfx1 = bl.domain)
+SELECT doc_id, domain FROM x WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 _ORACLES["substring_dedup"] = f"""

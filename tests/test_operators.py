@@ -1129,6 +1129,53 @@ def test_domain_ops_suffix_matching(spark):
     bl_df = spark.createDataFrame([(d,) for d in blocked], "domain string")
     kept2 = {r[0] for r in textstats.blocklist_filter(df, bl_df).collect()}
     assert kept2 == kept  # both paths agree
+    for mode in ("shuffle", "auto"):
+        kept3 = {
+            r[0]
+            for r in textstats.blocklist_filter(df, bl_df, mode=mode).collect()
+        }
+        assert kept3 == kept, mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        textstats.blocklist_filter(df, bl_df, mode="bogus")
+
+
+def test_blocklist_modes_plan_shapes(spark):
+    """Both DataFrame-blocklist strategies are plan-gated (r02 VERDICT
+    item 6): mode='broadcast' must probe the list map-side
+    (BroadcastHashJoin on the semi), mode='shuffle' must carry NO
+    broadcast hint — with auto-broadcast disabled it degrades to a
+    shuffled join, the 10^8-entry shape that never pins the list in
+    one memory."""
+    df = spark.createDataFrame(
+        [(i, f"http://d{i % 7}.example.org/p") for i in range(100)],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("d3.example.org",)], "domain string")
+
+    def _plan(mode):
+        out = textstats.blocklist_filter(df, bl, mode=mode)
+        return out._jdf.queryExecution().executedPlan().toString(), out
+
+    plan_b, _ = _plan("broadcast")
+    assert "BroadcastHashJoin" in plan_b and "LeftSemi" in plan_b, plan_b
+    logical = (
+        textstats.blocklist_filter(df, bl, mode="shuffle")
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in logical, logical
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_s, out_s = _plan("shuffle")
+        assert "BroadcastHashJoin" not in plan_s, plan_s
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s, plan_s
+        assert {r[0] for r in out_s.collect()} == {
+            i for i in range(100) if i % 7 != 3
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
 def test_salted_join_salt_is_deterministic_and_spreads_distinct_rows(spark):
