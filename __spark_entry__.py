@@ -2086,6 +2086,62 @@ def q_merge_upsert(spark, sf_dir):
         shutil.rmtree(sink, ignore_errors=True)
 
 
+def q_ingest_errors(spark, sf_dir):
+    """Malformed-input ingestion (r02 VERDICT item 7): JSON-Lines
+    transcripts with PLANTED broken-syntax lines (doc_id%10==0) and
+    schema-mismatch lines (doc_id%10==5) read through the PERMISSIVE
+    bad_record channel — every line becomes exactly one row (bad lines
+    keep their raw text in-band, fields null where unparseable), no job
+    kill. Gated on the parse outcome AND the verbatim raw-line md5."""
+    import shutil
+    import tempfile
+
+    from artexin_spark.pipeline import BAD_RECORD_COL, read_transcripts
+
+    d = F.col("doc_id").cast("string")
+    good_line = F.concat(
+        F.lit('{"conv_id": "c-'), d,
+        F.lit('", "turn_idx": '), d,
+        F.lit(', "role": "user", "text": "payload '), d,
+        F.lit('", "tool": null, "ts": null}'),
+    )
+    broken_line = F.concat(F.lit('{"conv_id": "c-'), d, F.lit('", BROKEN'))
+    mismatch_line = F.concat(
+        F.lit('{"conv_id": "c-'), d,
+        F.lit('", "turn_idx": "x'), d,
+        F.lit('", "role": "user", "text": "payload '), d,
+        F.lit('", "tool": null, "ts": null}'),
+    )
+    m = F.col("doc_id") % 10
+    lines = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.when(m == 0, broken_line)
+            .when(m == 5, mismatch_line)
+            .otherwise(good_line)
+            .alias("value")
+        )
+    )
+    src = tempfile.mkdtemp(prefix="artexin_ingest_err_")
+    try:
+        lines.write.mode("overwrite").text(src)
+        got = read_transcripts(spark, src, "json")
+        out = got.select(
+            F.col("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.col(BAD_RECORD_COL).isNotNull().alias("is_bad"),
+            F.md5(F.coalesce(F.col(BAD_RECORD_COL), F.col("text"))).alias(
+                "payload_md5"
+            ),
+        ).collect()
+        return spark.createDataFrame(
+            out, "conv_id string, turn_idx long, is_bad boolean, payload_md5 string"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def q_compaction(spark, sf_dir):
     """Small-file compaction as a snapshot commit: two runs (half, then
     full) leave the live table spanning two run directories; compact_
@@ -2133,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first ~50): r03 additions and r03-changed queries first, then
         # the r01-verified back half rotated forward (r02 VERDICT item 1).
         "blocklist_large": q_blocklist_large,
+        "ingest_errors": q_ingest_errors,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "skew_salted_join": q_skew_salted_join,
@@ -3177,6 +3234,21 @@ bl AS (SELECT 'd' || i || '.example.com' AS domain
 hits AS (SELECT DISTINCT doc_id
          FROM x, unnest(x.sfx) AS u(sfx1), bl WHERE sfx1 = bl.domain)
 SELECT doc_id, domain FROM x WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+_ORACLES["ingest_errors"] = """
+SELECT
+  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 'c-' || doc_id END AS conv_id,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE doc_id END AS turn_idx,
+  doc_id % 10 IN (0, 5) AS is_bad,
+  md5(CASE WHEN doc_id % 10 = 0
+           THEN '{"conv_id": "c-' || doc_id || '", BROKEN'
+           WHEN doc_id % 10 = 5
+           THEN '{"conv_id": "c-' || doc_id || '", "turn_idx": "x' || doc_id
+                || '", "role": "user", "text": "payload ' || doc_id
+                || '", "tool": null, "ts": null}'
+           ELSE 'payload ' || doc_id END) AS payload_md5
+FROM documents WHERE doc_id < 100
 """
 
 _ORACLES["substring_dedup"] = f"""

@@ -51,6 +51,15 @@ def main() -> None:
         default=None,
         help="streaming checkpoint dir (required with --stream)",
     )
+    ap.add_argument(
+        "--bad-records",
+        default=None,
+        help="quarantine dir for malformed json/csv lines (PERMISSIVE "
+        "bad_record channel): offending raw lines are written there as "
+        "JSON and counted in the stats; without it, bad rows still flow "
+        "in-band (null fields -> extraction error column) — one bad "
+        "line never kills the job either way",
+    )
     args = ap.parse_args()
 
     # absolute imports: spark-submit executes this file as a plain script
@@ -78,9 +87,18 @@ def main() -> None:
         print(json.dumps({"mode": "stream", "snapshot_id": sid, "rows": n}))
         spark.stop()
         return
-    from artexin_spark.pipeline import read_transcripts
+    from artexin_spark.pipeline import read_transcripts, split_ingest_errors
 
     df = read_transcripts(spark, args.input, args.input_format)
+    n_bad = None
+    df, bad = split_ingest_errors(df)
+    if bad is not None and args.bad_records:
+        # materializing the quarantine costs one extra scan of the text
+        # source — explicit opt-in; the count then reads the (tiny)
+        # quarantine back with a DECLARED schema (inference would fail
+        # on an empty quarantine), never the source a third time
+        bad.write.mode("overwrite").json(args.bad_records)
+        n_bad = spark.read.schema(bad.schema).json(args.bad_records).count()
     stats = run_extract(
         spark,
         df,
@@ -91,6 +109,8 @@ def main() -> None:
         run_id=args.run_id,
         snapshot=args.snapshot,
     )
+    if n_bad is not None:
+        stats["ingest_bad_records"] = n_bad
     print(json.dumps(stats))
     spark.stop()
 

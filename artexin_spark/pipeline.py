@@ -51,33 +51,74 @@ TRANSCRIPT_DDL = (
 )
 
 
+#: In-band ingestion error column for the text formats (json/csv): a line
+#: that fails to parse against the declared schema lands here VERBATIM and
+#: the row survives with null fields — one bad line must degrade one row,
+#: never kill a 100 TB job (the reference's in-band-error rule,
+#: artexin/pack.py:205-213, applied to ingestion; r02 VERDICT item 7).
+BAD_RECORD_COL = "bad_record"
+
+
 def read_transcripts(spark, path: str, fmt: str = "parquet"):
     """Multi-format transcript source with the DECLARED schema — never
     inference: at 100 TB an inference pass is a full extra scan, and a
     drifted file silently widening a column is exactly the failure the
     write-point schema enforcement exists to prevent. Extra columns in
-    parquet (e.g. ``source``) survive; json/csv read the canonical six.
-    ``prepare_input`` downstream still fail-fasts on missing columns."""
+    parquet (e.g. ``source``) survive; json/csv read the canonical six
+    plus the PERMISSIVE ``bad_record`` error channel (malformed lines
+    and schema-mismatched values keep their raw text there; the columnar
+    formats carry their own checksums, so a corrupt parquet/orc block is
+    an infrastructure failure, not a data row). ``prepare_input``
+    downstream still fail-fasts on missing columns."""
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "orc":  # the other columnar interchange Spark ships natively
         return spark.read.orc(path)
     if fmt == "json":  # JSON Lines, the common transcript interchange
-        return spark.read.schema(TRANSCRIPT_DDL).json(path)
+        return (
+            spark.read.schema(f"{TRANSCRIPT_DDL}, {BAD_RECORD_COL} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", BAD_RECORD_COL)
+            .json(path)
+        )
     if fmt == "csv":
         # nullValue '\\N': CSV can't natively distinguish NULL from '' and
         # both occur in transcripts ('' is an error-channel payload) — the
         # conventional marker keeps them distinct; produce files with
         # write.option('nullValue', '\\N') for exact round trips
         return (
-            spark.read.schema(TRANSCRIPT_DDL)
+            spark.read.schema(f"{TRANSCRIPT_DDL}, {BAD_RECORD_COL} string")
             .option("header", "true")
             .option("multiLine", "true")  # HTML payloads carry newlines
             .option("escape", '"')
             .option("nullValue", "\\N")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", BAD_RECORD_COL)
             .csv(path)
         )
     raise ValueError(f"unsupported transcript format {fmt!r}")
+
+
+def split_ingest_errors(df: DataFrame) -> tuple[DataFrame, DataFrame | None]:
+    """Split a transcript read into (good, bad) on the in-band
+    ``bad_record`` channel. ``bad`` is None for formats without the
+    channel (parquet/orc). The good frame drops the channel column, so
+    downstream schemas are unchanged; the bad frame keeps every column
+    (nulled fields + the raw offending line) for quarantine/audit — the
+    badRecordsPath pattern without needing a vendor runtime. Both frames
+    are plain filters over ONE logical source; writing the bad side is a
+    second scan, so only materialize it when quarantine is requested.
+
+    Caveat (Spark UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN):
+    a query whose only scan reference is the corrupt column is disallowed
+    — ``bad.count()`` prunes to exactly that. Write the quarantine first
+    (all columns referenced), then count the written output, as the CLI
+    does."""
+    if BAD_RECORD_COL not in df.columns:
+        return df, None
+    good = df.filter(F.col(BAD_RECORD_COL).isNull()).drop(BAD_RECORD_COL)
+    bad = df.filter(F.col(BAD_RECORD_COL).isNotNull())
+    return good, bad
 
 _EXTRACT_OUT_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, ts timestamp, "

@@ -315,6 +315,66 @@ def test_read_transcripts_json_and_csv_match_parquet(spark, corpus_pdf, tmp_path
         read_transcripts(spark, base, "xml")
 
 
+def test_corrupt_text_lines_land_in_band_not_job_kill(spark, tmp_path):
+    """One malformed json/csv line must degrade ONE row (raw line kept in
+    the bad_record channel, fields null), never raise — and the good rows
+    around it parse untouched (r02 VERDICT item 7). Covers both broken
+    syntax and schema-mismatched values, and the split_ingest_errors
+    quarantine seam."""
+    from artexin_spark.pipeline import (
+        BAD_RECORD_COL,
+        read_transcripts,
+        split_ingest_errors,
+    )
+
+    jpath = str(tmp_path / "j")
+    (tmp_path / "j").mkdir()
+    (tmp_path / "j" / "part0.json").write_text(
+        '{"conv_id": "c-0", "turn_idx": 0, "role": "user", "text": "<p>ok</p>", "tool": null, "ts": null}\n'
+        '{"conv_id": "c-1", BROKEN JSON LINE\n'
+        '{"conv_id": "c-2", "turn_idx": "not_an_int", "role": "user", "text": "x", "tool": null, "ts": null}\n'
+        '{"conv_id": "c-3", "turn_idx": 3, "role": "assistant", "text": "<p>also ok</p>", "tool": null, "ts": null}\n'
+    )
+    df = read_transcripts(spark, jpath, "json")
+    rows = df.collect()  # must NOT raise
+    assert len(rows) == 4
+    bad = {r["conv_id"]: r for r in rows if r[BAD_RECORD_COL] is not None}
+    good = {r["conv_id"] for r in rows if r[BAD_RECORD_COL] is None}
+    assert good == {"c-0", "c-3"}
+    # broken-syntax line: whole line verbatim, conv_id unparsed (null key)
+    assert any("BROKEN JSON LINE" in r[BAD_RECORD_COL] for r in bad.values())
+    # schema-mismatch line: raw line kept too (PERMISSIVE semantics)
+    assert any("not_an_int" in r[BAD_RECORD_COL] for r in bad.values())
+    g, b = split_ingest_errors(df)
+    # collect(), not count(): Spark disallows queries whose only scan
+    # reference is the corrupt-record column (column pruning would turn
+    # count() into exactly that) — documented on split_ingest_errors
+    assert BAD_RECORD_COL not in g.columns and len(g.collect()) == 2
+    assert len(b.collect()) == 2
+
+    cpath = str(tmp_path / "c")
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "part0.csv").write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        'c-0,0,user,"<p>ok</p>",\\N,\\N\n'
+        "c-1,NOT_AN_INT,user,x,\\N,\\N\n"
+        'c-2,2,assistant,"<p>fine</p>",\\N,\\N\n'
+    )
+    cdf = read_transcripts(spark, cpath, "csv")
+    crows = cdf.collect()
+    assert len(crows) == 3
+    cbad = [r for r in crows if r[BAD_RECORD_COL] is not None]
+    assert len(cbad) == 1 and "NOT_AN_INT" in cbad[0][BAD_RECORD_COL]
+    # parquet/orc have no channel: split is identity
+    pq = str(tmp_path / "p.parquet")
+    spark.createDataFrame(
+        [("c", 1, "user", "t", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(pq)
+    g2, b2 = split_ingest_errors(read_transcripts(spark, pq, "parquet"))
+    assert b2 is None and g2.count() == 1
+
+
 def test_run_extract_no_repartition_same_content(spark, corpus_pdf, tmp_path):
     """The source-bucketed fast path (repartition=False) skips the payload
     shuffle but must produce an identical sink: same rows, same per-bucket

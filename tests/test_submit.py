@@ -76,3 +76,40 @@ def test_spark_submit_stream_mode_incremental(spark, tmp_path):
     out = sink_io.read_snapshot(spark, sink)
     assert out.count() == len(pdf)
     assert out.select("conv_id", "turn_idx").distinct().count() == len(pdf)
+
+
+def test_spark_submit_json_bad_records_quarantine(spark, tmp_path):
+    """Corrupt JSON-Lines input through the REAL job: bad lines are
+    quarantined to --bad-records (verbatim), counted in the stats, and
+    the good rows extract normally — one bad line never kills the run."""
+    src = str(tmp_path / "in_json")
+    os.makedirs(src)
+    good = [
+        '{"conv_id": "c-%d", "turn_idx": %d, "role": "user", '
+        '"text": "<p>turn %d body</p>", "tool": null, "ts": null}' % (i, i, i)
+        for i in range(8)
+    ]
+    bad = ['{"conv_id": "c-bad", NOPE', '{"conv_id": "c-x", "turn_idx": "y"}']
+    with open(os.path.join(src, "part0.json"), "w") as f:
+        f.write("\n".join(good[:4] + bad[:1] + good[4:] + bad[1:]) + "\n")
+    sink = str(tmp_path / "sink")
+    quarantine = str(tmp_path / "bad")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_DRIVER_MEM="3g",
+               SPARK_SHUFFLE_PARTITIONS="8")
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "bench", "run.sh"), src, sink,
+         "--buckets", "4", "--input-format", "json",
+         "--bad-records", quarantine, "--source-col", "source"],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["ingest_bad_records"] == 2
+    assert stats["rows"] == 8 and stats["errors"] == 0
+    qdf = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, bad_record string"
+    ).json(quarantine)
+    lines = {r["bad_record"] for r in qdf.collect()}
+    assert lines == set(bad)  # raw offending lines, verbatim
