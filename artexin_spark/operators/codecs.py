@@ -361,7 +361,10 @@ def encode_bmp(px: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# GIF / JPEG — dimension sniffing only (entropy decode out of scope)
+# GIF / JPEG — dimensions + full container-structure verify (entropy
+# decode out of scope; the structure walk is what PIL's Image.verify()
+# gives — every segment/block boundary checked to the trailer, so a
+# corrupt body can't ride out on a valid header; r02 ADVICE item)
 # ---------------------------------------------------------------------------
 
 
@@ -370,6 +373,62 @@ def gif_dimensions(payload) -> tuple[int, int]:
     if len(b) < 10 or not b.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("gif: bad header")
     return struct.unpack("<HH", b[6:10])
+
+
+def gif_verify_structure(payload) -> int:
+    """Walk every GIF block to the 0x3B trailer: logical screen
+    descriptor, color tables, image descriptors with their LZW
+    sub-block chains, extensions. Returns the image (frame) count.
+    Truncation, an unknown block introducer, or a missing trailer raise
+    ValueError — LZW entropy contents are NOT decoded (out of scope,
+    same contract as the JPEG walk)."""
+    b = bytes(payload)
+    if len(b) < 13 or not b.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("gif: bad header")
+    pos = 6
+    _w, _h, flags, _bg, _aspect = struct.unpack("<HHBBB", b[pos : pos + 7])
+    pos += 7
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+
+    def sub_blocks(p: int) -> int:
+        while True:
+            if p >= len(b):
+                raise ValueError("gif: truncated sub-block chain")
+            ln = b[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+            if p > len(b):
+                raise ValueError("gif: truncated sub-block chain")
+
+    frames = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("gif: missing trailer")
+        intro = b[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            if frames == 0:
+                raise ValueError("gif: no image frame before trailer")
+            return frames
+        if intro == 0x21:  # extension: label + sub-blocks
+            if pos >= len(b):
+                raise ValueError("gif: truncated extension")
+            pos = sub_blocks(pos + 1)
+        elif intro == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ValueError("gif: truncated image descriptor")
+            iflags = b[pos + 8]
+            pos += 9
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            if pos >= len(b):
+                raise ValueError("gif: truncated image data")
+            pos = sub_blocks(pos + 1)  # skip LZW min-code-size byte
+            frames += 1
+        else:
+            raise ValueError(f"gif: unknown block introducer 0x{intro:02x}")
 
 
 def jpeg_dimensions(payload) -> tuple[int, int]:
@@ -396,6 +455,59 @@ def jpeg_dimensions(payload) -> tuple[int, int]:
             return w, h
         pos += 2 + seg_len
     raise ValueError("jpeg: no SOF frame header found")
+
+
+def jpeg_verify_structure(payload) -> None:
+    """Walk every JPEG segment — lengths honored, marker sync enforced,
+    entropy-coded scan data skipped via byte-stuffing rules — all the
+    way to EOI. A payload whose body is garbage past the SOF header
+    fails here instead of sailing through on header dims. Entropy
+    DECODE stays out of scope: this validates container structure
+    (PIL Image.verify() scope), not DCT contents."""
+    b = bytes(payload)
+    n = len(b)
+    if n < 4 or not b.startswith(b"\xff\xd8"):
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    saw_sof = saw_sos = False
+    while True:
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated before EOI")
+        if b[pos] != 0xFF:
+            raise ValueError("jpeg: marker sync lost")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            if not (saw_sof and saw_sos):
+                raise ValueError("jpeg: EOI before SOF/SOS")
+            return
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0x00 or marker == 0xFF:
+            raise ValueError("jpeg: invalid marker")
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment length")
+        (seg_len,) = struct.unpack(">H", b[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError("jpeg: segment overruns payload")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 7:
+                raise ValueError("jpeg: truncated SOF")
+            saw_sof = True
+        pos += seg_len
+        if marker == 0xDA:  # SOS: skip entropy-coded data to next marker
+            saw_sos = True
+            while True:
+                if pos + 1 >= n:
+                    raise ValueError("jpeg: truncated scan data")
+                if b[pos] != 0xFF:
+                    pos += 1
+                    continue
+                nxt = b[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2  # stuffed byte / restart marker: still scan data
+                    continue
+                break  # real marker: outer loop handles it
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,13 @@ def decode_image(payload: bytes) -> dict:
         # bytes, size claims), not just the header — a corrupt body
         # must land in the error column, never ship bogus metadata
         codecs.decode_pixels(payload)
+    elif fmt == "GIF":
+        # full block walk to the trailer (entropy contents out of scope)
+        # — header-only acceptance reported ok=True for arbitrary
+        # garbage bodies (r02 ADVICE); PIL-verify() scope now
+        codecs.gif_verify_structure(payload)
+    elif fmt == "JPEG":
+        codecs.jpeg_verify_structure(payload)
     return {"format": fmt, "width": width, "height": height}
 
 
@@ -173,20 +180,29 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 def make_gif_stub(width: int, height: int) -> bytes:
-    """Header-real GIF: correct logical screen descriptor + trailer —
-    dimension sniffing works; pixel decode is declared out of scope."""
+    """STRUCTURE-real GIF: logical screen descriptor, global color
+    table, one image descriptor with a terminated LZW sub-block chain,
+    trailer — the full block walk in ``gif_verify_structure`` passes;
+    only the LZW entropy CONTENTS are arbitrary (decode out of scope)."""
     return (
         b"GIF89a"
         + _struct.pack("<HH", width, height)
         + b"\xf0\x00\x00"  # GCT flag + background + aspect
         + b"\x00\x00\x00\xff\xff\xff"  # 2-entry color table
+        + b"\x2c"  # image descriptor
+        + _struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # no local color table
+        + b"\x02"  # LZW minimum code size
+        + b"\x01\x44\x00"  # one data sub-block + terminator
         + b"\x3b"  # trailer
     )
 
 
 def make_jpeg_stub(width: int, height: int) -> bytes:
-    """Header-real JPEG: SOI + JFIF APP0 + SOF0 frame header + EOI —
-    dimension sniffing works; entropy decode is declared out of scope."""
+    """STRUCTURE-real JPEG: SOI + JFIF APP0 + SOF0 + SOS + entropy bytes
+    + EOI — every segment boundary valid so ``jpeg_verify_structure``
+    walks it to EOI; only the entropy CONTENTS are arbitrary (DCT decode
+    out of scope)."""
     app0 = b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
     sof = (
         b"\xff\xc0"
@@ -195,7 +211,8 @@ def make_jpeg_stub(width: int, height: int) -> bytes:
         + _struct.pack(">HH", height, width)
         + b"\x01\x01\x11\x00"
     )
-    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    sos = b"\xff\xda" + _struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof + sos + b"\x12\x34" + b"\xff\xd9"
 
 
 ASSET_DIMS = [(16, 12), (32, 24), (24, 24), (8, 20)]

@@ -411,13 +411,21 @@ def run_extract(
     if snapshot:
         snap_id = sink_io.commit_snapshot(spark, sink, run_id)
 
+    # counter_source marks HOW these numbers were derived: "accumulator"
+    # rows are task-side folds from the single write action — exact in
+    # the normal case, but a lost-shuffle stage re-execution or a
+    # speculative attempt can double-count them (documented on
+    # _LineageAccumParam). Audit/resume consumers that need exactly-once
+    # counts can distinguish these from any future sink-derived
+    # ("readback") restatement instead of trusting a bare number.
     lineage = spark.createDataFrame(
         [
-            (run_id, int(k), int(v[0]), int(v[1]), int(v[2]), int(v[3]), float(v[4]), "ok")
+            (run_id, int(k), int(v[0]), int(v[1]), int(v[2]), int(v[3]), float(v[4]), "ok", "accumulator")
             for k, v in sorted(counters.items())
         ],
         "run_id string, part_key int, n_rows long, n_errors long, "
-        "n_chars_in long, n_chars_out long, wall_ms double, status string",
+        "n_chars_in long, n_chars_out long, wall_ms double, status string, "
+        "counter_source string",
     ).withColumn("finished_at", F.current_timestamp())
     sink_io.append_lineage(lineage, sink)
 

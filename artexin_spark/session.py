@@ -72,4 +72,25 @@ def get_spark(app_name: str = "artexin-spark", cpus: int | None = None) -> Spark
             pass
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+        # say so out loud (stderr, once per process): an ENOSPC mid-job
+        # on a tmpfs local dir is bewildering unless the chosen dir is
+        # on record — r02 ADVICE item on diagnosability
+        global _LOCAL_DIR_ANNOUNCED
+        if not _LOCAL_DIR_ANNOUNCED:
+            _LOCAL_DIR_ANNOUNCED = True
+            import sys
+
+            print(
+                f"artexin-spark: spark.local.dir={local_dir}"
+                + (
+                    " (tmpfs auto-selected; set SPARK_LOCAL_DIR to override, "
+                    'SPARK_LOCAL_DIR="" for the Spark default)'
+                    if "SPARK_LOCAL_DIR" not in os.environ
+                    else ""
+                ),
+                file=sys.stderr,
+            )
     return builder.getOrCreate()
+
+
+_LOCAL_DIR_ANNOUNCED = False

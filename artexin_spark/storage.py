@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 LINEAGE_SCHEMA = (
     "run_id string, part_key int, n_rows long, n_errors long, "
     "n_chars_in long, n_chars_out long, wall_ms double, status string, "
-    "finished_at timestamp"
+    "counter_source string, finished_at timestamp"
 )
 
 

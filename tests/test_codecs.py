@@ -281,3 +281,83 @@ def test_png_decompression_bomb_rejected_bounded():
     )
     with pytest.raises(ValueError, match="too large"):
         C.decode_png(huge)
+
+
+# ---------------------------------------------------------------------------
+# GIF/JPEG full-structure verify (r02 ADVICE): a valid header no longer
+# vouches for an arbitrary body — the walk must reach the trailer/EOI
+# ---------------------------------------------------------------------------
+
+
+def _gif_full(w=5, h=3):
+    from artexin_spark.operators.multimodal import make_gif_stub
+
+    return make_gif_stub(w, h)
+
+
+def _jpeg_full(w=5, h=3):
+    from artexin_spark.operators.multimodal import make_jpeg_stub
+
+    return make_jpeg_stub(w, h)
+
+
+def test_gif_structure_walk_accepts_valid_rejects_corrupt():
+    assert C.gif_verify_structure(_gif_full()) == 1
+    # garbage body behind a valid header: previously sailed through on
+    # header dims, must now reject
+    with pytest.raises(ValueError):
+        C.gif_verify_structure(
+            b"GIF89a" + struct.pack("<HH", 123, 45) + b"\x00" * 10
+        )
+    for cut in (10, len(_gif_full()) - 1):  # truncations
+        with pytest.raises(ValueError):
+            C.gif_verify_structure(_gif_full()[:cut])
+    bad = bytearray(_gif_full())
+    bad[13 + 6] = 0x77  # image-descriptor introducer -> unknown block
+    with pytest.raises(ValueError, match="unknown block"):
+        C.gif_verify_structure(bytes(bad))
+
+
+def test_jpeg_structure_walk_accepts_valid_rejects_corrupt():
+    C.jpeg_verify_structure(_jpeg_full())
+    # EOI missing → truncated scan data
+    with pytest.raises(ValueError):
+        C.jpeg_verify_structure(_jpeg_full()[:-2])
+    # segment length lies past the end
+    b = bytearray(_jpeg_full())
+    b[4] = 0xFF  # APP0 length high byte
+    with pytest.raises(ValueError, match="overruns"):
+        C.jpeg_verify_structure(bytes(b))
+    # header-only stub (no SOS/EOI walk possible)
+    with pytest.raises(ValueError):
+        C.jpeg_verify_structure(_jfif())
+
+
+def test_gif_jpeg_structure_fuzz_never_escapes():
+    """Mutation fuzz: any single-byte corruption / truncation of a valid
+    container either still walks clean or raises ValueError — never a
+    different exception, never a hang (same invariant as the PNG/BMP/WAV
+    campaign; no checksums here, so well-formed-or-reject, not
+    exact-or-reject)."""
+    import random
+
+    rng = random.Random(99)
+    for make, verify in (
+        (_gif_full, C.gif_verify_structure),
+        (_jpeg_full, C.jpeg_verify_structure),
+    ):
+        base = make(9, 7)
+        for _ in range(2000):
+            b = bytearray(base)
+            op = rng.random()
+            if op < 0.45:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.8:
+                b = b[: rng.randrange(len(b))]
+            else:
+                pos = rng.randrange(len(b))
+                b = b[:pos] + bytes([rng.randrange(256)]) + b[pos:]
+            try:
+                verify(bytes(b))
+            except ValueError:
+                pass

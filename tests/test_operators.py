@@ -161,7 +161,7 @@ def test_multimodal_decode_plumbing(spark):
     assert {"PNG", "BMP", "GIF", "JPEG", "FAKE"} <= set(ok.format)
     # poison (truncation / CRC bit-flips) lands in-band with typed messages
     assert bad.error.str.contains(
-        "truncated|png|bmp|unrecognized|crc|inflate", regex=True
+        "truncated|png|bmp|gif|jpeg|unrecognized|crc|inflate", regex=True
     ).all()
 
 

@@ -99,6 +99,10 @@ def test_sink_lineage_and_resume(spark, corpus_pdf, tmp_path):
     # lineage wall times are real measurements
     assert (lin["wall_ms"] > 0).all()
     assert (lin["n_chars_in"] >= 0).all()
+    # every counter row declares its derivation (accumulator fold) so
+    # audit consumers can tell approximate-under-retry counts from any
+    # future exactly-once restatement (r02 ADVICE)
+    assert (lin["counter_source"] == "accumulator").all()
 
 
 def test_rerun_is_idempotent(spark, corpus_pdf, tmp_path):
