@@ -2185,63 +2185,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Registry ORDER = driver-verdict priority (the driver checks the
-        # first ~50): r03 additions and r03-changed queries first, then
-        # the r01-verified back half rotated forward (r02 VERDICT item 1).
+        # --- r03-CHANGED queries first: their operator code changed
+        # this round, so the driver verdict must be refreshed.
+        "substring_dedup": q_substring_dedup,
+        "substring_apply": q_substring_apply,
+        "skew_salted_join": q_skew_salted_join,
+        "embedding_near_dup": q_embedding_near_dup,
+        "incremental_dedup": q_incremental_dedup,
+        "multimodal_decode": q_multimodal_decode,
+        # --- r03 additions (first driver verdict).
         "blocklist_large": q_blocklist_large,
         "ingest_errors": q_ingest_errors,
-        "customer_distribution": q_customer_distribution,
-        "region_revenue": q_region_revenue,
-        "skew_salted_join": q_skew_salted_join,
-        "strip_links": q_strip_links,
-        "extract_spans": q_extract_spans,
-        "conv_rollup": q_conv_rollup,
-        "lsh_pairs": q_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "prep_dispatch": q_prep_dispatch,
-        "returned_orders": q_returned_orders,
-        "never_returned": q_never_returned,
-        "stream_extract": q_stream_extract,
-        "stream_windowed": q_stream_windowed,
-        "asset_resolution": q_asset_resolution,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "pdf_extract": q_pdf_extract,
-        "stateful_progress": q_stateful_progress,
-        "time_travel": q_time_travel,
-        "compaction": q_compaction,
-        "incremental_read": q_incremental_read,
-        "stats_skipping": q_stats_skipping,
-        "merge_upsert": q_merge_upsert,
-        # New in r02 (need their first driver verdict):
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "incremental_dedup": q_incremental_dedup,
-        "substring_dedup": q_substring_dedup,
-        "domain_stats": q_domain_stats,
-        "blocklist_filter": q_blocklist_filter,
-        "gopher_quality": q_gopher_quality,
-        "url_dedup": q_url_dedup,
-        "substring_apply": q_substring_apply,
-        "pipeline_e2e": q_pipeline_e2e,
-        "ngram_classifier": q_ngram_classifier,
-        "unigram_lm": q_unigram_lm,
-        "sequence_pack": q_sequence_pack,
-        "mixture_sample": q_mixture_sample,
-        "coalesce_turns": q_coalesce_turns,
-        "turn_windows": q_turn_windows,
-        "redact_secrets": q_redact_secrets,
-        "unicode_quality": q_unicode_quality,
-        # Driver-green in CORRECTNESS_r01:
-        "extract_transcript": q_extract_transcript,
-        "sql_extract": q_sql_extract,
-        "title_fastpath": q_title_fastpath,
-        "md5_hash": q_md5_hash,
+        # --- rotated forward (r02 VERDICT item 1): queries whose only
+        # driver verdict is r01 — the driver checks the first ~50, so
+        # these get r03 verdicts on current code.
         "content_key": q_content_key,
         "url_predicates": q_url_predicates,
         "date_serialize": q_date_serialize,
@@ -2287,6 +2244,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_blocking": q_entity_blocking,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        # --- r02-verified and unchanged since.
+        "customer_distribution": q_customer_distribution,
+        "region_revenue": q_region_revenue,
+        "strip_links": q_strip_links,
+        "extract_spans": q_extract_spans,
+        "conv_rollup": q_conv_rollup,
+        "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "prep_dispatch": q_prep_dispatch,
+        "returned_orders": q_returned_orders,
+        "never_returned": q_never_returned,
+        "stream_extract": q_stream_extract,
+        "stream_windowed": q_stream_windowed,
+        "asset_resolution": q_asset_resolution,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "pdf_extract": q_pdf_extract,
+        "stateful_progress": q_stateful_progress,
+        "time_travel": q_time_travel,
+        "compaction": q_compaction,
+        "incremental_read": q_incremental_read,
+        "stats_skipping": q_stats_skipping,
+        "merge_upsert": q_merge_upsert,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "domain_stats": q_domain_stats,
+        "blocklist_filter": q_blocklist_filter,
+        "gopher_quality": q_gopher_quality,
+        "url_dedup": q_url_dedup,
+        "pipeline_e2e": q_pipeline_e2e,
+        "ngram_classifier": q_ngram_classifier,
+        "unigram_lm": q_unigram_lm,
+        "sequence_pack": q_sequence_pack,
+        "mixture_sample": q_mixture_sample,
+        "coalesce_turns": q_coalesce_turns,
+        "turn_windows": q_turn_windows,
+        "redact_secrets": q_redact_secrets,
+        "unicode_quality": q_unicode_quality,
+        "extract_transcript": q_extract_transcript,
+        "sql_extract": q_sql_extract,
+        "title_fastpath": q_title_fastpath,
+        "md5_hash": q_md5_hash,
     }
 
 

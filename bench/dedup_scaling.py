@@ -1,0 +1,204 @@
+"""Dedup-operator scaling evidence (r02 VERDICT item 8 + item 2).
+
+The extraction path has two-parallelism scaling evidence (bench/
+scaling.py); this gives the DEDUP family its size-scaling evidence, and
+the substring-dedup hasher its window-cost evidence, from deterministic
+corpora synthesized out of the sf documents/embeddings tables (no
+external data):
+
+1. **Corpus-size scaling** — each dedup operator runs at two corpus
+   scales (default 4× and 16×); wall ratio ≈ scale ratio means linear
+   cost, the "no worse-than-linear surprises" gate. Scaled copies are
+   made mutually DISSIMILAR (every token suffixed with the copy index;
+   embedding vectors rotated per copy) so the duplicate-pair structure
+   per unit of corpus stays constant — naive replication would make
+   copies near-dups of each other and grow pair output quadratically,
+   measuring the corpus's dup rate instead of the operator.
+
+2. **Substring window sweep** — substring_dedup_spans at window 25 vs
+   100 on a long-doc corpus, both hashers: the md5 oracle twin does
+   O(tokens × window) work (wall grows ~linearly with window); the
+   Karp-Rabin rolling default is O(tokens) (wall ~flat). This is the
+   measured justification for the r03 hasher swap.
+
+3. **Doc-length scaling** — rolling-hash substring dedup at 10× doc
+   length must cost ~10× (linear in tokens), never ~window×tokens.
+
+Writes BENCH/dedup_scaling.json and prints one JSON line.
+Run: python bench/dedup_scaling.py  (env: SPARK_GRAFT_SF_DIR, SCALES)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALES = tuple(
+    int(s) for s in os.environ.get("SCALES", "4,16").split(",")
+)
+
+
+def scaled_docs(spark, scale: int):
+    """scale mutually-dissimilar copies of the documents corpus: copy r
+    suffixes EVERY token with 'x<r>', so no shingle survives across
+    copies (dup structure replicates per copy-space, never across)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r")
+    out = docs.select("doc_id", "text", r)
+    toks = F.split(F.col("text"), r"\s+")
+    return out.select(
+        (F.col("doc_id") * scale + F.col("r")).alias("doc_id"),
+        F.array_join(
+            F.transform(toks, lambda t: F.concat(t, F.lit("x"), F.col("r"))), " "
+        ).alias("text"),
+    )
+
+
+def scaled_embeddings(spark, scale: int):
+    """scale copies with per-copy vector ROTATION (rotated gaussians are
+    near-orthogonal, so copies never pair with each other)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = F.size("embedding")
+    out = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("r"),
+    )
+    rot = F.when(F.col("r") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), F.col("r") + 1, n - F.col("r")),
+            F.slice(F.col("embedding"), F.lit(1), F.col("r")),
+        )
+    )
+    return out.select(
+        (F.col("vec_id") * scale + F.col("r")).alias("vec_id"),
+        rot.alias("embedding"),
+    )
+
+
+def long_docs(spark, segments: int, n_docs: int = 400):
+    """~50·segments-token documents: per-doc text repeated ``segments``
+    times, every token suffixed with the segment index so a doc never
+    self-matches across segments (window hashes stay segment-local)."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < n_docs)
+    )
+    seg = F.sequence(F.lit(0), F.lit(segments - 1))
+    toks = F.split(F.col("text"), r"\s+")
+    body = F.array_join(
+        F.transform(
+            seg,
+            lambda s: F.array_join(
+                F.transform(toks, lambda t: F.concat(t, F.lit("s"), s)), " "
+            ),
+        ),
+        " ",
+    )
+    return docs.select("doc_id", body.alias("text"))
+
+
+def main() -> None:
+    from artexin_spark.operators import dedup as dd
+    from artexin_spark.session import get_spark
+
+    spark = get_spark("artexin-dedup-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(fn, warm: bool = True, reps: int = 2) -> float:
+        if warm:
+            fn()
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    result: dict = {"sf": SF_DIR, "scales": list(SCALES), "ops": {}}
+
+    # --- 1. corpus-size scaling ------------------------------------------
+    for scale in SCALES:
+        docs = scaled_docs(spark, scale).localCheckpoint()  # freeze input,
+        # so the synth explode isn't billed to the operator under test
+        emb = scaled_embeddings(spark, scale).localCheckpoint()
+        n_docs, n_vecs = docs.count(), emb.count()
+        ops = {
+            "minhash_dedup": lambda d=docs: dd.minhash_dedup(
+                d, k=16, bands=4, threshold=0.8
+            ).count(),
+            "simhash_pairs": lambda d=docs: dd.simhash_dedup(
+                d, max_hamming=3
+            ).count(),
+            "substring_rolling": lambda d=docs: dd.substring_dedup_spans(
+                d, window=20
+            ).count(),
+            "embedding_lsh": lambda e=emb: dd.embedding_near_dup_lsh(
+                e, threshold=0.9
+            ).count(),
+        }
+        for name, fn in ops.items():
+            result["ops"].setdefault(name, {})[f"x{scale}"] = {
+                "wall_s": timed(fn),
+                "rows_in": n_docs if name != "embedding_lsh" else n_vecs,
+            }
+
+    lo, hi = SCALES[0], SCALES[-1]
+    for name, vals in result["ops"].items():
+        t_lo, t_hi = vals[f"x{lo}"]["wall_s"], vals[f"x{hi}"]["wall_s"]
+        vals["wall_ratio"] = round(t_hi / t_lo, 2)
+        vals["size_ratio"] = round(hi / lo, 2)
+        # >1 = sub-linear (fixed costs amortizing), <1 = super-linear
+        vals["linearity"] = round((hi / lo) / (t_hi / t_lo), 2)
+
+    # --- 2. substring window sweep: md5 vs rolling ------------------------
+    ld = long_docs(spark, segments=20).localCheckpoint()
+    sweep: dict = {"n_docs": ld.count(), "windows": {}}
+    for window in (25, 100):
+        sweep["windows"][str(window)] = {
+            mode: timed(
+                lambda m=mode, w=window: dd.substring_dedup_spans(
+                    ld, window=w, hash_mode=m
+                ).count()
+            )
+            for mode in ("rolling", "md5")
+        }
+    w_lo, w_hi = sweep["windows"]["25"], sweep["windows"]["100"]
+    sweep["md5_window_cost_ratio"] = round(w_hi["md5"] / w_lo["md5"], 2)
+    sweep["rolling_window_cost_ratio"] = round(
+        w_hi["rolling"] / w_lo["rolling"], 2
+    )
+    result["substring_window_sweep"] = sweep
+
+    # --- 3. substring doc-length scaling (rolling) ------------------------
+    short = long_docs(spark, segments=2).localCheckpoint()
+    t_short = timed(lambda: dd.substring_dedup_spans(short, window=20).count())
+    t_long = timed(lambda: dd.substring_dedup_spans(ld, window=20).count())
+    result["substring_doclen"] = {
+        "tokens_ratio": 10.0,
+        "wall_short_s": t_short,
+        "wall_long_s": t_long,
+        "wall_ratio": round(t_long / t_short, 2),
+    }
+
+    out_path = os.path.join(REPO, "BENCH", "dedup_scaling.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
