@@ -1449,6 +1449,25 @@ def q_simhash_pairs(spark, sf_dir):
     return dd.simhash_dedup(both, max_hamming=3, bands=4)
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed spherical k-means (similarity.kmeans_fit): 2 Lloyd
+    iterations over the embeddings corpus, k=8, deterministic md5-hash
+    seed selection, quantize=6 (centroid components rounded engine-side
+    each update so any SQL engine replaying the algorithm sees
+    bit-identical inputs at every assignment). Output = per-dimension
+    centroid values + final membership counts; the DuckDB oracle unrolls
+    both iterations in SQL."""
+    fitted = sim.kmeans_fit(_emb(spark, sf_dir), k=8, iters=2, quantize=6)
+    return fitted.select(
+        "centroid_id", "n_members", F.posexplode("centroid").alias("pos", "val")
+    ).select(
+        "centroid_id",
+        "n_members",
+        "pos",
+        F.round("val", 6).alias("val"),
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN: broadcast centroid assign → inverted-list join →
     windowed top-k within the probed list (the 10^9-vector plan shape)."""
@@ -2196,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r03 additions (first driver verdict).
         "blocklist_large": q_blocklist_large,
         "ingest_errors": q_ingest_errors,
+        "kmeans": q_kmeans,
         # --- rotated forward (r02 VERDICT item 1): queries whose only
         # driver verdict is r01 — the driver checks the first ~50, so
         # these get r03 verdicts on current code.
@@ -3587,6 +3607,51 @@ SELECT id_a, id_b,
 FROM cand
 WHERE len(list_filter(generate_series(1, 32),
                       i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+"""
+
+_ORACLES["kmeans"] = """
+WITH seeds AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS centroid_id
+  FROM embeddings),
+c0 AS (SELECT centroid_id, embedding AS cent FROM seeds WHERE centroid_id < 8),
+a1 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, c0 c) WHERE rn = 1),
+d1 AS (
+  SELECT centroid_id, i - 1 AS pos, round(avg(embedding[i]), 6) AS m
+  FROM a1, generate_series(1, 64) g(i)
+  GROUP BY centroid_id, i),
+c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cent
+       FROM d1 GROUP BY centroid_id),
+c1f AS (SELECT c0.centroid_id, coalesce(c1.cent, c0.cent) AS cent
+        FROM c0 LEFT JOIN c1 USING (centroid_id)),
+a2 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, c1f c) WHERE rn = 1),
+d2 AS (
+  SELECT centroid_id, i - 1 AS pos, round(avg(embedding[i]), 6) AS m
+  FROM a2, generate_series(1, 64) g(i)
+  GROUP BY centroid_id, i),
+c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cent
+       FROM d2 GROUP BY centroid_id),
+c2f AS (SELECT c1f.centroid_id, coalesce(c2.cent, c1f.cent) AS cent
+        FROM c1f LEFT JOIN c2 USING (centroid_id)),
+n2 AS (SELECT centroid_id, count(*) AS n FROM a2 GROUP BY centroid_id)
+SELECT c2f.centroid_id,
+       coalesce(n2.n, 0) AS n_members,
+       g.i - 1 AS pos,
+       round(c2f.cent[g.i], 6) AS val
+FROM c2f LEFT JOIN n2 USING (centroid_id), generate_series(1, 64) g(i)
 """
 
 _ORACLES["ann_ivf"] = """

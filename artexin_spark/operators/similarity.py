@@ -344,6 +344,149 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = None,
+    init: str = "hash",
+) -> DataFrame:
+    """Distributed spherical k-means — the centroid TRAINER the IVF path
+    promises ("production swaps in sampled k-means centroids",
+    ``ivf_topk``). Lloyd iterations in the classic distributed shape:
+
+    - **init**: ``"hash"`` (default) takes the k vectors first in
+      md5-hash order of their id — a deterministic 'random' sample any
+      engine can reproduce (no RNG state; the oracle-pinned mode).
+      ``"spread"`` runs deterministic farthest-first traversal
+      (k-center greedy): start from the min-hash vector, then k-1
+      rounds each pick the vector with the LOWEST max-cosine to the
+      chosen set (one broadcast-join + top-1 job per round). Costs k
+      passes but never strands a tight cluster seedless — prefer it in
+      production (on a hash sample at 10^9 rows).
+    - **assign** (per iteration): centroids broadcast, argmax-cosine
+      per vector — a map-only pass over the corpus, the fat vector
+      column never shuffles (``ivf_assign``).
+    - **update**: new centroid = per-dimension mean of members, via ONE
+      narrow shuffle of (centroid_id, pos, val) rows — |V|·dim 8-byte
+      values, not vectors; partial aggregation map-side. A cluster that
+      loses every member keeps its previous centroid.
+    - centroids (k×dim floats) live on the driver between iterations —
+      that is the broadcast state every distributed k-means carries,
+      NOT a driver-side data loop.
+
+    Cosine argmax is norm-invariant, so centroids stay un-normalized
+    (plain member means). ``quantize`` rounds each centroid component
+    to that many decimals after every update — at 6, cross-engine float
+    noise (~1e-15 between Spark's and an oracle engine's mean) vanishes
+    so later assignments compare bit-identical inputs; clustering
+    quality is unaffected at any realistic scale.
+
+    At 10^9×1024-dim, train on a hash-sampled subset (standard practice
+    — centroid quality converges long before |V|), then one final
+    ``ivf_assign`` over the full corpus builds the inverted lists.
+
+    Returns (centroid_id int, centroid array<double>, n_members long) —
+    n_members from the LAST assignment."""
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    if init not in ("hash", "spread"):
+        raise ValueError(f"init must be 'hash' or 'spread', not {init!r}")
+    spark = vectors.sparkSession
+    counts: dict[int, int] = {}
+
+    def cents_df():
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())],
+            f"{id_col} int, {vec_col} array<double>",
+        )
+
+    if init == "hash":
+        seeds = (
+            vectors.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(f"corpus has {len(seeds)} vectors, need >= k={k}")
+        cents = {i: [float(x) for x in r[vec_col]] for i, r in enumerate(seeds)}
+    else:
+        first = (
+            vectors.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not first:
+            raise ValueError("corpus is empty, need >= k vectors")
+        cents = {0: [float(x) for x in first[0][vec_col]]}
+        base = vectors.select(
+            F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_vn")
+        )
+        for i in range(1, k):
+            c = cents_df().select(
+                F.col(vec_col).alias("_cv"), norm_expr(vec_col).alias("_cn")
+            )
+            closest = (
+                base.join(F.broadcast(c))
+                .select(
+                    id_col,
+                    vec_col,
+                    cosine_from_parts(
+                        dot_expr(vec_col, "_cv"), F.col("_vn"), F.col("_cn")
+                    ).alias("_cos"),
+                )
+                .groupBy(id_col)
+                .agg(F.max("_cos").alias("_closest"), F.first(vec_col).alias(vec_col))
+            )
+            pick = closest.orderBy(F.asc("_closest"), F.asc(id_col)).limit(1).collect()
+            if not pick:
+                raise ValueError(f"corpus has < k={k} vectors")
+            cents[i] = [float(x) for x in pick[0][vec_col]]
+
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents_df(), id_col, vec_col)
+        mean = F.avg("val")
+        if quantize is not None:
+            # engine-side HALF_UP rounding (matches SQL round()), never
+            # python round() (banker's) — the quantized value must be the
+            # same decimal in any engine replaying this algorithm
+            mean = F.round(mean, quantize)
+        dims = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(mean.alias("m"), F.count("*").alias("n"))
+        )
+        rows = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cent"),
+                F.first("n").alias("n"),
+            )
+            .collect()
+        )
+        counts = {cid: 0 for cid in cents}
+        for r in rows:  # k rows — centroid state, not data
+            cents[int(r["centroid_id"])] = [float(x) for x in r["cent"]]
+            counts[int(r["centroid_id"])] = int(r["n"])
+
+    return spark.createDataFrame(
+        [
+            (cid, cents[cid], counts.get(cid, 0))
+            for cid in sorted(cents)
+        ],
+        "centroid_id int, centroid array<double>, n_members long",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -351,17 +494,24 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into inverted lists by nearest
-    centroid, search only the query's own list (n_probe=1). Deterministic
+    centroid, search only the query's own list (n_probe=1). Default
     centroid seed = the first ``n_centroids`` corpus vectors, which keeps
-    an exact SQL oracle possible; production swaps in sampled k-means
-    centroids — the plan shape (broadcast centroids → map-side assign →
-    co-partitioned list join → windowed top-k) is unchanged.
+    an exact SQL oracle possible; pass ``centroids`` (a ``kmeans_fit``
+    result: centroid_id, centroid, ...) for trained lists — the plan
+    shape (broadcast centroids → map-side assign → co-partitioned list
+    join → windowed top-k) is unchanged either way.
 
     At 10^9 vectors the corpus assignment is written bucketed by
     centroid_id so queries join only their list's partitions."""
-    cents = corpus.filter(F.col(id_col) < n_centroids)
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("centroid_id").alias(id_col), F.col("centroid").alias(vec_col)
+        )
+    else:
+        cents = corpus.filter(F.col(id_col) < n_centroids)
     corpus_a = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -209,6 +209,69 @@ def test_ivf_assign_is_argmax(spark, emb):
     assert (own.vec_id == own.centroid_id).all()
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    """kmeans_fit on a corpus of k well-separated gaussian blobs must put
+    each blob in one cluster (spherical k-means with enough iterations),
+    keep the fat vector column out of the update shuffle, and feed
+    ivf_topk through the trained-centroids seam."""
+    import numpy as np
+
+    k, per, dim = 4, 60, 16
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((k, dim)) * 4.0
+    rows = []
+    for b in range(k):
+        for j in range(per):
+            v = centers[b] + 0.15 * rng.standard_normal(dim)
+            rows.append((b * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fitted = similarity.kmeans_fit(df, k=k, iters=4, init="spread")
+    out = fitted.toPandas()
+    assert len(out) == k and out.n_members.sum() == k * per
+    # every learned centroid aligns with exactly one true center
+    cents = np.array(out.centroid.tolist())
+    sims = (cents / np.linalg.norm(cents, axis=1, keepdims=True)) @ (
+        centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    ).T
+    best = sims.argmax(axis=1)
+    assert sorted(best.tolist()) == list(range(k))  # bijection
+    assert (sims.max(axis=1) > 0.99).all()
+    # members land with their blob: assignment via the trained centroids
+    assign = similarity.ivf_assign(df, fitted.select(
+        F.col("centroid_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )).toPandas()
+    blob_of = assign.vec_id // per
+    grp = assign.groupby("centroid_id").apply(
+        lambda g: (g.vec_id // per).nunique(), include_groups=False
+    )
+    assert (grp == 1).all()
+    # trained-centroid IVF path returns well-formed ranks
+    ivf = similarity.ivf_topk(
+        df, df.filter("vec_id < 3"), k=3, centroids=fitted
+    ).toPandas()
+    assert set(ivf.query_id) == {0, 1, 2}
+    # update shuffle carries only narrow (centroid_id, pos, val) rows —
+    # plan-gate the dim aggregation the trainer builds
+    assigned = similarity.ivf_assign(df, fitted.select(
+        F.col("centroid_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    ))
+    dims = (
+        assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+    )
+    plan = dims._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), m.group(1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k and iters"):
+        similarity.kmeans_fit(df, k=0)
+    with _pytest.raises(ValueError, match="need >= k"):
+        similarity.kmeans_fit(df.limit(2), k=4)
+
+
 def test_lsh_pairs_find_mutated_near_dups(spark, docs):
     """Appending a short tail keeps shingle-jaccard high: LSH banding must
     recover most (orig, mutated) pairs, and the estimate must be high."""
