@@ -1095,6 +1095,17 @@ def q_substring_dedup(spark, sf_dir):
     return dd.substring_dedup_spans(corpus, window=20)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (textstats.bm25_rank) for a 3-term query
+    over the documents corpus: one tokenize projection, per-term tf as
+    native array filters, corpus stats (N, avgdl, df) in ONE broadcast
+    scalar row, global top-10. ln() on integer counts keeps the idf
+    reproducible cross-engine."""
+    return ts.bm25_rank(
+        _docs(spark, sf_dir), ["hash", "merge", "window"], topk=10
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """The Gopher pre-training filter stack (Rae et al. 2021 App. A) as
     one native projection — features + composite pass flag, zero shuffle."""
@@ -2216,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_large": q_blocklist_large,
         "ingest_errors": q_ingest_errors,
         "kmeans": q_kmeans,
+        "bm25": q_bm25,
         # --- rotated forward (r02 VERDICT item 1): queries whose only
         # driver verdict is r01 — the driver checks the first ~50, so
         # these get r03 verdicts on current code.
@@ -3607,6 +3619,33 @@ SELECT id_a, id_b,
 FROM cand
 WHERE len(list_filter(generate_series(1, 32),
                       i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+"""
+
+_ORACLES["bm25"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, len(toks) AS dl,
+        len(list_filter(toks, x -> x = 'hash')) AS tf0,
+        len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        len(list_filter(toks, x -> x = 'window')) AS tf2
+      FROM t),
+s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM f),
+sc AS (SELECT doc_id,
+        ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+          * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+          * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+          * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+       FROM f, s)
+SELECT doc_id, round(score, 6) AS score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc WHERE score > 0)
+WHERE rank <= 10
 """
 
 _ORACLES["kmeans"] = """

@@ -190,6 +190,83 @@ def top_terms(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 ranking of the corpus for a bag-of-terms query (Robertson/
+    Sparck-Jones idf, the standard k1/b saturation) — the retrieval leg
+    a curation pipeline uses for targeted corpus slices ("find the docs
+    about X") next to the embedding ANN path.
+
+    Scale shape: ONE projection tokenizes each doc once; per-term tf is
+    a native array filter over that projected column (no explode of the
+    corpus for a handful of query terms); the corpus-level stats the
+    formula needs (N, avgdl, per-term df) reduce in ONE aggregate to a
+    single row that broadcast-crossjoins back — zero shuffles of
+    documents, one scalar exchange, then a global top-k (TakeOrdered,
+    no full sort). ln() on integer counts keeps idf reproducible in any
+    engine.
+
+    Scoring: sum over query terms of
+        idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)). Docs matching no
+    term score 0 and are excluded. Returns (id, score, rank)."""
+    terms = sorted({str(t).lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    def _tf(term: str):
+        # NB: a factory, not a default-arg lambda — pyspark binds EVERY
+        # lambda parameter as a lambda variable (a 2-arg filter lambda
+        # receives (element, index)), so `lambda t, term=term:` would
+        # silently compare tokens against the array INDEX
+        return F.size(F.filter("_toks", lambda t: t == F.lit(term)))
+
+    toked = df.select(F.col(id_col), tokens_col(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        *[_tf(term).alias(f"_tf{i}") for i, term in enumerate(terms)],
+    )
+    stats = toked.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = toked.join(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        part = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = part if score is None else score + part
+    ranked = (
+        scored.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(topk)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return ranked.select(
+        id_col, F.round("score", 6).alias("score")
+    ).withColumn("rank", F.row_number().over(w))
+
+
 def curate(
     df: DataFrame,
     eval_df: DataFrame,

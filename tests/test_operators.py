@@ -1618,3 +1618,30 @@ def test_unicode_quality_flags_mojibake(spark):
     assert not out[3].passes and out[3].control_ratio > 0.05
     plan = textstats.unicode_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_bm25_rank_semantics(spark):
+    """Higher tf of rarer terms wins; docs with no query term are absent;
+    rank is dense 1..n by (score desc, id)."""
+    rows = [
+        (1, "hash hash hash merge filler filler filler"),
+        (2, "hash filler filler filler filler filler filler"),
+        (3, "window only here with lots of other filler words around"),
+        (4, "nothing relevant at all in this one"),
+        (5, "merge merge window hash"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.bm25_rank(df, ["hash", "merge", "window"], topk=10).toPandas()
+    assert 4 not in set(out.doc_id)  # zero-score docs excluded
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    by_id = out.set_index("doc_id")
+    # doc 5 matches all three terms in a short doc: must beat doc 2
+    assert by_id.loc[5, "score"] > by_id.loc[2, "score"]
+    # tf saturation still orders 1 over 2 (3x hash + merge vs 1x hash)
+    assert by_id.loc[1, "score"] > by_id.loc[2, "score"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        textstats.bm25_rank(df, [])
+    # a query of absent terms returns an empty frame, never an error
+    assert textstats.bm25_rank(df, ["zzzgone"]).count() == 0
