@@ -509,13 +509,27 @@ def simhash_from(md5s, bits: int = SIMHASH_BITS):
     )
 
 
+def _token_hexes(text_col: str, bits: int):
+    """Per-token hex-nibble source for ``bits`` simhash bits: one md5 (32
+    nibbles) up to 32 bits, md5(t)+md5('~'+t) concatenated (64 nibbles)
+    above — the wide-signature path for corpora where a 2^(bits/bands)
+    band-key space would otherwise saturate (see simhash_dedup)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if bits <= 32:
+        return F.transform(tokens_col(text_col), lambda t: F.md5(t))
+    return F.transform(
+        tokens_col(text_col),
+        lambda t: F.concat(F.md5(t), F.md5(F.concat(F.lit("~"), t))),
+    )
+
+
 def add_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = SIMHASH_BITS) -> DataFrame:
     """Two-phase simhash: project token md5s ONCE (the costly part), then
     derive all bit positions from the projected array — without the
     projection boundary Catalyst re-hashes every token per bit (32×)."""
-    md5s = F.transform(tokens_col(text_col), lambda t: F.md5(t))
     keep = [c for c in df.columns]
-    return df.withColumn("_md5s", md5s).select(
+    return df.withColumn("_md5s", _token_hexes(text_col, bits)).select(
         *keep, simhash_from("_md5s", bits).alias(out)
     )
 
@@ -523,7 +537,7 @@ def add_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash", bit
 def simhash_col(text_col: str, bits: int = SIMHASH_BITS):
     """Inline variant (convenience for small frames); hot paths use
     add_simhash's projected form."""
-    return simhash_from(F.transform(tokens_col(text_col), lambda t: F.md5(t)), bits)
+    return simhash_from(_token_hexes(text_col, bits), bits)
 
 
 def simhash_dedup(
@@ -532,14 +546,22 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int | None = None,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Banded join:
     two docs within hamming d < bands must agree exactly on ≥1 of the
     ``bands`` bit-blocks (pigeonhole) → self-join per band, verify true
     hamming natively. ``bands=None`` picks max_hamming+1 — the smallest
     (cheapest: fewest candidate rows) band count the pigeonhole argument
-    permits."""
-    bits = SIMHASH_BITS
+    permits.
+
+    ``bits`` is the SCALE knob: band-key space is 2^(bits/bands), and
+    once corpus size approaches it, random band collisions dominate and
+    candidate pairs grow QUADRATICALLY (measured: 32-bit/4-band keys =
+    256 values/band saturate around 10^5 docs — bench/dedup_scaling.py).
+    Size bits so 2^(bits/bands) >> N/desired-bucket-size; 64-bit at 4
+    bands carries ~10^8 docs. Costs are linear in bits (one md5-derived
+    bit-sum per bit)."""
     if bands is None:
         bands = max_hamming + 1
     if not 0 <= max_hamming < bands <= bits:

@@ -1645,3 +1645,23 @@ def test_bm25_rank_semantics(spark):
         textstats.bm25_rank(df, [])
     # a query of absent terms returns an empty frame, never an error
     assert textstats.bm25_rank(df, ["zzzgone"]).count() == 0
+
+
+def test_simhash_wide_signature_64bit(spark):
+    """bits=64 (the scale knob for band-key saturation) still finds the
+    planted near-dup pair and keeps the pigeonhole guarantee; the wide
+    per-token hex source doubles the signature without changing the
+    operator shape."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(1, base), (2, base + " tail"), (3, "совсем other words " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.add_simhash(df, bits=64).toPandas()
+    assert sh.simhash.str.len().eq(64).all()
+    assert set(sh.simhash.iloc[0]) <= {"0", "1"}
+    pairs = dedup.simhash_dedup(df, max_hamming=6, bands=7, bits=64).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in got and (1, 3) not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        dedup.add_simhash(df, bits=65)
