@@ -696,6 +696,40 @@ def _rolling_window_hash_udf(window: int):
     return roll
 
 
+def window_hash_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    hash_mode: str = "rolling",
+) -> DataFrame:
+    """The hashing stage of substring dedup, as its own frame: one row
+    per ``window``-token window — (id, pos, wh). Split out so the two
+    hashers share one construction site and the bench can time the hash
+    pass in isolation (the spans pipeline's shuffle otherwise masks it).
+    See ``substring_dedup_spans`` for hash_mode semantics."""
+    if hash_mode not in ("rolling", "md5"):
+        raise ValueError(f"hash_mode must be 'rolling' or 'md5', not {hash_mode!r}")
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    if hash_mode == "md5":
+        win_hashes = F.when(
+            F.size("_toks") >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - window),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        # per-token 64-bit hashes stay JVM-side (one native transform);
+        # only the narrow array<long> crosses into Arrow for the O(n) roll
+        toks = toks.select(
+            F.col(id_col),
+            F.transform("_toks", lambda t: F.xxhash64(t)).alias("_toks"),
+        )
+        win_hashes = _rolling_window_hash_udf(window)(F.col("_toks"))
+    return toks.select(F.col(id_col), F.posexplode(win_hashes).alias("pos", "wh"))
+
+
 def substring_dedup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -736,28 +770,7 @@ def substring_dedup_spans(
       O(tokens × window) string materialization, kept ONLY as the
       cross-engine oracle twin (DuckDB computes the identical hashes) and
       the equivalence baseline for the rolling path's property tests."""
-    if hash_mode not in ("rolling", "md5"):
-        raise ValueError(f"hash_mode must be 'rolling' or 'md5', not {hash_mode!r}")
-    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
-    if hash_mode == "md5":
-        win_hashes = F.when(
-            F.size("_toks") >= window,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - window),
-                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    else:
-        # per-token 64-bit hashes stay JVM-side (one native transform);
-        # only the narrow array<long> crosses into Arrow for the O(n) roll
-        toks = toks.select(
-            F.col(id_col),
-            F.transform("_toks", lambda t: F.xxhash64(t)).alias("_toks"),
-        )
-        win_hashes = _rolling_window_hash_udf(window)(F.col("_toks"))
-    occ = toks.select(
-        F.col(id_col), F.posexplode(win_hashes).alias("pos", "wh")
-    )
+    occ = window_hash_occurrences(df, text_col, id_col, window, hash_mode)
     from pyspark.sql.window import Window
 
     # df + first-occurrence as WINDOW aggregates over wh partitions, not a
@@ -995,6 +1008,15 @@ def embedding_near_dup_lsh(
     embeddings that pile into one key) before the self-join, the same cap
     the MinHash band join uses — candidate loss there only affects pairs
     whose EVERY shared bucket stormed.
+
+    ``planes`` is the SCALE knob: each table has 2^planes buckets, so
+    per-bucket self-join work is Θ(N²/2^planes) — at fixed planes the
+    operator is quadratic in N (measured: defaults are sized for ~10^3-4
+    vectors; at 32k the wall went 16× for 4× rows —
+    bench/dedup_scaling.py). Size planes ≈ log2(N / target_bucket) to
+    hold bucket occupancy (and recall per table) constant, and raise
+    ``tables`` if the per-table collision probability at the threshold
+    cosine needs restoring.
 
     Shuffle discipline (r02 VERDICT item 4): the exploded/banded frame
     carries ONLY (table_idx, bucket, id) — never the vector. The old
