@@ -91,14 +91,25 @@ def main() -> None:
 
     df = read_transcripts(spark, args.input, args.input_format)
     n_bad = None
-    df, bad = split_ingest_errors(df)
-    if bad is not None and args.bad_records:
+    if args.bad_records:
+        df, bad = split_ingest_errors(df)
+        if bad is None:
+            # explicit request on a format with no corrupt-record channel:
+            # fail fast instead of silently writing nothing (same rule as
+            # prepare_input's source_col handling)
+            ap.error(
+                "--bad-records requires a text input format (json/csv); "
+                f"{args.input_format} has no bad_record channel"
+            )
         # materializing the quarantine costs one extra scan of the text
         # source — explicit opt-in; the count then reads the (tiny)
         # quarantine back with a DECLARED schema (inference would fail
         # on an empty quarantine), never the source a third time
         bad.write.mode("overwrite").json(args.bad_records)
         n_bad = spark.read.schema(bad.schema).json(args.bad_records).count()
+    # WITHOUT --bad-records the frame flows on intact: prepare_input drops
+    # the bad_record column and the malformed rows (null text) surface in
+    # the extraction error column — in-band, never silently dropped
     stats = run_extract(
         spark,
         df,

@@ -475,6 +475,13 @@ def jpeg_verify_structure(payload) -> None:
             raise ValueError("jpeg: truncated before EOI")
         if b[pos] != 0xFF:
             raise ValueError("jpeg: marker sync lost")
+        # JPEG B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker (common in camera output before EOI) — skip them; a
+        # marker is FF followed by the first non-FF byte
+        while b[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > n:
+                raise ValueError("jpeg: truncated in fill bytes")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -483,7 +490,7 @@ def jpeg_verify_structure(payload) -> None:
             return
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
-        if marker == 0x00 or marker == 0xFF:
+        if marker == 0x00:
             raise ValueError("jpeg: invalid marker")
         if pos + 2 > n:
             raise ValueError("jpeg: truncated segment length")

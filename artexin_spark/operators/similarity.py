@@ -423,6 +423,7 @@ def kmeans_fit(
         if not first:
             raise ValueError("corpus is empty, need >= k vectors")
         cents = {0: [float(x) for x in first[0][vec_col]]}
+        chosen_ids = [first[0][id_col]]
         base = vectors.select(
             F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_vn")
         )
@@ -430,8 +431,14 @@ def kmeans_fit(
             c = cents_df().select(
                 F.col(vec_col).alias("_cv"), norm_expr(vec_col).alias("_cn")
             )
+            # exclude already-chosen seeds: without this the argmin can
+            # re-pick a chosen vector, silently yielding duplicate
+            # centroids — and a corpus smaller than k would never hit
+            # the guard below (the scored frame is non-empty whenever
+            # the corpus is)
             closest = (
-                base.join(F.broadcast(c))
+                base.filter(~F.col(id_col).isin(chosen_ids))
+                .join(F.broadcast(c))
                 .select(
                     id_col,
                     vec_col,
@@ -444,8 +451,9 @@ def kmeans_fit(
             )
             pick = closest.orderBy(F.asc("_closest"), F.asc(id_col)).limit(1).collect()
             if not pick:
-                raise ValueError(f"corpus has < k={k} vectors")
+                raise ValueError(f"corpus has {len(chosen_ids)} vectors, need >= k={k}")
             cents[i] = [float(x) for x in pick[0][vec_col]]
+            chosen_ids.append(pick[0][id_col])
 
     for _ in range(iters):
         assigned = ivf_assign(vectors, cents_df(), id_col, vec_col)

@@ -204,14 +204,19 @@ def bm25_rank(
     a curation pipeline uses for targeted corpus slices ("find the docs
     about X") next to the embedding ANN path.
 
-    Scale shape: ONE projection tokenizes each doc once; per-term tf is
-    a native array filter over that projected column (no explode of the
-    corpus for a handful of query terms); the corpus-level stats the
-    formula needs (N, avgdl, per-term df) reduce in ONE aggregate to a
-    single row that broadcast-crossjoins back — zero shuffles of
-    documents, one scalar exchange, then a global top-k (TakeOrdered,
-    no full sort). ln() on integer counts keeps idf reproducible in any
-    engine.
+    Scale shape: per-term tf is a native array filter over a projected
+    tokens column (no explode of the corpus for a handful of query
+    terms); the corpus stats the formula needs (N, avgdl, per-term df)
+    reduce in one aggregate to a single row that broadcast-crossjoins
+    back — zero shuffles of documents, one scalar exchange, then a
+    global top-k (TakeOrdered, no full sort). The corpus IS tokenized
+    twice (the stats branch and the scoring branch are different plan
+    subtrees, so no exchange reuse — the unavoidable two-pass shape of
+    any global-statistics score); both passes prune to the narrow
+    (id, dl, tf…) projection, and a caller running MANY queries against
+    one corpus should persist that projection once and pass it in via
+    ``text_col`` precomputation. ln() on integer counts keeps idf
+    reproducible in any engine.
 
     Scoring: sum over query terms of
         idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
@@ -261,10 +266,14 @@ def bm25_rank(
     )
     from pyspark.sql.window import Window
 
+    # rank over the RAW score (rounding only the output): ranking the
+    # rounded value would tie-break near-equal scores differently from
+    # any engine that ranks raw then rounds — a cross-engine rank flip
+    # for scores within 5e-7 of each other
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return ranked.select(
-        id_col, F.round("score", 6).alias("score")
-    ).withColumn("rank", F.row_number().over(w))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        id_col, F.round("score", 6).alias("score"), "rank"
+    )
 
 
 def curate(

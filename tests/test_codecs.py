@@ -361,3 +361,17 @@ def test_gif_jpeg_structure_fuzz_never_escapes():
                 verify(bytes(b))
             except ValueError:
                 pass
+
+
+def test_jpeg_fill_bytes_before_marker_accepted():
+    """JPEG B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    (common camera output before EOI) — the structure walk must accept
+    them, not call them corrupt (review finding)."""
+    base = _jpeg_full()
+    # inject fill bytes before EOI (after entropy data)
+    with_fill = base[:-2] + b"\xff\xff\xff" + base[-2:]
+    C.jpeg_verify_structure(with_fill)
+    # and between segments (after APP0, before SOF)
+    app0_end = 2 + 2 + 16
+    between = base[:app0_end] + b"\xff\xff" + base[app0_end:]
+    C.jpeg_verify_structure(between)

@@ -270,6 +270,13 @@ def test_kmeans_recovers_planted_clusters(spark):
         similarity.kmeans_fit(df, k=0)
     with _pytest.raises(ValueError, match="need >= k"):
         similarity.kmeans_fit(df.limit(2), k=4)
+    # spread init must ALSO detect a sub-k corpus (review finding: the
+    # guard was unreachable and duplicate centroids came out silently)
+    with _pytest.raises(ValueError, match="need >= k"):
+        similarity.kmeans_fit(df.limit(2), k=4, init="spread")
+    # and a >=k corpus never yields duplicate seed ids
+    f2 = similarity.kmeans_fit(df.filter("vec_id < 8"), k=8, iters=1, init="spread")
+    assert f2.count() == 8
 
 
 def test_lsh_pairs_find_mutated_near_dups(spark, docs):

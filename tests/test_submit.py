@@ -113,3 +113,31 @@ def test_spark_submit_json_bad_records_quarantine(spark, tmp_path):
     ).json(quarantine)
     lines = {r["bad_record"] for r in qdf.collect()}
     assert lines == set(bad)  # raw offending lines, verbatim
+
+    # WITHOUT --bad-records the malformed rows must still flow in-band
+    # (null text -> extraction error column), never silently drop
+    # (review finding: the unconditional split discarded them)
+    sink2 = str(tmp_path / "sink2")
+    proc2 = subprocess.run(
+        ["bash", os.path.join(REPO, "bench", "run.sh"), src, sink2,
+         "--buckets", "4", "--input-format", "json"],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-4000:]
+    stats2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert stats2["rows"] == 10 and stats2["errors"] == 2
+    assert "ingest_bad_records" not in stats2
+
+    # --bad-records on a channel-less format is an explicit request that
+    # must fail fast, not silently no-op
+    pq_src = str(tmp_path / "in_pq")
+    pdf = gen_transcripts(n_convs=3, seed=1, with_source=True)
+    spark.createDataFrame(pdf).write.parquet(pq_src)
+    proc3 = subprocess.run(
+        ["bash", os.path.join(REPO, "bench", "run.sh"), pq_src,
+         str(tmp_path / "sink3"), "--buckets", "4",
+         "--bad-records", str(tmp_path / "q3")],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert proc3.returncode != 0
+    assert "bad_record channel" in proc3.stderr[-2000:] or "bad_record channel" in proc3.stdout[-2000:]
