@@ -315,12 +315,18 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """(id, centroid_id): each vector assigned to its max-cosine centroid
-    (ties → lowest centroid_id). Centroids broadcast — the assignment is a
-    map-only pass, no shuffle on the fat vector column."""
+    """(id, centroid_id): each vector assigned to its ``n_probe``
+    max-cosine centroids (ties → lowest centroid_id; one output row per
+    probed list). Centroids broadcast — the assignment is a map-only
+    pass, no shuffle on the fat vector column. n_probe=1 builds the
+    inverted lists (each corpus vector lives in exactly one); n_probe>1
+    is the QUERY-side recall knob (probe the p nearest lists)."""
     from pyspark.sql.window import Window
 
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
@@ -339,7 +345,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_probe)
         .select(id_col, vec_col, "centroid_id")
     )
 
@@ -503,14 +509,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into inverted lists by nearest
-    centroid, search only the query's own list (n_probe=1). Default
+    centroid, search the query's ``n_probe`` nearest lists. Default
     centroid seed = the first ``n_centroids`` corpus vectors, which keeps
     an exact SQL oracle possible; pass ``centroids`` (a ``kmeans_fit``
     result: centroid_id, centroid, ...) for trained lists — the plan
     shape (broadcast centroids → map-side assign → co-partitioned list
     join → windowed top-k) is unchanged either way.
+
+    ``n_probe`` is the recall/cost dial: each query scans ~n_probe/
+    n_centroids of the corpus; at n_probe == n_centroids the result
+    equals brute force exactly (pinned in tests). Corpus vectors always
+    live in exactly ONE list; only queries fan out.
 
     At 10^9 vectors the corpus assignment is written bucketed by
     centroid_id so queries join only their list's partitions."""
@@ -525,7 +537,7 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         "centroid_id",
     )
-    query_a = ivf_assign(queries, cents, id_col, vec_col).select(
+    query_a = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid_id",

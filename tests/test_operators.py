@@ -1672,3 +1672,28 @@ def test_simhash_wide_signature_64bit(spark):
 
     with _pytest.raises(ValueError, match="bits"):
         dedup.add_simhash(df, bits=65)
+
+
+def test_ivf_multiprobe_recall_and_exhaustive_equivalence(spark, emb):
+    """n_probe is the recall dial: recall@k is monotone in n_probe, and
+    probing EVERY list equals brute force exactly (same pairs, same
+    cosines) — the property that pins the multiprobe join as a pure
+    coverage knob with no scoring drift."""
+    queries = emb.filter("vec_id < 8")
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    r = {}
+    for p in (1, 2, 8):
+        approx = similarity.ivf_topk(
+            emb, queries, n_centroids=8, k=5, n_probe=p
+        )
+        r[p] = similarity.ann_recall(exact, approx)
+    assert r[1] <= r[2] <= r[8]
+    assert r[8] == 1.0  # all lists probed == brute force coverage
+    full = similarity.ivf_topk(emb, queries, n_centroids=8, k=5, n_probe=8)
+    a = {(x.query_id, x.neighbor_id): round(x.cosine, 9) for x in full.collect()}
+    b = {(x.query_id, x.neighbor_id): round(x.cosine, 9) for x in exact.collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_probe"):
+        similarity.ivf_assign(emb, emb.limit(2), n_probe=0)
