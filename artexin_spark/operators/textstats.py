@@ -198,11 +198,18 @@ def bm25_rank(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
+    pretokenized_col: str | None = None,
 ) -> DataFrame:
     """BM25 ranking of the corpus for a bag-of-terms query (Robertson/
     Sparck-Jones idf, the standard k1/b saturation) — the retrieval leg
     a curation pipeline uses for targeted corpus slices ("find the docs
     about X") next to the embedding ANN path.
+
+    ``pretokenized_col`` names an existing ``array<string>`` tokens
+    column to use instead of tokenizing ``text_col`` — the many-queries
+    seam: tokenize (and persist) the corpus once, then every query's
+    two passes read the narrow cached tokens instead of re-splitting
+    the fat text twice per query.
 
     Scale shape: per-term tf is a native array filter over a projected
     tokens column (no explode of the corpus for a handful of query
@@ -232,7 +239,10 @@ def bm25_rank(
         # silently compare tokens against the array INDEX
         return F.size(F.filter("_toks", lambda t: t == F.lit(term)))
 
-    toked = df.select(F.col(id_col), tokens_col(text_col).alias("_toks")).select(
+    toks_expr = (
+        F.col(pretokenized_col) if pretokenized_col else tokens_col(text_col)
+    )
+    toked = df.select(F.col(id_col), toks_expr.alias("_toks")).select(
         F.col(id_col),
         F.size("_toks").alias("_dl"),
         *[_tf(term).alias(f"_tf{i}") for i, term in enumerate(terms)],

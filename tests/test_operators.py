@@ -1697,3 +1697,18 @@ def test_ivf_multiprobe_recall_and_exhaustive_equivalence(spark, emb):
 
     with _pytest.raises(ValueError, match="n_probe"):
         similarity.ivf_assign(emb, emb.limit(2), n_probe=0)
+
+
+def test_bm25_pretokenized_parity(spark):
+    """The many-queries seam: a persisted tokens column must rank
+    identically to the text path (same tokenizer contract)."""
+    rows = [(i, f"hash merge doc{i} " * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from artexin_spark.operators.dedup import tokens_col as _tc
+
+    pre = df.select("doc_id", "text", _tc("text").alias("toks"))
+    a = textstats.bm25_rank(df, ["hash", "merge"]).toPandas()
+    b = textstats.bm25_rank(
+        pre, ["hash", "merge"], pretokenized_col="toks"
+    ).toPandas()
+    assert a.to_dict("records") == b.to_dict("records")
