@@ -1,0 +1,84 @@
+"""Targeted corpus retrieval, end to end — the "find my training-data
+slice" workflow over the engine's search operators:
+
+1. **Lexical leg**: `bm25_rank` scores the documents table for a
+   bag-of-terms query (corpus stats in one broadcast scalar row, no
+   corpus explode).
+2. **Semantic leg**: `kmeans_fit` trains IVF centroids (spherical
+   k-means, deterministic farthest-first init), `ivf_topk` searches the
+   inverted lists with multiprobe (`n_probe=2`) for the nearest
+   neighbours of a query vector.
+3. **Hybrid**: the two result sets join on doc/vec id (the synthetic
+   tables share the id space) — rank-fused with a simple reciprocal-rank
+   sum, the standard first-cut hybrid ranker.
+
+Run: python examples/retrieval_pipeline.py  [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from artexin_spark.operators import similarity as sim  # noqa: E402
+from artexin_spark.operators import textstats as ts  # noqa: E402
+from artexin_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("retrieval-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # 1. lexical
+    lex = ts.bm25_rank(docs, ["hash", "merge", "window"], topk=10)
+    print("BM25 top-3:")
+    for r in lex.limit(3).collect():
+        print(f"  doc {r['doc_id']}: score={r['score']} rank={r['rank']}")
+
+    # 2. semantic: train centroids, then multiprobe IVF search
+    fitted = sim.kmeans_fit(emb, k=8, iters=2, init="spread")
+    queries = emb.filter("vec_id < 3")
+    ann = sim.ivf_topk(emb, queries, k=5, centroids=fitted, n_probe=2)
+    print("IVF(multiprobe=2) neighbours of vec 0:")
+    for r in ann.filter("query_id = 0").collect():
+        print(
+            f"  vec {r['neighbor_id']} (list {r['centroid_id']}): "
+            f"cosine={r['cosine']:.4f} rank={r['rank']}"
+        )
+
+    # 3. hybrid: reciprocal-rank fusion over the shared id space
+    fused = (
+        lex.select(F.col("doc_id").alias("id"), (1.0 / (60 + F.col("rank"))).alias("s_lex"))
+        .join(
+            ann.filter("query_id = 0").select(
+                F.col("neighbor_id").alias("id"),
+                (1.0 / (60 + F.col("rank"))).alias("s_sem"),
+            ),
+            "id",
+            "full_outer",
+        )
+        .select(
+            "id",
+            F.round(
+                F.coalesce("s_lex", F.lit(0.0)) + F.coalesce("s_sem", F.lit(0.0)), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(5)
+    )
+    print("Hybrid (RRF) top-5:")
+    for r in fused.collect():
+        print(f"  id {r['id']}: rrf={r['rrf']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,3 +82,15 @@ def test_incremental_ingest_example():
 
     m = _re.search(r"hour 2:.*dropped_as_dup=(\d+)", r.stdout)
     assert m and int(m.group(1)) > 0, r.stdout
+
+
+def test_retrieval_pipeline_example():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "retrieval_pipeline.py")],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BM25 top-3:" in r.stdout
+    assert "IVF(multiprobe=2) neighbours" in r.stdout
+    assert "Hybrid (RRF) top-5:" in r.stdout
