@@ -1106,6 +1106,51 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_incremental_substring(spark, sf_dir):
+    """Cross-run substring dedup (dedup.incremental_substring_dedup):
+    batch 1 (docs < 100) commits its distinct window hashes; batch 2
+    (docs 100-199 + planted 30-token prefix copies of batch-1 docs)
+    dedups against the STORED hash set plus its own within-batch
+    duplicates — history text is never re-read (one narrow wh column
+    persists). md5 oracle-twin hasher so DuckDB replays both phases."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    toks = dd.tokens_col("text")
+    planted = (
+        docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 9 == 0))
+        .select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice(toks, 1, 30), " "),
+                F.lit(" planted incremental tail "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    b2 = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    sink = tempfile.mkdtemp(prefix="artexin_incsub_")
+    try:
+        dd.commit_window_hashes(
+            spark, b1, sink, run_id="b1", window=20, hash_mode="md5"
+        )
+        spans = dd.incremental_substring_dedup(
+            spark, b2, sink, window=20, hash_mode="md5", commit=False
+        )
+        out = spans.collect()
+        return spark.createDataFrame(
+            out, "doc_id long, start_tok int, end_tok int"
+        )
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 def q_gopher_quality(spark, sf_dir):
     """The Gopher pre-training filter stack (Rae et al. 2021 App. A) as
     one native projection — features + composite pass flag, zero shuffle."""
@@ -2228,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_errors": q_ingest_errors,
         "kmeans": q_kmeans,
         "bm25": q_bm25,
+        "incremental_substring": q_incremental_substring,
         # --- rotated forward (r02 VERDICT item 1): queries whose only
         # driver verdict is r01 — the driver checks the first ~50, so
         # these get r03 verdicts on current code.
@@ -3619,6 +3665,47 @@ SELECT id_a, id_b,
 FROM cand
 WHERE len(list_filter(generate_series(1, 32),
                       i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+"""
+
+_ORACLES["incremental_substring"] = f"""
+WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+t1 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM b1),
+w1 AS (SELECT DISTINCT md5(array_to_string(toks[i:i+19], ' ')) AS wh
+       FROM t1, LATERAL unnest(generate_series(1, len(toks) - 20 + 1)) AS g(i)
+       WHERE len(toks) >= 20),
+psrc AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+         WHERE doc_id < 100 AND doc_id % 9 = 0),
+planted AS (SELECT doc_id + 40000 AS doc_id,
+                   array_to_string(toks[1:30], ' ')
+                   || ' planted incremental tail ' || doc_id AS text
+            FROM psrc),
+b2 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id >= 100 AND doc_id < 200
+       UNION ALL SELECT * FROM planted),
+t2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM b2),
+w2 AS (SELECT doc_id, i - 1 AS pos,
+              md5(array_to_string(toks[i:i+19], ' ')) AS wh
+       FROM t2, LATERAL unnest(generate_series(1, len(toks) - 20 + 1)) AS g(i)
+       WHERE len(toks) >= 20),
+f AS (SELECT doc_id, pos, wh,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY wh) AS df
+      FROM w2),
+fl AS (SELECT doc_id, pos, pos + 20 AS e FROM f
+       WHERE wh IN (SELECT wh FROM w1)
+          OR (rn > 1 AND df >= 2 AND df <= 10000)),
+isl AS (SELECT doc_id, pos, e,
+          CASE WHEN pos > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS ni
+        FROM fl),
+isl2 AS (SELECT doc_id, pos, e,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
+       CAST(max(e) AS INTEGER) AS end_tok
+FROM isl2 GROUP BY doc_id, island
 """
 
 _ORACLES["bm25"] = f"""

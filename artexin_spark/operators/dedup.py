@@ -796,6 +796,14 @@ def substring_dedup_spans(
             & (F.col("pos") == F.col("first.pos"))
         )
     ).select(F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end"))
+    return merge_flag_islands(flagged, id_col)
+
+
+def merge_flag_islands(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gaps-and-islands merge of flagged (id, pos, end) windows into
+    maximal [start_tok, end_tok) spans — shared by the batch and
+    incremental substring-dedup paths."""
+    from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -944,6 +952,169 @@ def incremental_minhash_dedup(
             id_col,
         )
     return survivors
+
+
+# --- cross-run incremental substring dedup -----------------------------------
+
+
+def _substr_spec_path(hash_sink: str) -> str:
+    import os
+
+    return os.path.join(hash_sink, "_substr_spec.json")
+
+
+def _check_substr_spec(hash_sink: str, window: int, hash_mode: str) -> None:
+    """Pin (window, hash_mode) at first commit and fail fast on drift:
+    hashes computed under a different window or hasher NEVER collide
+    with the stored set, silently turning cross-run dedup into a no-op
+    (same failure mode as the minhash k-mismatch guard)."""
+    import json
+    import os
+
+    path = _substr_spec_path(hash_sink)
+    want = {"window": int(window), "hash_mode": hash_mode}
+    if os.path.exists(path):
+        got = json.load(open(path))
+        if got != want:
+            raise ValueError(
+                f"window-hash table at {hash_sink} was committed with "
+                f"{got}, this run asked for {want} — spec evolution "
+                "requires a table rewrite"
+            )
+    else:
+        os.makedirs(hash_sink, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, path)  # atomic publish, same as the bucket spec
+
+
+def commit_window_hashes(
+    spark,
+    df: DataFrame,
+    hash_sink: str,
+    run_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    hash_mode: str = "rolling",
+    n_buckets: int = 16,
+) -> int:
+    """Append-commit a corpus increment's DISTINCT window hashes to the
+    persistent hash table (the cross-run substring-dedup state). One
+    narrow column (the 8-byte rolling hash, or the md5 string in oracle
+    mode) per distinct window — the increment's text is never stored;
+    already-committed hashes are anti-joined away so appends stay tight."""
+    _check_substr_spec(hash_sink, window, hash_mode)
+    new = (
+        window_hash_occurrences(df, text_col, id_col, window, hash_mode)
+        .select("wh")
+        .distinct()
+    )
+    hist = read_window_hashes(spark, hash_sink)
+    if hist is not None:
+        new = new.join(hist, "wh", "left_anti")
+    return commit_window_hash_frame(spark, new, hash_sink, run_id, n_buckets)
+
+
+def commit_window_hash_frame(
+    spark, hashes: DataFrame, hash_sink: str, run_id: str, n_buckets: int = 16
+) -> int:
+    """Append-commit an ALREADY-derived distinct new-hash frame (column
+    ``wh``) — the reuse seam for the incremental path, which has the
+    history-joined occ frame in hand and must not re-hash the text."""
+    from .. import storage as sink_io
+
+    keyed = hashes.select("wh").withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col("wh")), F.lit(n_buckets)).cast("int")
+    )
+    sink_io.ensure_bucket_spec(hash_sink, n_buckets, bucket_cols=("wh",))
+    sink_io.write_run_data(keyed, hash_sink, run_id)
+    return sink_io.commit_snapshot(spark, hash_sink, run_id, operation="append")
+
+
+def read_window_hashes(spark, hash_sink: str) -> DataFrame | None:
+    """The committed distinct-hash set (wh only), or None before the
+    first commit."""
+    from .. import storage as sink_io
+
+    if sink_io.latest_snapshot_id(spark, hash_sink) is None:
+        return None
+    return sink_io.read_snapshot(spark, hash_sink).select("wh")
+
+
+def incremental_substring_dedup(
+    spark,
+    increment: DataFrame,
+    hash_sink: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    max_df: int | None = 10000,
+    hash_mode: str = "rolling",
+    run_id: str | None = None,
+    commit: bool = True,
+) -> DataFrame:
+    """Substring dedup of a NEW increment against the already-committed
+    corpus — the continuous-ingest shape of the Lee et al. operator,
+    mirroring ``incremental_minhash_dedup``: history participates via
+    its STORED distinct window hashes only (one narrow column; the
+    historical text is never re-read or re-hashed).
+
+    A window of the increment flags when its hash exists in history
+    (history holds the first occurrence by definition) OR when it is a
+    non-first duplicate within the increment itself (the batch
+    operator's keep-first rule, ``max_df``-capped). Flagged windows
+    merge into maximal [start_tok, end_tok) spans per doc — feed them to
+    ``substring_dedup_apply`` to cut. With ``commit=True`` the
+    increment's hashes append so the next increment dedups against them.
+
+    ONE instantiation of the hash pass: history membership rides as a
+    left-join flag on the same occ frame the within-increment window
+    aggregates run over (join and window share the wh partitioning)."""
+    from pyspark.sql.window import Window
+
+    import uuid as _uuid
+
+    _check_substr_spec(hash_sink, window, hash_mode)
+    occ = window_hash_occurrences(increment, text_col, id_col, window, hash_mode)
+    hist = read_window_hashes(spark, hash_sink)
+    if hist is not None:
+        occ = occ.join(
+            hist.withColumn("_hist", F.lit(True)), "wh", "left"
+        )
+    else:
+        occ = occ.withColumn("_hist", F.lit(None).cast("boolean"))
+    wh_w = Window.partitionBy("wh")
+    ann = occ.select(
+        F.col(id_col),
+        "pos",
+        F.col("_hist"),
+        F.count("*").over(wh_w).alias("df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh_w).alias("first"),
+    )
+    is_first = (F.col(id_col) == F.col("first." + id_col)) & (
+        F.col("pos") == F.col("first.pos")
+    )
+    within = (F.col("df") >= 2) & ~is_first
+    if max_df:
+        within = within & (F.col("df") <= max_df)
+    flagged = ann.filter(F.coalesce(F.col("_hist"), F.lit(False)) | within).select(
+        F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end")
+    )
+    spans = merge_flag_islands(flagged, id_col)
+    if commit:
+        # reuse the history-joined occ frame: new hashes are exactly the
+        # increment's windows NOT already flagged _hist — no second
+        # tokenize/hash pass over the text and no anti-join re-scan of
+        # the stored table
+        new = occ.filter(~F.coalesce(F.col("_hist"), F.lit(False))).select(
+            "wh"
+        ).distinct()
+        commit_window_hash_frame(
+            spark, new, hash_sink, run_id or ("sub-" + _uuid.uuid4().hex[:10])
+        )
+    return spans
 
 
 # --- embedding near-dup ------------------------------------------------------

@@ -1712,3 +1712,85 @@ def test_bm25_pretokenized_parity(spark):
         pre, ["hash", "merge"], pretokenized_col="toks"
     ).toPandas()
     assert a.to_dict("records") == b.to_dict("records")
+
+
+def test_incremental_substring_dedup_across_commits(spark, tmp_path):
+    """Cross-run substring dedup: batch 2's copy of a batch-1 run flags
+    against STORED window hashes (text never re-read), within-increment
+    dups still flag, a third run sees batch-2 content as history, and
+    the (window, hash_mode) spec is pinned against drift."""
+    import pytest as _pytest
+
+    sink = str(tmp_path / "wh")
+    body = " ".join(f"w{i}" for i in range(40))
+    b1 = spark.createDataFrame(
+        [(1, body + " tail one"), (2, "completely different " * 10)],
+        "doc_id long, text string",
+    )
+    spans0 = dedup.incremental_substring_dedup(
+        spark, b1, sink, window=20, run_id="b1"
+    )
+    assert spans0.count() == 0  # no history, no within dups
+    # batch 2: doc 10 copies batch-1 doc 1's body; docs 11+12 duplicate
+    # each other within the increment; doc 13 is fresh
+    b2 = spark.createDataFrame(
+        [
+            (10, body + " brand new suffix material here"),
+            (11, "shared inner run " + body.replace("w", "x") + " ending a"),
+            (12, "shared inner run " + body.replace("w", "x") + " ending b"),
+            (13, " ".join(f"novel{j} fresh{j}" for j in range(15))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.incremental_substring_dedup(
+        spark, b2, sink, window=20, run_id="b2"
+    ).toPandas()
+    by_doc = {r.doc_id: (r.start_tok, r.end_tok) for r in spans.itertuples()}
+    assert 10 in by_doc and by_doc[10][0] == 0  # history hit from pos 0
+    assert by_doc[10][1] >= 40  # covers the copied 40-token run
+    assert 11 not in by_doc  # first within-increment occurrence kept
+    assert 12 in by_doc  # its duplicate flags
+    assert 13 not in by_doc
+    # run 3: a copy of batch-2's NOVEL doc must now hit history
+    b3 = spark.createDataFrame(
+        [(20, " ".join(f"novel{j} fresh{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    spans3 = dedup.incremental_substring_dedup(
+        spark, b3, sink, window=20, run_id="b3", commit=False
+    )
+    assert spans3.count() == 1
+    # spec drift fails fast
+    with _pytest.raises(ValueError, match="spec evolution"):
+        dedup.incremental_substring_dedup(spark, b3, sink, window=50)
+    with _pytest.raises(ValueError, match="spec evolution"):
+        dedup.commit_window_hashes(
+            spark, b3, sink, run_id="x", window=20, hash_mode="md5"
+        )
+
+
+def test_incremental_substring_never_rereads_history_text(spark, tmp_path):
+    """Scale contract: every parquet scan in the incremental plan reads
+    the narrow wh column, never stored text (there IS none — only
+    hashes persist)."""
+    import re
+
+    sink = str(tmp_path / "wh2")
+    base = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    dedup.incremental_substring_dedup(spark, base, sink, window=10, run_id="a")
+    inc = spark.createDataFrame(
+        [(100, " ".join(f"t3w{j}" for j in range(30)))], "doc_id long, text string"
+    )
+    spans = dedup.incremental_substring_dedup(
+        spark, inc, sink, window=10, commit=False
+    )
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas  # history IS read from parquet
+    for s in schemas:
+        assert "wh" in s and "text" not in s, s
+    assert "ResolvedHint" not in spans._jdf.queryExecution().analyzed().toString()
+    assert spans.count() == 1  # the copied doc flags fully
