@@ -2275,8 +2275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "incremental_substring": q_incremental_substring,
         # --- rotated forward (r02 VERDICT item 1): queries whose only
-        # driver verdict is r01 — the driver checks the first ~50, so
-        # these get r03 verdicts on current code.
+        # driver verdict is r01. The driver checks the first ~50 entries;
+        # with 11 changed/new entries ahead, the tail of this 45-query
+        # block (~6 entries: length_percentiles onward) stays r01-only
+        # this round — the tail is deliberately the lowest-risk classics
+        # (TPC-H shapes, plain windows) and goes FIRST in the r04 order.
         "content_key": q_content_key,
         "url_predicates": q_url_predicates,
         "date_serialize": q_date_serialize,

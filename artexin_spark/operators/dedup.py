@@ -963,17 +963,27 @@ def _substr_spec_path(hash_sink: str) -> str:
     return os.path.join(hash_sink, "_substr_spec.json")
 
 
-def _check_substr_spec(hash_sink: str, window: int, hash_mode: str) -> None:
-    """Pin (window, hash_mode) at first commit and fail fast on drift:
+def _check_substr_spec(
+    hash_sink: str, window: int, hash_mode: str, publish: bool = False
+) -> None:
+    """Pin (window, hash_mode) at first COMMIT and fail fast on drift:
     hashes computed under a different window or hasher NEVER collide
     with the stored set, silently turning cross-run dedup into a no-op
-    (same failure mode as the minhash k-mismatch guard)."""
+    (same failure mode as the minhash k-mismatch guard).
+
+    ``publish=False`` (read paths) only validates an existing spec — a
+    read-only probe of an empty sink must not pin a spec and block the
+    real first commit. Publication uses the same link(2)/EEXIST race
+    protocol as ``storage.ensure_bucket_spec``: exactly one first-writer
+    wins; a concurrent loser re-reads and validates, so two committers
+    with different specs can never both succeed silently."""
     import json
     import os
 
     path = _substr_spec_path(hash_sink)
     want = {"window": int(window), "hash_mode": hash_mode}
-    if os.path.exists(path):
+
+    def _validate() -> None:
         got = json.load(open(path))
         if got != want:
             raise ValueError(
@@ -981,12 +991,25 @@ def _check_substr_spec(hash_sink: str, window: int, hash_mode: str) -> None:
                 f"{got}, this run asked for {want} — spec evolution "
                 "requires a table rewrite"
             )
-    else:
-        os.makedirs(hash_sink, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(want, f)
-        os.replace(tmp, path)  # atomic publish, same as the bucket spec
+
+    if os.path.exists(path):
+        _validate()
+        return
+    if not publish:
+        return
+    os.makedirs(hash_sink, exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    try:
+        os.link(tmp, path)  # EEXIST when a concurrent first-writer won
+    except FileExistsError:
+        _validate()
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def commit_window_hashes(
@@ -998,14 +1021,16 @@ def commit_window_hashes(
     id_col: str = "doc_id",
     window: int = 50,
     hash_mode: str = "rolling",
-    n_buckets: int = 16,
-) -> int:
+    n_buckets: int | None = None,
+) -> int | None:
     """Append-commit a corpus increment's DISTINCT window hashes to the
     persistent hash table (the cross-run substring-dedup state). One
     narrow column (the 8-byte rolling hash, or the md5 string in oracle
     mode) per distinct window — the increment's text is never stored;
-    already-committed hashes are anti-joined away so appends stay tight."""
-    _check_substr_spec(hash_sink, window, hash_mode)
+    already-committed hashes are anti-joined away so appends stay tight.
+    Returns the committed snapshot id, or None when the increment held
+    nothing new (no empty commit is published)."""
+    _check_substr_spec(hash_sink, window, hash_mode, publish=True)
     new = (
         window_hash_occurrences(df, text_col, id_col, window, hash_mode)
         .select("wh")
@@ -1018,18 +1043,40 @@ def commit_window_hashes(
 
 
 def commit_window_hash_frame(
-    spark, hashes: DataFrame, hash_sink: str, run_id: str, n_buckets: int = 16
-) -> int:
+    spark, hashes: DataFrame, hash_sink: str, run_id: str, n_buckets: int | None = None
+) -> int | None:
     """Append-commit an ALREADY-derived distinct new-hash frame (column
     ``wh``) — the reuse seam for the incremental path, which has the
-    history-joined occ frame in hand and must not re-hash the text."""
+    history-joined occ frame in hand and must not re-hash the text.
+
+    ``n_buckets=None`` adopts the table's committed bucket spec (falls
+    back to 16 on a fresh sink), so the incremental path keeps working
+    on tables created with any bucket count. A fully-deduplicated
+    increment (zero new hashes) is a clean no-op — the empty run dir is
+    removed and no snapshot commits (an empty partitioned write has no
+    parquet files, and committing it would crash the schema read)."""
+    import os
+    import shutil
+
     from .. import storage as sink_io
 
+    spec = sink_io.read_bucket_spec(hash_sink)
+    if n_buckets is None:
+        n_buckets = int(spec["n_buckets"]) if spec else 16
     keyed = hashes.select("wh").withColumn(
         "part_key", F.pmod(F.xxhash64(F.col("wh")), F.lit(n_buckets)).cast("int")
     )
     sink_io.ensure_bucket_spec(hash_sink, n_buckets, bucket_cols=("wh",))
     sink_io.write_run_data(keyed, hash_sink, run_id)
+    run_dir = sink_io.run_data_path(hash_sink, run_id)
+    has_rows = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(run_dir)
+        for f in files
+    )
+    if not has_rows:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        return None
     return sink_io.commit_snapshot(spark, hash_sink, run_id, operation="append")
 
 
@@ -1054,6 +1101,7 @@ def incremental_substring_dedup(
     hash_mode: str = "rolling",
     run_id: str | None = None,
     commit: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Substring dedup of a NEW increment against the already-committed
     corpus — the continuous-ingest shape of the Lee et al. operator,
@@ -1069,14 +1117,20 @@ def incremental_substring_dedup(
     ``substring_dedup_apply`` to cut. With ``commit=True`` the
     increment's hashes append so the next increment dedups against them.
 
-    ONE instantiation of the hash pass: history membership rides as a
-    left-join flag on the same occ frame the within-increment window
-    aggregates run over (join and window share the wh partitioning)."""
+    Hash-pass accounting, honestly: WITHIN each Spark action the occ
+    subtree (tokenize → hash → history join) is instantiated once — but
+    ``commit=True`` runs its own write action before the caller ever
+    evaluates the returned spans, so the increment is hashed once per
+    ACTION (twice total). ``persist=True`` caches the narrow occ frame
+    (MEMORY_AND_DISK) so the spans action reuses the commit action's
+    work; the cache lives until executor eviction or an explicit
+    ``spark.catalog.clearCache()`` — standard Spark shared-subframe
+    practice, worth it whenever increment tokenization dominates."""
     from pyspark.sql.window import Window
 
     import uuid as _uuid
 
-    _check_substr_spec(hash_sink, window, hash_mode)
+    _check_substr_spec(hash_sink, window, hash_mode, publish=commit)
     occ = window_hash_occurrences(increment, text_col, id_col, window, hash_mode)
     hist = read_window_hashes(spark, hash_sink)
     if hist is not None:
@@ -1085,6 +1139,10 @@ def incremental_substring_dedup(
         )
     else:
         occ = occ.withColumn("_hist", F.lit(None).cast("boolean"))
+    if persist:
+        from pyspark import StorageLevel
+
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
     wh_w = Window.partitionBy("wh")
     ann = occ.select(
         F.col(id_col),

@@ -1794,3 +1794,48 @@ def test_incremental_substring_never_rereads_history_text(spark, tmp_path):
         assert "wh" in s and "text" not in s, s
     assert "ResolvedHint" not in spans._jdf.queryExecution().analyzed().toString()
     assert spans.count() == 1  # the copied doc flags fully
+
+
+def test_incremental_substring_edge_contracts(spark, tmp_path):
+    """Review-finding regressions: (a) a fully-deduplicated increment
+    commits as a clean no-op (no empty-snapshot crash, history size
+    unchanged); (b) a read-only probe of an empty sink pins NO spec, so
+    the real first commit under a different window still works; (c) the
+    incremental path adopts a non-default committed bucket count."""
+    from artexin_spark import storage as sink_io
+
+    body = " ".join(f"q{i}" for i in range(40))
+    df = spark.createDataFrame([(1, body)], "doc_id long, text string")
+
+    # (b) read-only probe first: no spec pinned
+    probe_sink = str(tmp_path / "probe")
+    dedup.incremental_substring_dedup(
+        spark, df, probe_sink, window=20, commit=False
+    ).count()
+    import os
+
+    assert not os.path.exists(dedup._substr_spec_path(probe_sink))
+    dedup.commit_window_hashes(spark, df, probe_sink, run_id="r1", window=10)
+
+    # (c) non-default bucket count adopted by the incremental commit
+    sink = str(tmp_path / "wh64")
+    dedup.commit_window_hashes(
+        spark, df, sink, run_id="a", window=20, n_buckets=4
+    )
+    n0 = dedup.read_window_hashes(spark, sink).count()
+    inc = spark.createDataFrame([(2, body + " extra tokens here")],
+                                "doc_id long, text string")
+    dedup.incremental_substring_dedup(spark, inc, sink, window=20, run_id="b")
+    assert dedup.read_window_hashes(spark, sink).count() > n0
+
+    # (a) re-ingesting already-committed content: no crash, no growth
+    n1 = dedup.read_window_hashes(spark, sink).count()
+    sid = dedup.commit_window_hashes(spark, df, sink, run_id="c", window=20)
+    assert sid is None  # nothing new -> no snapshot published
+    assert dedup.read_window_hashes(spark, sink).count() == n1
+    spans = dedup.incremental_substring_dedup(
+        spark, df, sink, window=20, run_id="d", persist=True
+    )
+    assert spans.count() == 1  # the whole doc is historical material
+    assert dedup.read_window_hashes(spark, sink).count() == n1
+    assert sink_io.latest_snapshot_id(spark, sink) == 2  # a+b only
