@@ -540,6 +540,18 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     return out.select("id_a", "id_b")
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Operator composition: exact embedding near-dup pairs feed the
+    SAME transitive connected-components labeling tail the MinHash path
+    uses (dedup_clusters(pairs=…)) — one clustering implementation
+    serves every pairing strategy. Oracle = cross-join cosine pairs +
+    recursive-CTE transitive closure."""
+    emb = _emb(spark, sf_dir).filter("vec_id < 120")
+    pairs = dd.embedding_near_dup(emb, threshold=0.3289).select("id_a", "id_b")
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    return dd.dedup_clusters(ids, pairs=pairs)
+
+
 def q_lang_id(spark, sf_dir):
     return ts.lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
 
@@ -2274,10 +2286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "bm25": q_bm25,
         "incremental_substring": q_incremental_substring,
+        "embedding_clusters": q_embedding_clusters,
         # --- rotated forward (r02 VERDICT item 1): queries whose only
         # driver verdict is r01. The driver checks the first ~50 entries;
-        # with 11 changed/new entries ahead, the tail of this 45-query
-        # block (~6 entries: length_percentiles onward) stays r01-only
+        # with 12 changed/new entries ahead, the tail of this 45-query
+        # block (~7 entries: sliding_window onward) stays r01-only
         # this round — the tail is deliberately the lowest-risk classics
         # (TPC-H shapes, plain windows) and goes FIRST in the r04 order.
         "content_key": q_content_key,
@@ -2709,6 +2722,27 @@ WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3289
+"""
+
+_ORACLES["embedding_clusters"] = """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+thr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3289),
+edges AS (SELECT id_a AS u, id_b AS v FROM thr
+          UNION ALL SELECT id_b AS u, id_a AS v FROM thr),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+SELECT e.vec_id AS doc_id,
+       coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(c.cluster_id, e.vec_id) <> e.vec_id AS is_duplicate
+FROM e LEFT JOIN comp c ON c.doc_id = e.vec_id
 """
 
 _LANG_SQL_MARKERS = {
