@@ -737,6 +737,7 @@ def substring_dedup_spans(
     window: int = 50,
     max_df: int | None = 10000,
     hash_mode: str = "rolling",
+    persist: bool = True,
 ) -> DataFrame:
     """Maximal duplicated-substring spans at ``window``-token granularity
     — the bucketed token-window approximation of Lee et al. 2021's
@@ -769,27 +770,41 @@ def substring_dedup_spans(
     - ``"md5"``: ``md5(array_join(slice(toks, i, window)))`` per window —
       O(tokens × window) string materialization, kept ONLY as the
       cross-engine oracle twin (DuckDB computes the identical hashes) and
-      the equivalence baseline for the rolling path's property tests."""
-    occ = window_hash_occurrences(df, text_col, id_col, window, hash_mode)
-    from pyspark.sql.window import Window
+      the equivalence baseline for the rolling path's property tests.
 
-    # df + first-occurrence as WINDOW aggregates over wh partitions, not a
-    # groupBy + self-join back on wh: the join form instantiates the occ
-    # subtree (scan + tokenize + window hashing) TWICE in the plan — the
-    # two branches' exchanges differ (one has a partial agg below it) so
-    # exchange reuse never fires and the corpus is hashed twice. One
-    # window pass = one shuffle on wh, one hash evaluation. Per-wh groups
-    # are df-sized (≤ max_df), so no partition-skew risk from the sort.
-    wh_w = Window.partitionBy("wh")
-    ann = occ.select(
-        F.col(id_col),
-        "pos",
-        F.count("*").over(wh_w).alias("df"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh_w).alias("first"),
-    )
-    dup = ann.filter(F.col("df") >= 2)
+    Skew design (the r03-verdict de-skew): df + first-occurrence come
+    from a ``groupBy("wh")`` — map-side PARTIAL aggregation, so a
+    boilerplate window hash occurring 10^8 times corpus-wide (license
+    headers; exactly what Lee et al. report) collapses to one partial
+    per map task and never lands whole on a single reducer. A
+    ``Window.partitionBy("wh")`` would do exactly that (every
+    occurrence of one hash in one task, with NO AQE backstop — AQE skew
+    handling covers joins, not window exchanges, and ``max_df`` can
+    only filter AFTER the window has already computed). The per-hash
+    stats are ``max_df``-capped BEFORE joining back onto the
+    occurrence frame, and that join is where AQE's skew-split backstop
+    applies to whatever residual hot keys survive the cap.
+
+    ``persist`` (default True) caches the narrow (id, pos, wh)
+    occurrence frame (MEMORY_AND_DISK): the stats branch and the
+    join-back probe are different plan subtrees, so without the cache
+    the scan→tokenize→hash work runs twice (exchange reuse can't fire
+    — one branch has a partial agg below the exchange). The cache is
+    ~24 bytes/token spilled to executor-local disk, strictly cheaper
+    than re-hashing a 100 TB corpus; pass False to trade the second
+    pass for zero cache footprint."""
+    occ = window_hash_occurrences(df, text_col, id_col, window, hash_mode)
+    if persist:
+        from pyspark import StorageLevel
+
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = occ.groupBy("wh").agg(
+        F.count("*").alias("df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    ).filter(F.col("df") >= 2)
     if max_df:
-        dup = dup.filter(F.col("df") <= max_df)
+        stats = stats.filter(F.col("df") <= max_df)
+    dup = occ.join(stats, "wh")
     flagged = dup.filter(
         ~(
             (F.col(id_col) == F.col("first." + id_col))
@@ -1024,21 +1039,25 @@ def commit_window_hashes(
     n_buckets: int | None = None,
 ) -> int | None:
     """Append-commit a corpus increment's DISTINCT window hashes to the
-    persistent hash table (the cross-run substring-dedup state). One
-    narrow column (the 8-byte rolling hash, or the md5 string in oracle
-    mode) per distinct window — the increment's text is never stored;
-    already-committed hashes are anti-joined away so appends stay tight.
-    Returns the committed snapshot id, or None when the increment held
-    nothing new (no empty commit is published)."""
+    persistent hash table (the cross-run substring-dedup state). Two
+    narrow columns per distinct window — the 8-byte rolling hash (or the
+    md5 string in oracle mode) plus ``df``, the hash's occurrence count
+    WITHIN this increment; the increment's text is never stored.
+    Already-committed hashes are anti-joined away so appends stay tight
+    (append-only: an existing hash's stored df never updates, so it is a
+    LOWER BOUND on corpus-wide df — see ``incremental_substring_dedup``
+    for how the max_df escape prices that). Returns the committed
+    snapshot id, or None when the increment held nothing new (no empty
+    commit is published)."""
     _check_substr_spec(hash_sink, window, hash_mode, publish=True)
     new = (
         window_hash_occurrences(df, text_col, id_col, window, hash_mode)
-        .select("wh")
-        .distinct()
+        .groupBy("wh")
+        .agg(F.count("*").alias("df"))
     )
     hist = read_window_hashes(spark, hash_sink)
     if hist is not None:
-        new = new.join(hist, "wh", "left_anti")
+        new = new.join(hist.select("wh"), "wh", "left_anti")
     return commit_window_hash_frame(spark, new, hash_sink, run_id, n_buckets)
 
 
@@ -1046,15 +1065,22 @@ def commit_window_hash_frame(
     spark, hashes: DataFrame, hash_sink: str, run_id: str, n_buckets: int | None = None
 ) -> int | None:
     """Append-commit an ALREADY-derived distinct new-hash frame (column
-    ``wh``) — the reuse seam for the incremental path, which has the
-    history-joined occ frame in hand and must not re-hash the text.
+    ``wh``, optionally ``df`` = in-increment occurrence count) — the
+    reuse seam for the incremental path, which has the history-joined
+    occ frame in hand and must not re-hash the text.
 
     ``n_buckets=None`` adopts the table's committed bucket spec (falls
     back to 16 on a fresh sink), so the incremental path keeps working
     on tables created with any bucket count. A fully-deduplicated
     increment (zero new hashes) is a clean no-op — the empty run dir is
     removed and no snapshot commits (an empty partitioned write has no
-    parquet files, and committing it would crash the schema read)."""
+    parquet files, and committing it would crash the schema read).
+
+    Schema self-consistency: if the sink already holds committed runs
+    WITHOUT a df column (a pre-df table), new appends drop df too — one
+    sink never mixes parquet schemas, so snapshot reads need no
+    mergeSchema and old tables keep working (their history hits simply
+    read df as unknown)."""
     import os
     import shutil
 
@@ -1063,7 +1089,14 @@ def commit_window_hash_frame(
     spec = sink_io.read_bucket_spec(hash_sink)
     if n_buckets is None:
         n_buckets = int(spec["n_buckets"]) if spec else 16
-    keyed = hashes.select("wh").withColumn(
+    cols = ["wh"]
+    if "df" in hashes.columns:
+        existing = read_window_hashes(spark, hash_sink)
+        if existing is None or "df" in existing.columns:
+            cols.append("df")
+    keyed = hashes.select(
+        "wh", *[F.col("df").cast("long").alias("df")] if "df" in cols else []
+    ).withColumn(
         "part_key", F.pmod(F.xxhash64(F.col("wh")), F.lit(n_buckets)).cast("int")
     )
     sink_io.ensure_bucket_spec(hash_sink, n_buckets, bucket_cols=("wh",))
@@ -1081,13 +1114,16 @@ def commit_window_hash_frame(
 
 
 def read_window_hashes(spark, hash_sink: str) -> DataFrame | None:
-    """The committed distinct-hash set (wh only), or None before the
+    """The committed distinct-hash set — (wh, df) on tables committed
+    with occurrence counts, (wh) on pre-df tables — or None before the
     first commit."""
     from .. import storage as sink_io
 
     if sink_io.latest_snapshot_id(spark, hash_sink) is None:
         return None
-    return sink_io.read_snapshot(spark, hash_sink).select("wh")
+    snap = sink_io.read_snapshot(spark, hash_sink)
+    cols = ["wh"] + (["df"] if "df" in snap.columns else [])
+    return snap.select(*cols)
 
 
 def incremental_substring_dedup(
@@ -1101,74 +1137,94 @@ def incremental_substring_dedup(
     hash_mode: str = "rolling",
     run_id: str | None = None,
     commit: bool = True,
-    persist: bool = False,
+    persist: bool | None = None,
 ) -> DataFrame:
     """Substring dedup of a NEW increment against the already-committed
     corpus — the continuous-ingest shape of the Lee et al. operator,
     mirroring ``incremental_minhash_dedup``: history participates via
-    its STORED distinct window hashes only (one narrow column; the
+    its STORED distinct window hashes only (narrow (wh, df) columns; the
     historical text is never re-read or re-hashed).
 
     A window of the increment flags when its hash exists in history
     (history holds the first occurrence by definition) OR when it is a
-    non-first duplicate within the increment itself (the batch
-    operator's keep-first rule, ``max_df``-capped). Flagged windows
-    merge into maximal [start_tok, end_tok) spans per doc — feed them to
-    ``substring_dedup_apply`` to cut. With ``commit=True`` the
-    increment's hashes append so the next increment dedups against them.
+    non-first duplicate within the increment itself. The batch
+    operator's ``max_df`` boilerplate escape applies to BOTH cases using
+    the best-known corpus-wide df LOWER BOUND: the increment's own count
+    plus the stored history df (the count at the hash's first commit —
+    append-only state, so a later increment's occurrences never update
+    it). License-header-grade boilerplate saturates ``max_df`` in any
+    realistic first increment, so the dominant batch-vs-incremental
+    divergence (boilerplate spared by batch but cut from every
+    increment) is closed; a hash that only crosses ``max_df`` summed
+    across MANY later increments is still cut (the lower bound never
+    sees those) — the residual, honestly priced, cost of append-only
+    history. Pre-df history tables read df as unknown (counted as 0 in
+    the bound). Flagged windows merge into maximal [start_tok, end_tok)
+    spans per doc — feed them to ``substring_dedup_apply`` to cut. With
+    ``commit=True`` the increment's (wh, df) rows append so the next
+    increment dedups against them.
 
-    Hash-pass accounting, honestly: WITHIN each Spark action the occ
-    subtree (tokenize → hash → history join) is instantiated once — but
-    ``commit=True`` runs its own write action before the caller ever
-    evaluates the returned spans, so the increment is hashed once per
-    ACTION (twice total). ``persist=True`` caches the narrow occ frame
-    (MEMORY_AND_DISK) so the spans action reuses the commit action's
-    work; the cache lives until executor eviction or an explicit
-    ``spark.catalog.clearCache()`` — standard Spark shared-subframe
-    practice, worth it whenever increment tokenization dominates."""
-    from pyspark.sql.window import Window
+    Skew design matches ``substring_dedup_spans`` (r03-verdict de-skew):
+    per-hash df/first via map-side-partial ``groupBy``, never
+    ``Window.partitionBy(wh)``; history joins the per-WH stats frame
+    (|distinct hashes| rows, not |occurrences|); the join back onto the
+    occurrence frame gets AQE's skew-split backstop.
 
+    Hash-pass accounting: ``commit=True`` runs its own write action
+    before the caller evaluates the returned spans, so without a cache
+    the increment would be hashed once per ACTION (twice total).
+    ``persist=None`` (default) therefore persists the narrow occ frame
+    (MEMORY_AND_DISK) exactly when ``commit=True`` — the spans action
+    reuses the commit action's hashing work; pass an explicit bool to
+    override. The cache lives until executor eviction or an explicit
+    ``spark.catalog.clearCache()``."""
     import uuid as _uuid
 
     _check_substr_spec(hash_sink, window, hash_mode, publish=commit)
+    if persist is None:
+        persist = commit
     occ = window_hash_occurrences(increment, text_col, id_col, window, hash_mode)
-    hist = read_window_hashes(spark, hash_sink)
-    if hist is not None:
-        occ = occ.join(
-            hist.withColumn("_hist", F.lit(True)), "wh", "left"
-        )
-    else:
-        occ = occ.withColumn("_hist", F.lit(None).cast("boolean"))
     if persist:
         from pyspark import StorageLevel
 
         occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
-    wh_w = Window.partitionBy("wh")
-    ann = occ.select(
-        F.col(id_col),
-        "pos",
-        F.col("_hist"),
-        F.count("*").over(wh_w).alias("df"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh_w).alias("first"),
+    stats = occ.groupBy("wh").agg(
+        F.count("*").alias("df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
     )
+    hist = read_window_hashes(spark, hash_sink)
+    if hist is not None:
+        h = hist.withColumn("_hist", F.lit(True))
+        h = (
+            h.withColumnRenamed("df", "df_hist")
+            if "df" in h.columns
+            else h.withColumn("df_hist", F.lit(None).cast("long"))
+        )
+        stats = stats.join(h, "wh", "left")
+    else:
+        stats = stats.withColumn("_hist", F.lit(None).cast("boolean")).withColumn(
+            "df_hist", F.lit(None).cast("long")
+        )
+    in_hist = F.coalesce(F.col("_hist"), F.lit(False))
+    cand = stats.filter(in_hist | (F.col("df") >= 2))
+    if max_df:
+        cand = cand.filter(
+            (F.col("df") + F.coalesce(F.col("df_hist"), F.lit(0))) <= max_df
+        )
+    dup = occ.join(cand, "wh")
     is_first = (F.col(id_col) == F.col("first." + id_col)) & (
         F.col("pos") == F.col("first.pos")
     )
-    within = (F.col("df") >= 2) & ~is_first
-    if max_df:
-        within = within & (F.col("df") <= max_df)
-    flagged = ann.filter(F.coalesce(F.col("_hist"), F.lit(False)) | within).select(
+    flagged = dup.filter(in_hist | ~is_first).select(
         F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end")
     )
     spans = merge_flag_islands(flagged, id_col)
     if commit:
-        # reuse the history-joined occ frame: new hashes are exactly the
-        # increment's windows NOT already flagged _hist — no second
-        # tokenize/hash pass over the text and no anti-join re-scan of
-        # the stored table
-        new = occ.filter(~F.coalesce(F.col("_hist"), F.lit(False))).select(
-            "wh"
-        ).distinct()
+        # reuse the per-wh stats frame (which reuses the persisted occ):
+        # new hashes are exactly the increment's windows NOT in history,
+        # with their in-increment df — no second tokenize/hash pass over
+        # the text and no anti-join re-scan of the stored table
+        new = stats.filter(~in_hist).select("wh", "df")
         commit_window_hash_frame(
             spark, new, hash_sink, run_id or ("sub-" + _uuid.uuid4().hex[:10])
         )
@@ -1343,46 +1399,65 @@ def paragraph_dedup(
     had at least one non-empty paragraph; ``text_dedup`` is '' when every
     paragraph was a duplicate of an earlier document's.
 
-    Scale notes (100 TB): two shuffles, both inherent — one by normalized
-    paragraph (the window that picks first occurrences; AQE skew-split
-    backstops mega-duplicate paragraphs like '' or 'home'), one by doc id
-    (reassembly hash-agg). The window key is the normalized paragraph
-    STRING for engine-exact oracle parity; a production variant keys on
-    ``xxhash64(norm)`` to shuffle 8-byte keys instead (identical result
-    modulo 2^-64 collisions). Paragraphs shuffle once each — there is no
-    per-pair or per-join amplification.
+    Scale notes (100 TB, r03-verdict de-skew): first occurrences come
+    from ``groupBy("norm").agg(min(struct(id, pos, para)))`` — map-side
+    PARTIAL aggregation, so a cookie-banner paragraph shared by 10^8
+    pages collapses to one candidate per map task and the reducer for
+    that key sees |tasks| partials, not 10^8 rows. The previous
+    ``row_number() OVER (PARTITION BY norm)`` shape put every occurrence
+    of one paragraph into a single task with NO backstop: AQE skew
+    handling covers joins, not window exchanges, and WindowGroupLimit
+    cannot fire when the flag feeds an aggregate. The kept-first frame
+    (one row per DISTINCT paragraph) and the per-doc counts then
+    hash-agg by doc id and combine with a narrow join on id — nothing
+    fat ever shuffles on the content key except once, pre-collapsed.
+    Three narrow exchanges instead of two skew-prone ones; the exploded
+    paragraphs are scanned twice (first-occurrence branch + count
+    branch), which is a re-split of the text column, not a re-shuffle.
+    The agg key is the normalized paragraph STRING for engine-exact
+    oracle parity; a production variant keys on ``xxhash64(norm)`` to
+    hash-agg 8-byte keys instead (identical result modulo 2^-64
+    collisions).
 
     Reference residue: dedup-keep-first ordering semantics mirror
     artexin's first-appearance image dedup (artexin/extract.py:240-261);
     normalization is the engine's content identity (norm_md5 above,
     artexin/pack.py:59-65).
     """
-    from pyspark.sql import Window
-
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).withColumn(
         "norm", F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
     ).filter(F.col("norm") != "")
-    w = Window.partitionBy("norm").orderBy(id_col, "pos")
-    flagged = paras.withColumn(
-        "keep", F.row_number().over(w) == 1
+    # min(struct(id, pos, para)): (id, pos) is unique, so the struct
+    # order is total before `para` ever compares — the original text of
+    # the first occurrence rides along for free
+    kept = (
+        paras.groupBy("norm")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"), F.col("para"))).alias("f"))
+        .select(
+            F.col("f." + id_col).alias(id_col),
+            F.col("f.pos").alias("pos"),
+            F.col("f.para").alias("para"),
+        )
     )
-    return flagged.groupBy(id_col).agg(
+    kept_agg = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("pos", "para"))
-                    )
-                ),
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
                 lambda s: s["para"],
             ),
             sep,
         ).alias("text_dedup"),
-        F.sum(F.col("keep").cast("int")).alias("n_kept"),
-        F.count("*").alias("n_paras"),
+        F.count("*").alias("n_kept"),
+    )
+    counts = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return counts.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.col("n_paras"),
     )
 
 

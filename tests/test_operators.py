@@ -1123,6 +1123,8 @@ def test_substring_dedup_plan_no_cartesian(spark):
         [(i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(20)],
         "doc_id long, text string",
     )
+    import re
+
     for mode, n_py in (("rolling", 1), ("md5", 0)):
         plan = (
             dedup.substring_dedup_spans(df, window=10, hash_mode=mode)
@@ -1130,11 +1132,20 @@ def test_substring_dedup_plan_no_cartesian(spark):
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # rolling: exactly ONE vectorized Arrow crossing (the O(n) roll);
+        # rolling: ONE vectorized Arrow crossing at runtime — the occ
+        # frame is cached (default persist=True), so the stats branch
+        # and the join-back probe are two InMemoryTableScans over ONE
+        # InMemoryRelation whose child holds the single Arrow roll (the
+        # plan STRING prints that child once per relation reference,
+        # hence n_py*2 textual hits backed by one runtime evaluation).
         # md5 (oracle twin): fully native. Never row-at-a-time Python.
-        # (executedPlan toString prints "ArrowEvalPython [exprs]")
         assert "BatchEvalPython" not in plan
-        assert plan.count("ArrowEvalPython") == n_py, (mode, plan)
+        assert plan.count("InMemoryTableScan") == 2, (mode, plan)
+        assert plan.count("ArrowEvalPython") == n_py * 2, (mode, plan)
+        # the r03-verdict de-skew: per-hash df/first must come from a
+        # groupBy (map-side partials), never a window keyed on the
+        # content hash (one task per hot hash, no AQE backstop)
+        assert not re.search(r"windowspecdefinition\(wh", plan), (mode, plan)
 
 
 def test_substring_rolling_equals_md5_spans(spark):
@@ -1839,3 +1850,86 @@ def test_incremental_substring_edge_contracts(spark, tmp_path):
     assert spans.count() == 1  # the whole doc is historical material
     assert dedup.read_window_hashes(spark, sink).count() == n1
     assert sink_io.latest_snapshot_id(spark, sink) == 2  # a+b only
+
+
+def test_incremental_substring_max_df_escape_matches_batch(spark, tmp_path):
+    """The r03 ADVICE divergence: boilerplate that batch mode spares via
+    max_df must ALSO be spared by the incremental path (history stores
+    per-hash df at first commit; the escape uses stored + in-increment
+    count as the corpus-df lower bound), while genuine below-cap
+    duplicates still flag against history."""
+    bp = " ".join(f"bp{j}" for j in range(10))  # 10-token boilerplate run
+    run = " ".join(f"rr{j}" for j in range(12))  # a genuine unique run
+    b1 = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} " + bp) for i in range(1, 9)] + [(9, run)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"z{i} y{i} " + bp) for i in range(1, 5)]
+        + [(110, run + " tail xx")],
+        "doc_id long, text string",
+    )
+    sink = str(tmp_path / "whdf")
+    s1 = dedup.incremental_substring_dedup(
+        spark, b1, sink, window=10, max_df=6, run_id="b1"
+    )
+    # bp occurs 8x in b1 > max_df=6: spared within the first increment too
+    assert s1.count() == 0
+    hist = dedup.read_window_hashes(spark, sink).toPandas()
+    assert "df" in hist.columns and hist["df"].max() == 8  # bp hash df stored
+    s2 = dedup.incremental_substring_dedup(
+        spark, b2, sink, window=10, max_df=6, run_id="b2", commit=False
+    ).toPandas()
+    flagged_docs = set(s2["doc_id"])
+    # boilerplate: stored df 8 + increment df 4 = 12 > 6 -> spared, exactly
+    # as a batch run over b1 ∪ b2 (df=12) would spare it
+    assert flagged_docs == {110}, s2
+    row = s2[s2.doc_id == 110].iloc[0]
+    assert (row.start_tok, row.end_tok) == (0, 12)  # the copied run, df=2 <= cap
+    batch = dedup.substring_dedup_spans(
+        b1.unionByName(b2), window=10, max_df=6
+    ).toPandas()
+    assert set(batch["doc_id"]) == {110}  # batch agrees: only the real dup
+
+
+def test_incremental_substring_pre_df_history_table(spark, tmp_path):
+    """A history table committed WITHOUT df (pre-r04 schema) keeps
+    working: history hits flag, the escape degrades to the increment-only
+    lower bound, and new appends stay df-less so one sink never mixes
+    parquet schemas."""
+    sink = str(tmp_path / "whold")
+    body = " ".join(f"ow{j}" for j in range(25))
+    old = spark.createDataFrame([("h", body)], "doc_id string, text string")
+    occ = dedup.window_hash_occurrences(old, window=10)
+    dedup._check_substr_spec(sink, 10, "rolling", publish=True)
+    dedup.commit_window_hash_frame(
+        spark, occ.select("wh").distinct(), sink, "legacy"
+    )
+    hist = dedup.read_window_hashes(spark, sink)
+    assert hist.columns == ["wh"]  # pre-df table reads df-less
+    inc = spark.createDataFrame(
+        [("n1", body + " fresh tail here")], "doc_id string, text string"
+    )
+    spans = dedup.incremental_substring_dedup(
+        spark, inc, sink, id_col="doc_id", window=10, run_id="n1"
+    ).toPandas()
+    assert list(spans["doc_id"]) == ["n1"] and spans.iloc[0].start_tok == 0
+    assert dedup.read_window_hashes(spark, sink).columns == ["wh"]
+
+
+def test_incremental_substring_persist_on_commit_single_hash(spark, tmp_path):
+    """commit=True defaults to persisting the narrow occ frame so the
+    spans action reuses the commit action's tokenize+hash work (the
+    increment is hashed ONCE, not once per action): the returned plan
+    must read the occurrence subtree from cache."""
+    sink = str(tmp_path / "whper")
+    df = spark.createDataFrame(
+        [(i, " ".join(f"per{i}x{j}" for j in range(20))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    spans = dedup.incremental_substring_dedup(
+        spark, df, sink, window=10, run_id="p1"
+    )
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert spans.count() == 0

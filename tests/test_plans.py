@@ -242,11 +242,16 @@ def test_stratified_sample_is_pure_projection(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_paragraph_dedup_two_shuffles_and_pruned_scan(spark):
-    """Corpus-wide paragraph dedup is exactly two exchanges (window by
-    normalized paragraph, reassembly hash-agg by doc) with a partial
-    collect before the second — paragraphs shuffle once each, never
-    amplified; only (doc_id, text) leave the scan."""
+def test_paragraph_dedup_deskewed_aggs_and_pruned_scan(spark):
+    """Corpus-wide paragraph dedup must pick first occurrences via a
+    map-side-partial groupBy on the normalized paragraph — NEVER a
+    Window.partitionBy(norm) (which lands every occurrence of a
+    mega-duplicate paragraph on one task with no AQE backstop, the r03
+    verdict's skew hazard). Pinned: partial min(struct) before the norm
+    exchange, no window function over norm, at most three hash
+    exchanges (norm agg, reassembly agg, count agg — the id-keyed join
+    reuses the agg partitioning), and only (doc_id, text) leave the
+    scan."""
     import __spark_entry__ as e
 
     plan = _plan(e.q_paragraph_dedup(spark, SF))
@@ -255,8 +260,11 @@ def test_paragraph_dedup_two_shuffles_and_pruned_scan(spark):
     import re
 
     hash_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
-    assert hash_ex == 2, plan
+    assert hash_ex == 3, plan
+    assert "partial_min" in plan, plan
     assert "partial_collect_list" in plan, plan
+    assert not re.search(r"Window\b[^\n]*norm", plan), plan
+    assert "row_number" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
