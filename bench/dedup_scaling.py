@@ -158,9 +158,14 @@ def main() -> None:
             "simhash_pairs": lambda d=docs: dd.simhash_dedup(
                 d, max_hamming=3, bits=64
             ).count(),
-            "substring_rolling": lambda d=docs: dd.substring_dedup_spans(
-                d, window=20
-            ).count(),
+            # clearCache first: substring_dedup_spans persists its occ
+            # frame (by design — hash once, read twice); without the
+            # clear, the 2nd timed rep would hit the 1st rep's cache and
+            # time only the post-hash stages
+            "substring_rolling": lambda d=docs: (
+                spark.catalog.clearCache(),
+                dd.substring_dedup_spans(d, window=20).count(),
+            )[1],
             # planes sized to the corpus (≈ log2(N/128)): per-bucket work
             # is Θ(N²/2^planes), so FIXED planes is quadratic in N
             # (measured: defaults at 32k vectors cost 16× the 8k wall).
@@ -216,17 +221,58 @@ def main() -> None:
 
     # --- 3. substring doc-length scaling (rolling) ------------------------
     short = long_docs(spark, segments=4, n_docs=2000).localCheckpoint()
-    t_short = timed(lambda: dd.substring_dedup_spans(short, window=20).count())
-    t_long = timed(lambda: dd.substring_dedup_spans(ld, window=20).count())
+
+    def _sub(d):
+        spark.catalog.clearCache()  # same cache-vs-rep note as section 1
+        return dd.substring_dedup_spans(d, window=20).count()
+
+    t_short = timed(lambda: _sub(short))
+    t_long = timed(lambda: _sub(ld))
     result["substring_doclen"] = {
         "tokens_ratio": 10.0,
         "wall_short_s": t_short,
         "wall_long_s": t_long,
         "wall_ratio": round(t_long / t_short, 2),
     }
+
+    # --- 4. planted mega-dup skew evidence (r03 VERDICT item 1) -----------
+    # One 20-token block (a cookie-banner-grade paragraph) appended to
+    # ~30% of a ~100k-doc corpus: its window hash / normalized paragraph
+    # occurs ~30k times. The de-skewed operators (map-side-partial
+    # groupBy, max_df cap BEFORE the join-back, AQE skew-split on the
+    # join) must run ~flat vs the skew-free corpus — the old
+    # Window.partitionBy(content-key) shape would serialize those 30k
+    # (at web scale, 10^8) rows through one task.
+    mega_scale = int(os.environ.get("MEGA_SCALE", "20"))
+    clean = scaled_docs(spark, mega_scale).localCheckpoint()
+    n_clean = clean.count()
+    banner = " ".join(f"bannertok{i}" for i in range(20))
+    planted = clean.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(F.col("text"), F.lit("\n\n" + banner)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint()
+    mega: dict = {"n_docs": n_clean, "dup_frac": 0.3, "ops": {}}
+    for name, fn in {
+        "substring_rolling": lambda d: _sub(d),
+        "paragraph_dedup": lambda d: dd.paragraph_dedup(d).count(),
+    }.items():
+        t_clean = timed(lambda: fn(clean))
+        t_mega = timed(lambda: fn(planted))
+        mega["ops"][name] = {
+            "wall_clean_s": t_clean,
+            "wall_megadup_s": t_mega,
+            "skew_wall_ratio": round(t_mega / t_clean, 2),
+        }
+    result["planted_megadup"] = mega
     # honest-coverage note (no silent caps): every leg above runs the
     # full synthesized corpus; the only bounded inputs are n_docs for
-    # the long-doc legs, stated in the JSON itself.
+    # the long-doc legs and MEGA_SCALE for the planted leg, stated in
+    # the JSON itself.
 
     out_path = os.path.join(REPO, "BENCH", "dedup_scaling.json")
     with open(out_path, "w") as f:
