@@ -1118,6 +1118,40 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_bm25_multi(spark, sf_dir):
+    """Batched BM25 (textstats.bm25_rank_multi): three queries (one term
+    shared across two of them) scored in ONE corpus tokenize — postings
+    broadcast-pruned to query terms, per-query top-5 via a rank-filtered
+    window that Spark rewrites to a map-side WindowGroupLimit. Scores
+    fold in sorted term order so DuckDB replays the identical IEEE sum."""
+    return ts.bm25_rank_multi(
+        _docs(spark, sf_dir),
+        {
+            "q_hash": ["hash", "merge"],
+            "q_stream": ["stream", "data"],
+            "q_window": ["window", "hash"],
+        },
+        topk=5,
+    )
+
+
+def q_ngram_train(spark, sf_dir):
+    """Distributed logistic-regression fit of the hashed-ngram quality
+    classifier (textstats.hashed_ngram_fit): 2 gradient steps over 300
+    labeled docs, 32 buckets — weights broadcast per step, gradient
+    reduced map-side to one (bucket, grad) row set, weights quantized to
+    integer micro-units so the DuckDB oracle replays both steps
+    BIT-identically (rational squash, no libm transcendental)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", "text", (F.col("doc_id") % 3 == 0).cast("int").alias("y")
+        )
+    )
+    return ts.hashed_ngram_fit(docs, "y", n=2, n_buckets=32, iters=2, lr=0.5)
+
+
 def q_incremental_substring(spark, sf_dir):
     """Cross-run substring dedup (dedup.incremental_substring_dedup):
     batch 1 (docs < 100) commits its distinct window hashes; batch 2
@@ -2270,67 +2304,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_transcript(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks roughly the FIRST 50 registry
+# entries each round, so queries() ordering is load-bearing. This list IS
+# the declared driver window — a guard test asserts the registry's first
+# len(_DRIVER_WINDOW_PRIORITY) entries match it exactly, so an accidental
+# dict reorder can never silently push a changed query out of the check
+# window. r04 priority, in order:
+#   1. the 7 queries whose only driver verdict is r01 (the r03 rotation's
+#      window-overflow tail — refresh them first);
+#   2. r04-CHANGED queries (substring/paragraph de-skew, blocklist hint);
+#   3. r04 additions (first driver verdict);
+#   4. r02-verified-and-unchanged entries, oldest verdicts first, filling
+#      the window to ~50.
+_DRIVER_WINDOW_PRIORITY = [
+    "events_unpivot",
+    "length_percentiles",
+    "topk_terms_per_source",
+    "image_index",
+    "entity_blocking",
+    "pricing_summary",
+    "shipping_priority",
+    "substring_dedup",
+    "substring_apply",
+    "incremental_substring",
+    "paragraph_dedup",
+    "blocklist_filter",
+    "blocklist_large",
+    "ngram_train",
+    "bm25_multi",
+    "customer_distribution",
+    "region_revenue",
+    "strip_links",
+    "extract_spans",
+    "conv_rollup",
+    "lsh_pairs",
+    "dedup_clusters",
+    "simhash_pairs",
+    "ann_ivf",
+    "ann_lsh",
+    "prep_dispatch",
+    "returned_orders",
+    "never_returned",
+    "stream_extract",
+    "stream_windowed",
+    "asset_resolution",
+    "multimodal_resize",
+    "multimodal_audio",
+    "multimodal_video",
+    "pdf_extract",
+    "stateful_progress",
+    "time_travel",
+    "compaction",
+    "incremental_read",
+    "stats_skipping",
+    "merge_upsert",
+    "embedding_near_dup_exact",
+    "domain_stats",
+    "gopher_quality",
+    "url_dedup",
+    "pipeline_e2e",
+    "ngram_classifier",
+    "unigram_lm",
+    "sequence_pack",
+    "mixture_sample",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- r03-CHANGED queries first: their operator code changed
-        # this round, so the driver verdict must be refreshed.
-        "substring_dedup": q_substring_dedup,
-        "substring_apply": q_substring_apply,
-        "skew_salted_join": q_skew_salted_join,
-        "embedding_near_dup": q_embedding_near_dup,
-        "incremental_dedup": q_incremental_dedup,
-        "multimodal_decode": q_multimodal_decode,
-        # --- r03 additions (first driver verdict).
-        "blocklist_large": q_blocklist_large,
-        "ingest_errors": q_ingest_errors,
-        "kmeans": q_kmeans,
-        "bm25": q_bm25,
-        "incremental_substring": q_incremental_substring,
-        "embedding_clusters": q_embedding_clusters,
-        # --- rotated forward (r02 VERDICT item 1): queries whose only
-        # driver verdict is r01. The driver checks the first ~50 entries;
-        # with 12 changed/new entries ahead, the tail of this 45-query
-        # block (~7 entries: sliding_window onward) stays r01-only
-        # this round — the tail is deliberately the lowest-risk classics
-        # (TPC-H shapes, plain windows) and goes FIRST in the r04 order.
-        "content_key": q_content_key,
-        "url_predicates": q_url_predicates,
-        "date_serialize": q_date_serialize,
-        "token_unigrams": q_token_unigrams,
-        "token_bigrams": q_token_bigrams,
-        "word_counts": q_word_counts,
-        "term_df_idf": q_term_df_idf,
-        "exact_dedup": q_exact_dedup,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "hash_split": q_hash_split,
-        "paragraph_dedup": q_paragraph_dedup,
-        "stratified_sample": q_stratified_sample,
-        "group_quota": q_group_quota,
-        "contamination": q_contamination,
-        "curate": q_curate,
-        "redact_pii": q_redact_pii,
-        "repetition": q_repetition,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "dedup_first": q_dedup_first,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "events_window": q_events_window,
-        "sessionize": q_sessionize,
-        "rollup_events": q_rollup_events,
-        "events_cube": q_events_cube,
-        "json_props": q_json_props,
-        "tumbling_window": q_tumbling_window,
-        "distinct_users": q_distinct_users,
-        "session_window": q_session_window,
-        "sliding_window": q_sliding_window,
-        "events_pivot": q_events_pivot,
+        # --- the driver-window priority block (see
+        # _DRIVER_WINDOW_PRIORITY above; guard-tested to match).
         "events_unpivot": q_events_unpivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
@@ -2338,7 +2381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_blocking": q_entity_blocking,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
-        # --- r02-verified and unchanged since.
+        "substring_dedup": q_substring_dedup,
+        "substring_apply": q_substring_apply,
+        "incremental_substring": q_incremental_substring,
+        "paragraph_dedup": q_paragraph_dedup,
+        "blocklist_filter": q_blocklist_filter,
+        "blocklist_large": q_blocklist_large,
+        "ngram_train": q_ngram_train,
+        "bm25_multi": q_bm25_multi,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -2367,7 +2417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "domain_stats": q_domain_stats,
-        "blocklist_filter": q_blocklist_filter,
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
         "pipeline_e2e": q_pipeline_e2e,
@@ -2375,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "sequence_pack": q_sequence_pack,
         "mixture_sample": q_mixture_sample,
+        # --- below the driver window: r02-verified remainder first
+        # (oldest verdicts), then the r03-verified entries.
         "coalesce_turns": q_coalesce_turns,
         "turn_windows": q_turn_windows,
         "redact_secrets": q_redact_secrets,
@@ -2383,6 +2434,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_extract": q_sql_extract,
         "title_fastpath": q_title_fastpath,
         "md5_hash": q_md5_hash,
+        # --- r03-verified (driver-checked on r03 code, unchanged since).
+        "skew_salted_join": q_skew_salted_join,
+        "embedding_near_dup": q_embedding_near_dup,
+        "incremental_dedup": q_incremental_dedup,
+        "multimodal_decode": q_multimodal_decode,
+        "ingest_errors": q_ingest_errors,
+        "kmeans": q_kmeans,
+        "bm25": q_bm25,
+        "embedding_clusters": q_embedding_clusters,
+        "content_key": q_content_key,
+        "url_predicates": q_url_predicates,
+        "date_serialize": q_date_serialize,
+        "token_unigrams": q_token_unigrams,
+        "token_bigrams": q_token_bigrams,
+        "word_counts": q_word_counts,
+        "term_df_idf": q_term_df_idf,
+        "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "group_quota": q_group_quota,
+        "contamination": q_contamination,
+        "curate": q_curate,
+        "redact_pii": q_redact_pii,
+        "repetition": q_repetition,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "dedup_first": q_dedup_first,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "rollup_events": q_rollup_events,
+        "events_cube": q_events_cube,
+        "json_props": q_json_props,
+        "tumbling_window": q_tumbling_window,
+        "distinct_users": q_distinct_users,
+        "session_window": q_session_window,
+        "sliding_window": q_sliding_window,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -3770,6 +3867,85 @@ SELECT doc_id, round(score, 6) AS score, rank FROM (
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM sc WHERE score > 0)
 WHERE rank <= 10
+"""
+
+_ORACLES["bm25_multi"] = f"""
+WITH q(query_id, term) AS (VALUES
+  ('q_hash', 'hash'), ('q_hash', 'merge'),
+  ('q_stream', 'data'), ('q_stream', 'stream'),
+  ('q_window', 'hash'), ('q_window', 'window')),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base),
+post AS (SELECT doc_id, dl, term, count(*) AS tf
+         FROM base, unnest(toks) AS u(term)
+         WHERE term IN (SELECT DISTINCT term FROM q)
+         GROUP BY doc_id, dl, term),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+parts AS (SELECT q.query_id, post.doc_id, post.term,
+            ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * post.tf * 2.2
+              / (post.tf + 1.2 * (1 - 0.75 + 0.75 * post.dl / s.avgdl)) AS p
+          FROM post JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN s),
+-- sequential fold in sorted term order = the exact IEEE addition
+-- sequence the Spark side evaluates (plain SUM is order-random)
+sc AS (SELECT query_id, doc_id,
+         list_reduce(list(p ORDER BY term), (acc, x) -> acc + x) AS score
+       FROM parts GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, round(score, 6) AS score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc WHERE score > 0)
+WHERE rank <= 5
+"""
+
+# Unrolls BOTH gradient steps of hashed_ngram_fit in SQL: w0 = 0 makes
+# step 1's margin exactly 0.5 for every doc; step 2 rebuilds per-doc
+# margins from the step-1 weights. All weight/gradient arithmetic is in
+# integer micro-units with HALF-AWAY-FROM-ZERO rounding (DuckDB round ==
+# Spark F.round == the trainer's driver-side _half_up), and the squash is
+# the rational fast-sigmoid — no transcendental, so every intermediate is
+# IEEE-bit-identical to the Spark run.
+_ORACLES["ngram_train"] = f"""
+WITH t AS (SELECT doc_id, CAST(doc_id % 3 = 0 AS INT) AS y, {_SQL_TOKS} AS toks
+           FROM documents WHERE doc_id < 300),
+nd AS (SELECT count(*) AS n FROM t),
+g AS (SELECT doc_id, y,
+        (CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])
+          ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t),
+occ AS (SELECT doc_id, y, greatest(len(grams), 1) AS tl,
+          (CAST('0x' || substr(md5(gx), 1, 15) AS BIGINT) % 32) AS b
+        FROM g, unnest(grams) AS u(gx) WHERE gx IS NOT NULL),
+c AS (SELECT doc_id, y, tl, b, count(*) AS c FROM occ
+      GROUP BY doc_id, y, tl, b),
+buckets AS (SELECT unnest(generate_series(0, 31)) AS b),
+gd1 AS (SELECT doc_id,
+          CAST(round((0.5 - y) / tl * 1000000.0, 0) AS BIGINT) AS gd
+        FROM (SELECT DISTINCT doc_id, y, tl FROM c)),
+grad1 AS (SELECT c.b, sum(c.c * gd1.gd) AS grad
+          FROM c JOIN gd1 USING (doc_id) GROUP BY c.b),
+w1 AS (SELECT buckets.b,
+         0 - CAST(round(0.5 * coalesce(grad1.grad, 0) / nd.n, 0) AS BIGINT)
+           AS iw
+       FROM buckets LEFT JOIN grad1 USING (b) CROSS JOIN nd),
+z2 AS (SELECT c.doc_id, any_value(c.y) AS y, any_value(c.tl) AS tl,
+         sum(c.c * w1.iw) AS zi
+       FROM c JOIN w1 USING (b) GROUP BY c.doc_id),
+gd2 AS (SELECT doc_id,
+          CAST(round(((0.5 + 0.5 * (zi / 1000000.0 / tl)
+                         / (1 + abs(zi / 1000000.0 / tl))) - y)
+                     / tl * 1000000.0, 0) AS BIGINT) AS gd
+        FROM z2),
+grad2 AS (SELECT c.b, sum(c.c * gd2.gd) AS grad
+          FROM c JOIN gd2 USING (doc_id) GROUP BY c.b)
+SELECT CAST(w1.b AS INTEGER) AS bucket,
+       (w1.iw - CAST(round(0.5 * coalesce(grad2.grad, 0) / nd.n, 0) AS BIGINT))
+         / 1000000.0 AS weight
+FROM w1 LEFT JOIN grad2 USING (b) CROSS JOIN nd
 """
 
 _ORACLES["kmeans"] = """

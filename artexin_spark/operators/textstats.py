@@ -286,6 +286,111 @@ def bm25_rank(
     )
 
 
+def bm25_rank_multi(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    pretokenized_col: str | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """BM25 for MANY queries in ONE corpus pass — the batch shape a
+    curation pipeline slicing for hundreds of topics needs (r03-verdict
+    item 4: ``bm25_rank`` runs one query per job pair; Q queries would
+    re-tokenize the corpus 2Q times).
+
+    Scale shape: the corpus tokenizes ONCE into a narrow (id, dl, toks)
+    projection (persisted by default — the stats branch and the posting
+    branch both read the cache, so the plan's two scans are one runtime
+    pass); tokens explode and immediately broadcast-semi-join against
+    the distinct query-term set, so only query-relevant postings survive
+    into the (id, term, tf) hash-agg. Corpus stats (N, avgdl) reduce to
+    one broadcast row, per-term df to one broadcast frame, and the
+    query_id fan-out happens AFTER the posting agg (a term shared by
+    many queries multiplies narrow posting rows, never documents).
+    Per-query top-k is a rank-filtered window — Spark's WindowGroupLimit
+    rewrites it to a map-side per-partition limit, so at most
+    partitions×topk rows shuffle per query (plan-gated).
+
+    Determinism: per-(query, doc) scores fold over term parts in SORTED
+    term order via a sequential ``aggregate`` — the same IEEE addition
+    sequence ``bm25_rank`` evaluates and any oracle engine can replay
+    (a plain SUM aggregate is order-nondeterministic in the 16th digit).
+    A single-entry ``queries`` dict reproduces ``bm25_rank``'s scores
+    bit-for-bit (pinned by a parity test).
+
+    Returns (query_id, id, score, rank), rank 1..topk per query."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from .dedup import tokens_col
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qrows = [
+        (str(qid), t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted({str(x).lower() for x in terms})
+    ]
+    if not qrows:
+        raise ValueError("every query needs at least one term")
+    spark = df.sparkSession
+    qmap = spark.createDataFrame(qrows, "query_id string, term string")
+    toks_expr = (
+        F.col(pretokenized_col) if pretokenized_col else tokens_col(text_col)
+    )
+    toked = df.select(F.col(id_col), toks_expr.alias("_toks")).select(
+        F.col(id_col), F.size("_toks").alias("_dl"), F.col("_toks")
+    )
+    if persist:
+        toked = toked.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = toked.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    posting = (
+        toked.select(F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term"))
+        .join(F.broadcast(qmap.select("term").distinct()), "term")
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfs = posting.groupBy("term").agg(F.count("*").alias("_df"))
+    tf = F.col("_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    part = idf * tf * (k1 + 1) / (
+        tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    per_q_doc = (
+        posting.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qmap), "term")
+        .select(F.col("query_id"), F.col(id_col), F.col("term"), part.alias("_p"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "_p"))),
+                    lambda s: s["_p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score")
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        per_q_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", F.col(id_col), F.round("score", 6).alias("score"), "rank"
+        )
+    )
+
+
 def curate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -552,6 +657,12 @@ def hashed_ngram_weights(n_buckets: int = 1024, seed: int = 13) -> list[float]:
     return out
 
 
+def _ngram_bucket(g, k: int):
+    """md5-based feature bucket in [0, k) — cross-engine (DuckDB computes
+    the identical md5 prefix), shared by the scoring and fit paths."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % k
+
+
 def hashed_ngram_score(
     df: DataFrame,
     weights: list[float],
@@ -576,9 +687,7 @@ def hashed_ngram_score(
     iw = [int(round(float(w) * 1_000_000)) for w in weights]
     warr = F.array(*[F.lit(v).cast("long") for v in iw])
     grams = F.col("_grams")
-    bucket = lambda g: (
-        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % k
-    )
+    bucket = lambda g: _ngram_bucket(g, k)
     total = F.greatest(F.size(grams), F.lit(1))
     s = (
         F.aggregate(
@@ -598,6 +707,179 @@ def hashed_ngram_score(
             F.round(s, 6).alias("raw_score"),
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4)), 6).alias("prob"),
         )
+    )
+
+
+def hashed_ngram_fit(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 64,
+    iters: int = 2,
+    lr: float = 0.5,
+    init_weights: list[float] | None = None,
+) -> DataFrame:
+    """Distributed logistic-regression TRAINER for the hashed-ngram
+    quality classifier — closes the loop ``hashed_ngram_score`` opens
+    ("swap in trained weights"), the same way ``kmeans_fit`` closes the
+    IVF centroid promise. Mirrors kmeans_fit's distributed shape:
+
+    - the (id, bucket, count) feature frame builds ONCE (explode n-grams
+      → md5 bucket → per-doc hash-agg) and persists — iterations never
+      re-tokenize the corpus;
+    - per step, weights broadcast as a literal array, the per-doc margin
+      and error compute in one narrow aggregation, and the gradient
+      reduces map-side-partial to ONE (bucket, grad) row set —
+      ``n_buckets`` rows total cross the wire per step, never documents;
+    - weights (k floats) live on the driver between steps — broadcast
+      model state, not a data loop. Above ~10^5 buckets swap the literal
+      for a weight-TABLE join, exactly the ``hashed_ngram_score_table``
+      seam (the plan-literal otherwise bloats the plan).
+
+    Model: p = squash(w·x), x_b = count_b / n_grams, loss = logistic.
+    ``squash(z) = 0.5 + 0.5·z/(1+|z|)`` — the rational "fast sigmoid".
+    Chosen over exp-σ deliberately: every arithmetic op here (+,-,×,÷)
+    is exactly specified by IEEE 754, while libm ``exp`` differs by ulps
+    across engines, and a training loop COMPOUNDS ulp drift across
+    steps. With weights quantized to integer micro-units after every
+    update and per-doc gradient contributions quantized before the
+    bucket sum (both HALF_UP, both sums exact int64), the whole fit
+    replays BIT-IDENTICALLY in any engine — the property the DuckDB
+    oracle (which unrolls the steps in SQL) certifies.
+
+    Returns (bucket int, weight double) — feed to
+    ``hashed_ngram_score_table`` (or round-trip via a list into
+    ``hashed_ngram_score``)."""
+    from pyspark import StorageLevel
+
+    from .dedup import shingles_from, tokens_col
+
+    if iters < 1 or n_buckets < 1:
+        raise ValueError("iters and n_buckets must be >= 1")
+    k = n_buckets
+    iw = [int(round(float(w) * 1_000_000)) for w in (init_weights or [0.0] * k)]
+    if len(iw) != k:
+        raise ValueError(f"init_weights has {len(iw)} entries, need {k}")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("double").alias("_y"),
+        tokens_col(text_col).alias("_toks"),
+    ).select("_id", "_y", shingles_from("_toks", n).alias("_grams"))
+    bkts = (
+        base.select(
+            "_id",
+            "_y",
+            F.greatest(F.size("_grams"), F.lit(1)).alias("_t"),
+            F.explode("_grams").alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())  # null text -> [null] shingle
+        .groupBy("_id", "_y", "_t", _ngram_bucket(F.col("_g"), k).alias("_b"))
+        .agg(F.count("*").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = base.count()  # gram-less docs count in N, contribute 0 gradient
+    if n_docs == 0:
+        raise ValueError("corpus is empty")
+
+    def _half_up(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    for _ in range(iters):
+        warr = F.array(*[F.lit(v).cast("long") for v in iw])
+        # z in micro-units stays exact int64; /1e6/T and the rational
+        # squash are pointwise IEEE ops — bit-identical in any engine
+        per_doc = bkts.groupBy("_id", "_y", "_t").agg(
+            F.sum(F.col("_c") * F.element_at(warr, (F.col("_b") + 1).cast("int")))
+            .alias("_zi")
+        )
+        z = F.col("_zi").cast("double") / 1_000_000.0 / F.col("_t")
+        p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+        gd = per_doc.select(
+            "_id",
+            F.round((p - F.col("_y")) / F.col("_t") * 1_000_000.0, 0)
+            .cast("long")
+            .alias("_gd"),
+        )
+        grad_rows = (
+            bkts.join(gd, "_id")
+            .groupBy("_b")
+            .agg(F.sum(F.col("_c") * F.col("_gd")).alias("_grad"))
+            .collect()
+        )
+        for r in grad_rows:  # k rows — model state, not data
+            b = int(r["_b"])
+            iw[b] -= _half_up(lr * float(r["_grad"]) / n_docs)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(b, iw[b] / 1_000_000.0) for b in range(k)], "bucket int, weight double"
+    )
+
+
+def hashed_ngram_score_table(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int | None = None,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """``hashed_ngram_score`` with the weight vector as a TABLE (columns
+    ``bucket``, ``weight``) instead of a plan literal — the >10^5-bucket
+    path: a literal array that size bloats every task's plan, while a
+    weight table broadcast-joins once (or shuffle-joins with
+    ``broadcast_weights=False`` when even the table outgrows the
+    broadcast budget). Output schema and values are IDENTICAL to
+    ``hashed_ngram_score`` for the same weights (same integer-micro-unit
+    exact sum, same logistic) — pinned by a parity test.
+
+    ``n_buckets`` defaults to the weight-table row count (one extra tiny
+    action); pass it explicitly in production to keep the plan fully
+    lazy."""
+    from .dedup import shingles_from, tokens_col
+
+    k = int(n_buckets if n_buckets is not None else weights.count())
+    wq = weights.select(
+        F.col("bucket").cast("long").alias("_b"),
+        F.round(F.col("weight") * 1_000_000.0, 0).cast("long").alias("_iw"),
+    )
+    if broadcast_weights:
+        wq = F.broadcast(wq)
+    grams = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    ).select(F.col(id_col), shingles_from("_toks", n).alias("_grams"))
+    per_gram = grams.select(
+        F.col(id_col), F.explode("_grams").alias("_g")
+    ).select(F.col(id_col), _ngram_bucket(F.col("_g"), k).alias("_b"))
+    sums = (
+        per_gram.join(wq, "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("_iw", F.lit(0))).alias("_si"),
+            # a NULL gram (null text -> [null] shingle) nulls the whole
+            # aggregate on the literal path; reproduce that exactly
+            F.max(F.col("_b").isNull()).alias("_poison"),
+        )
+    )
+    # docs with zero grams never reach the explode: rejoin for parity
+    # with the literal path (n_grams 0, raw 0.0, prob 0.5)
+    out = grams.select(id_col).join(sums, id_col, "left")
+    s = F.when(
+        ~F.coalesce(F.col("_poison"), F.lit(False)),
+        F.coalesce(F.col("_si"), F.lit(0)).cast("double")
+        / 1_000_000.0
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
+        F.round(s, 6).alias("raw_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4)), 6).alias("prob"),
     )
 
 

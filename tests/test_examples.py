@@ -69,6 +69,22 @@ def test_doc_query_counts_match_registry():
         assert int(claim[0]) == int(claim[1]) == n
 
 
+def test_registry_head_matches_driver_window_priority():
+    """queries() ordering is load-bearing: the driver's correctness gate
+    covers roughly the first 50 registry entries, so the head must be
+    EXACTLY the declared _DRIVER_WINDOW_PRIORITY list (changed/new/stale
+    queries first) — an accidental dict reorder must fail loudly, not
+    silently push a changed query out of the check window. Update the
+    list each round alongside the rotation."""
+    import __spark_entry__ as e
+
+    pr = e._DRIVER_WINDOW_PRIORITY
+    names = list(e.queries())
+    assert len(pr) == 50
+    assert names[: len(pr)] == pr
+    assert len(names) == len(set(names))
+
+
 def test_incremental_ingest_example():
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     r = subprocess.run(

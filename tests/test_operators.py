@@ -1725,6 +1725,182 @@ def test_bm25_pretokenized_parity(spark):
     assert a.to_dict("records") == b.to_dict("records")
 
 
+def test_bm25_multi_single_query_parity(spark):
+    """A one-entry bm25_rank_multi must reproduce bm25_rank's scores
+    BIT-for-bit: the batched path folds term parts in the same sorted
+    term order the single-query expression evaluates."""
+    rows = [
+        (i, f"alpha beta gamma{i} " + ("hash merge " * (i % 4)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = textstats.bm25_rank(df, ["hash", "merge"], topk=7).toPandas()
+    multi = (
+        textstats.bm25_rank_multi(df, {"q": ["hash", "merge"]}, topk=7)
+        .drop("query_id")
+        .toPandas()
+    )
+    assert single.to_dict("records") == multi.to_dict("records")
+
+
+def test_bm25_multi_semantics_and_plan(spark):
+    """Three queries in one corpus pass: per-query top-k independent,
+    shared terms fan out after the posting agg, docs matching nothing
+    excluded. Plan: WindowGroupLimit (map-side per-query top-k), the
+    tokenize projection read from cache (one runtime corpus pass), no
+    Python nodes."""
+    rows = (
+        [(i, "spark partition join data") for i in range(10)]
+        + [(100 + i, "python pandas arrow batch " + "shuffle " * i) for i in range(4)]
+        + [(200, "nothing relevant here at all")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.bm25_rank_multi(
+        df,
+        {"a": ["join", "partition"], "b": ["pandas", "shuffle"], "c": ["xyzzy"]},
+        topk=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    p = out.toPandas()
+    assert set(p["query_id"]) == {"a", "b"}  # no doc matches query c
+    assert p.groupby("query_id")["rank"].max().max() <= 3
+    # query a: docs 0-9 tie exactly, lowest-id tie-break wins rank 1.
+    # query b: doc 103 (pandas + 3x rare 'shuffle') tops its peers.
+    top_a = p[(p.query_id == "a") & (p["rank"] == 1)].doc_id.iloc[0]
+    top_b = p[(p.query_id == "b") & (p["rank"] == 1)].doc_id.iloc[0]
+    assert top_a == 0 and top_b == 103, (top_a, top_b)
+
+
+def test_hashed_ngram_fit_matches_pure_python_reference(spark):
+    """The distributed logistic fit must replay BIT-identically against
+    a sequential pure-python implementation of the same quantized
+    algorithm (md5 buckets, integer micro-unit weights/gradients,
+    rational fast-sigmoid, half-away-from-zero rounding) — the property
+    that makes the DuckDB oracle able to certify the trainer."""
+    import hashlib
+    import math
+    import re as _re
+
+    rows = [
+        (
+            i,
+            (
+                "spam spam buy now cheap " * 3
+                if i % 3 == 0
+                else "genuine article prose content here "
+            )
+            + f"tail{i} extra{i}",
+        )
+        for i in range(30)
+    ]
+    rows += [(97, None), (98, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = df.selectExpr("doc_id", "text", "cast(doc_id % 3 = 0 as int) as y")
+    K, ITERS, LR, N = 16, 2, 0.5, 2
+    w = textstats.hashed_ngram_fit(
+        lab, "y", n=N, n_buckets=K, iters=ITERS, lr=LR
+    )
+    got = {r.bucket: r.weight for r in w.collect()}
+
+    def toks(t):
+        return [x for x in _re.split(r"[^a-z0-9']+", t.lower()) if x]
+
+    def grams(t):
+        if t is None:
+            return None  # null text -> [null] shingle, filtered by the fit
+        tk = toks(t)
+        if len(tk) >= N:
+            return [" ".join(tk[i : i + N]) for i in range(len(tk) - N + 1)]
+        return [" ".join(tk)]  # whole-short-doc fallback (shingles_from)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % K
+
+    def half_up(x):
+        return (
+            int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+        )
+
+    docs = [(i, grams(t), 1.0 if i % 3 == 0 else 0.0) for i, t in rows]
+    iw = [0] * K
+    for _ in range(ITERS):
+        gsum = [0] * K
+        for _id, gs, y in docs:
+            if not gs:
+                continue
+            t = max(len(gs), 1)
+            counts: dict = {}
+            for g in gs:
+                counts[bucket(g)] = counts.get(bucket(g), 0) + 1
+            zi = sum(c * iw[b] for b, c in counts.items())
+            z = zi / 1e6 / t
+            p = 0.5 + 0.5 * z / (1 + abs(z))
+            gd = half_up((p - y) / t * 1e6)
+            for b, c in counts.items():
+                gsum[b] += c * gd
+        for b in range(K):
+            iw[b] -= half_up(LR * gsum[b] / len(docs))
+    want = {b: iw[b] / 1e6 for b in range(K)}
+    assert got == want
+    assert sum(1 for v in got.values() if v != 0.0) > K // 2  # it trained
+
+
+def test_hashed_ngram_score_table_parity(spark):
+    """Weight-TABLE scoring (the >10^5-bucket path) must equal the
+    literal-array path row-for-row — including the null-text poison
+    semantics (null grams null the whole aggregate) and zero-gram docs."""
+    import pandas as pd
+
+    rows = [(i, f"text body number {i} with words {i % 5}") for i in range(25)]
+    rows += [(97, None), (98, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = df.selectExpr("doc_id", "text", "cast(doc_id % 2 = 0 as int) as y")
+    w = textstats.hashed_ngram_fit(lab, "y", n=2, n_buckets=16, iters=1)
+    wl = [r.weight for r in w.orderBy("bucket").collect()]
+    a = (
+        textstats.hashed_ngram_score(df, wl, n=2)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        textstats.hashed_ngram_score_table(df, w, n=2, n_buckets=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    assert a[a.doc_id == 97].raw_score.isna().all()  # null text -> null score
+
+
+def test_hashed_ngram_fit_trains_a_separator(spark):
+    """End-to-end sanity: trained weights separate the planted classes
+    (spam probs above ham probs on average), and the fit's distributed
+    shape stays Python-free with a k-row driver state only."""
+    rows = [
+        (
+            i,
+            (
+                "winner prize claim free offer " * 4
+                if i % 2 == 0
+                else "quarterly engineering report summary " * 4
+            )
+            + f"salt{i}",
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = df.selectExpr("doc_id", "text", "cast(doc_id % 2 = 0 as int) as y")
+    w = textstats.hashed_ngram_fit(lab, "y", n=2, n_buckets=64, iters=3, lr=1.0)
+    sc = textstats.hashed_ngram_score_table(df, w, n=2, n_buckets=64).toPandas()
+    spam = sc[sc.doc_id % 2 == 0].prob.mean()
+    ham = sc[sc.doc_id % 2 == 1].prob.mean()
+    assert spam > ham + 0.05, (spam, ham)
+
+
 def test_incremental_substring_dedup_across_commits(spark, tmp_path):
     """Cross-run substring dedup: batch 2's copy of a batch-1 run flags
     against STORED window hashes (text never re-read), within-increment
