@@ -539,11 +539,14 @@ def blocklist_filter(
     - ``"broadcast"`` (default): force-broadcast the blocklist — right
       for the usual 10^3-10^6-entry lists; one map-side hash probe per
       suffix, no shuffle of the corpus.
-    - ``"shuffle"``: NO broadcast hint — the suffix rows and the
-      blocklist shuffle on ``domain`` (sort-merge / shuffled-hash per
-      AQE). The 10^8+-entry path (r02 VERDICT item 6): blocklist no
-      longer has to fit in driver+executor memory; cost is one exchange
-      of the narrow (url, domain) suffix frame.
+    - ``"shuffle"``: a ``shuffle_hash`` hint on the blocklist — the
+      suffix rows and the blocklist shuffle on ``domain`` regardless of
+      session config (without the hint, a small-ESTIMATED list under the
+      default autoBroadcastJoinThreshold would still broadcast, breaking
+      the guaranteed-no-broadcast promise; r03 ADVICE). The
+      10^8+-entry path (r02 VERDICT item 6): the blocklist never has to
+      fit in driver+executor memory; cost is one exchange of the narrow
+      (url, domain) suffix frame.
     - ``"auto"``: no hint either — Catalyst/AQE pick broadcast when the
       blocklist's stats are under the threshold, shuffle otherwise.
     """
@@ -556,6 +559,8 @@ def blocklist_filter(
         bl = blocked.select(F.lower("domain").alias("domain"))
         if mode == "broadcast":
             bl = F.broadcast(bl)
+        elif mode == "shuffle":
+            bl = bl.hint("shuffle_hash")
         hit = (
             df.select(F.col(url_col), F.explode(sfx).alias("domain"))
             .join(bl, "domain", "left_semi")

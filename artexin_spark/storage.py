@@ -74,7 +74,14 @@ def append_lineage(df: DataFrame, sink: str) -> None:
 def read_lineage(spark: SparkSession, sink: str) -> DataFrame | None:
     path = lineage_path(sink)
     try:
-        return spark.read.parquet(path)
+        # mergeSchema: the lineage schema EVOLVES (counter_source was
+        # appended in a later release) and lineage dirs accumulate files
+        # across runs — without the merge, the visible schema would be
+        # whichever file parquet samples first, making new columns
+        # appear or vanish file-order-dependently on pre-existing sinks
+        # (r03 ADVICE). Rows written before a column existed read it as
+        # null, which downstream code must treat as "unknown".
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None  # first run: no manifest yet
 

@@ -1223,12 +1223,14 @@ def test_domain_ops_suffix_matching(spark):
 
 
 def test_blocklist_modes_plan_shapes(spark):
-    """Both DataFrame-blocklist strategies are plan-gated (r02 VERDICT
-    item 6): mode='broadcast' must probe the list map-side
-    (BroadcastHashJoin on the semi), mode='shuffle' must carry NO
-    broadcast hint — with auto-broadcast disabled it degrades to a
-    shuffled join, the 10^8-entry shape that never pins the list in
-    one memory."""
+    """Both DataFrame-blocklist strategies are plan-gated:
+    mode='broadcast' must probe the list map-side (BroadcastHashJoin on
+    the semi); mode='shuffle' must shuffle UNDER DEFAULT SESSION CONFIG
+    — the r03 ADVICE fix: a shuffle_hash hint on the blocklist, because
+    without it a small-estimated list under the default
+    autoBroadcastJoinThreshold still broadcasts and the documented
+    guaranteed-no-broadcast promise (the 10^8-entry path) silently
+    breaks."""
     df = spark.createDataFrame(
         [(i, f"http://d{i % 7}.example.org/p") for i in range(100)],
         "doc_id long, url string",
@@ -1241,22 +1243,20 @@ def test_blocklist_modes_plan_shapes(spark):
 
     plan_b, _ = _plan("broadcast")
     assert "BroadcastHashJoin" in plan_b and "LeftSemi" in plan_b, plan_b
+    # no config fiddling: the hint must hold against the default
+    # auto-broadcast threshold, which this tiny list is far under
+    plan_s, out_s = _plan("shuffle")
+    assert "BroadcastHashJoin" not in plan_s, plan_s
+    assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s, plan_s
+    assert {r[0] for r in out_s.collect()} == {
+        i for i in range(100) if i % 7 != 3
+    }
+    # mode='auto' carries no hint at all: Catalyst/AQE pick the strategy
     logical = (
-        textstats.blocklist_filter(df, bl, mode="shuffle")
+        textstats.blocklist_filter(df, bl, mode="auto")
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in logical, logical
-    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan_s, out_s = _plan("shuffle")
-        assert "BroadcastHashJoin" not in plan_s, plan_s
-        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s, plan_s
-        assert {r[0] for r in out_s.collect()} == {
-            i for i in range(100) if i % 7 != 3
-        }
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
 def test_salted_join_salt_is_deterministic_and_spreads_distinct_rows(spark):

@@ -440,3 +440,37 @@ def test_resumed_snapshot_retry_preserves_committed_run_dir(spark, corpus_pdf, t
             snapshot=True, run_id="R", resume=True,
         )
     assert sink_io.read_snapshot(spark, sink2).count() == n2  # intact
+
+
+def test_lineage_schema_evolution_merges_old_files(spark, tmp_path):
+    """r03 ADVICE regression: a sink whose lineage dir holds PRE-
+    counter_source files next to new-schema appends must read the
+    union with counter_source visible (null on old rows) — not a
+    file-order-dependent schema where the column randomly vanishes."""
+    from artexin_spark import storage as sink_io
+
+    sink = str(tmp_path / "evo")
+    old_schema = (
+        "run_id string, part_key int, n_rows long, n_errors long, "
+        "n_chars_in long, n_chars_out long, wall_ms double, status string, "
+        "finished_at timestamp"
+    )
+    import datetime as _dt
+
+    t0 = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    old = spark.createDataFrame(
+        [("r_old", 0, 10, 0, 100, 90, 1.0, "ok", t0)], old_schema
+    )
+    sink_io.append_lineage(old, sink)
+    new = spark.createDataFrame(
+        [("r_new", 1, 20, 0, 200, 180, 2.0, "ok", "accumulator", t0)],
+        sink_io.LINEAGE_SCHEMA,
+    )
+    sink_io.append_lineage(new, sink)
+    lin = sink_io.read_lineage(spark, sink)
+    assert "counter_source" in lin.columns
+    got = {r["run_id"]: r["counter_source"] for r in lin.collect()}
+    assert got == {"r_old": None, "r_new": "accumulator"}
+    # the resume reader keeps working across the mixed-schema dir
+    done = sink_io.completed_buckets(spark, sink)
+    assert {r["part_key"] for r in done.collect()} == {0, 1}
