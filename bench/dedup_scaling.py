@@ -269,6 +269,44 @@ def main() -> None:
             "skew_wall_ratio": round(t_mega / t_clean, 2),
         }
     result["planted_megadup"] = mega
+
+    # --- 5. sf1-equivalent absolute row (r03 VERDICT item 6) --------------
+    # No sf1 parquet exists in this sandbox (TESTDATA.md ships
+    # sf0.001/0.01/0.1), so the closest honest "true sf1 run" is the
+    # dedup family ONCE at 10x the sf0.1 documents/embeddings tables —
+    # the same deterministic mutually-dissimilar synthesis as section 1,
+    # at exactly sf1's corpus volume. Absolute walls recorded; the
+    # no-surprises gate compares against the x4 row scaled linearly
+    # (ratio <= ~2x the size ratio covers the host's noise band).
+    if os.environ.get("SF1_SECTION", "1") == "1":
+        s10 = 10
+        d10 = scaled_docs(spark, s10).localCheckpoint()
+        e10 = scaled_embeddings(spark, s10).localCheckpoint()
+        n_d10, n_v10 = d10.count(), e10.count()
+        sf1: dict = {"n_docs": n_d10, "n_vecs": n_v10, "ops": {}}
+        sf1_ops = {
+            "minhash_dedup": lambda: dd.minhash_dedup(
+                d10, k=16, bands=4, threshold=0.8
+            ).count(),
+            "simhash_pairs": lambda: dd.simhash_dedup(
+                d10, max_hamming=3, bits=64
+            ).count(),
+            "substring_rolling": lambda: _sub(d10),
+            "paragraph_dedup": lambda: dd.paragraph_dedup(d10).count(),
+            "embedding_lsh": lambda: dd.embedding_near_dup_lsh(
+                e10, threshold=0.9, planes=max(4, (n_v10 // 128).bit_length())
+            ).count(),
+        }
+        for name, fn in sf1_ops.items():
+            sf1["ops"][name] = {"wall_s": timed(fn, warm=False, reps=1)}
+            x4 = result["ops"].get(name, {}).get("x4")
+            if x4:
+                pred_linear = x4["wall_s"] * (s10 / SCALES[0])
+                sf1["ops"][name]["vs_linear_from_x4"] = round(
+                    sf1["ops"][name]["wall_s"] / pred_linear, 2
+                )
+        result["sf1_equivalent"] = sf1
+
     # honest-coverage note (no silent caps): every leg above runs the
     # full synthesized corpus; the only bounded inputs are n_docs for
     # the long-doc legs and MEGA_SCALE for the planted leg, stated in
