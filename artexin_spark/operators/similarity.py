@@ -369,9 +369,12 @@ def kmeans_fit(
       ``"spread"`` runs deterministic farthest-first traversal
       (k-center greedy): start from the min-hash vector, then k-1
       rounds each pick the vector with the LOWEST max-cosine to the
-      chosen set (one broadcast-join + top-1 job per round). Costs k
-      passes but never strands a tight cluster seedless — prefer it in
-      production (on a hash sample at 10^9 rows).
+      chosen set. The max-cosine is maintained INCREMENTALLY (each
+      round folds in only the newest seed via greatest(); float max is
+      exact, so this equals the all-seeds max bit-for-bit) — O(|V|·k)
+      total work across the k-1 top-1 jobs, not the O(|V|·k²) naive
+      re-crossjoin. Never strands a tight cluster seedless — prefer it
+      in production (on a hash sample at 10^9 rows).
     - **assign** (per iteration): centroids broadcast, argmax-cosine
       per vector — a map-only pass over the corpus, the fat vector
       column never shuffles (``ivf_assign``).
@@ -430,36 +433,59 @@ def kmeans_fit(
             raise ValueError("corpus is empty, need >= k vectors")
         cents = {0: [float(x) for x in first[0][vec_col]]}
         chosen_ids = [first[0][id_col]]
-        base = vectors.select(
+        # running best-cosine-to-chosen-set: each round joins ONLY the
+        # newest seed and folds it in with greatest() — k-1 passes of
+        # O(|V|) work (O(|V|·k) total), not the O(|V|·k²) re-crossjoin
+        # of EVERY chosen seed per round the naive form costs. Float max
+        # is exact, so the incremental max equals the all-seeds max
+        # bit-for-bit; each round's frame persists (narrow: id, vec,
+        # norm, one double) and the previous round's cache is released
+        # once its successor materializes.
+        from pyspark import StorageLevel
+
+        closest = vectors.select(
             F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_vn")
-        )
+        ).withColumn("_closest", F.lit(-2.0))
+        prev = None
         for i in range(1, k):
-            c = cents_df().select(
-                F.col(vec_col).alias("_cv"), norm_expr(vec_col).alias("_cn")
+            nc = spark.createDataFrame(
+                [(cents[i - 1],)], f"{vec_col} array<double>"
+            ).select(F.col(vec_col).alias("_cv"), norm_expr(vec_col).alias("_cn"))
+            closest = (
+                closest.join(F.broadcast(nc))
+                .select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.col("_vn"),
+                    F.greatest(
+                        F.col("_closest"),
+                        cosine_from_parts(
+                            dot_expr(vec_col, "_cv"), F.col("_vn"), F.col("_cn")
+                        ),
+                    ).alias("_closest"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             # exclude already-chosen seeds: without this the argmin can
             # re-pick a chosen vector, silently yielding duplicate
             # centroids — and a corpus smaller than k would never hit
             # the guard below (the scored frame is non-empty whenever
             # the corpus is)
-            closest = (
-                base.filter(~F.col(id_col).isin(chosen_ids))
-                .join(F.broadcast(c))
-                .select(
-                    id_col,
-                    vec_col,
-                    cosine_from_parts(
-                        dot_expr(vec_col, "_cv"), F.col("_vn"), F.col("_cn")
-                    ).alias("_cos"),
-                )
-                .groupBy(id_col)
-                .agg(F.max("_cos").alias("_closest"), F.first(vec_col).alias(vec_col))
+            pick = (
+                closest.filter(~F.col(id_col).isin(chosen_ids))
+                .orderBy(F.asc("_closest"), F.asc(id_col))
+                .limit(1)
+                .collect()
             )
-            pick = closest.orderBy(F.asc("_closest"), F.asc(id_col)).limit(1).collect()
             if not pick:
                 raise ValueError(f"corpus has {len(chosen_ids)} vectors, need >= k={k}")
             cents[i] = [float(x) for x in pick[0][vec_col]]
             chosen_ids.append(pick[0][id_col])
+            if prev is not None:
+                prev.unpersist()
+            prev = closest
+        if prev is not None:
+            prev.unpersist()
 
     for _ in range(iters):
         assigned = ivf_assign(vectors, cents_df(), id_col, vec_col)
