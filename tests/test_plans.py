@@ -132,12 +132,20 @@ def test_no_query_uses_per_row_python(spark):
     # pushed below its projection re-runs the extractor per row — caught
     # and fixed in pipeline_e2e this round).
     allowed = {"ann_lsh": 2, "pdf_extract": 2, "embedding_near_dup": 4}
+    import re
+
     for name, fn in e.queries().items():
         if name == "stream_extract":
             continue  # covered by test_streaming_inner_plan_is_vectorized
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, (name, plan)
-        n_py = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
+        # Count DISTINCT Python nodes by formatted-explain node id: a
+        # persisted frame referenced from two subtrees prints its cached
+        # plan (same node id) once per InMemoryTableScan reference, but
+        # executes once at cache materialization (substring_dedup's occ
+        # frame). A genuine double-eval instantiates SEPARATE physical
+        # nodes — distinct ids — and is still caught.
+        n_py = len(set(re.findall(r"(?:ArrowEvalPython|MapInPandas) \((\d+)\)", plan)))
         assert n_py <= allowed.get(name, 1), (name, n_py, plan)
 
 
