@@ -1062,10 +1062,11 @@ def q_blocklist_filter(spark, sf_dir):
 
 def q_blocklist_large(spark, sf_dir):
     """Blocklist curation on the SCALE-OUT path (r02 VERDICT item 6):
-    the blocklist is a DataFrame joined in mode='shuffle' — no broadcast
-    hint anywhere, so a 10^8+-entry list never has to fit in driver or
-    executor memory; the narrow (url, domain) suffix frame and the list
-    shuffle on domain and AQE picks the physical join. Same parent-
+    the blocklist is a DataFrame joined in mode='shuffle' — a sort-merge
+    hint (never broadcast, never a hash-map build), so a 10^8+-entry
+    list never has to fit in driver or executor memory; the narrow
+    (url, domain) suffix frame and the list shuffle on domain and
+    spill-safe sort-merge joins them. Same parent-
     domain suffix semantics as the literal path (plan-gated both modes
     in tests/test_plans.py)."""
     docs = _docs(spark, sf_dir).withColumn("url", _synth_url())

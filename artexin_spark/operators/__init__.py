@@ -14,3 +14,33 @@ math genuinely wants numpy.
                    decode/feature plumbing (decoders stubbed — no codec
                    libs in env; Spark-side shape is real and tested)
 """
+
+
+def attach_caches(result, cached):
+    """Record the intermediate frames an operator persisted on behalf of
+    ``result`` so the caller can release them via ``release_caches``
+    after materializing. Internal seam used by the operators that cache
+    a shared subtree (substring dedup's occurrence frame, batched BM25's
+    tokenized projection)."""
+    result._artexin_caches = list(getattr(result, "_artexin_caches", ())) + list(
+        cached
+    )
+    return result
+
+
+def release_caches(df, blocking: bool = False) -> int:
+    """Unpersist the MEMORY_AND_DISK frames an operator cached on behalf
+    of this result (see ``attach_caches``). Call AFTER materializing
+    ``df``: the result plan reads those caches, so releasing first
+    forfeits the single-pass guarantee (work recomputes; results stay
+    correct). Returns the number of caches released.
+
+    Without this seam a continuous-ingest service calling, e.g.,
+    ``incremental_substring_dedup`` once per increment would pin one
+    occurrence-frame cache per call with no handle to free it short of
+    ``spark.catalog.clearCache()`` (which nukes unrelated caches too)."""
+    cached = getattr(df, "_artexin_caches", ())
+    for c in cached:
+        c.unpersist(blocking)
+    df._artexin_caches = []
+    return len(cached)

@@ -792,7 +792,11 @@ def substring_dedup_spans(
     — one branch has a partial agg below the exchange). The cache is
     ~24 bytes/token spilled to executor-local disk, strictly cheaper
     than re-hashing a 100 TB corpus; pass False to trade the second
-    pass for zero cache footprint."""
+    pass for zero cache footprint. Release it after materializing the
+    result via ``artexin_spark.operators.release_caches(result)`` —
+    repeated calls (an increment loop) otherwise accumulate caches."""
+    from . import attach_caches
+
     occ = window_hash_occurrences(df, text_col, id_col, window, hash_mode)
     if persist:
         from pyspark import StorageLevel
@@ -811,7 +815,8 @@ def substring_dedup_spans(
             & (F.col("pos") == F.col("first.pos"))
         )
     ).select(F.col(id_col), F.col("pos"), (F.col("pos") + window).alias("end"))
-    return merge_flag_islands(flagged, id_col)
+    ret = merge_flag_islands(flagged, id_col)
+    return attach_caches(ret, [occ]) if persist else ret
 
 
 def merge_flag_islands(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1058,16 +1063,32 @@ def commit_window_hashes(
     hist = read_window_hashes(spark, hash_sink)
     if hist is not None:
         new = new.join(hist.select("wh"), "wh", "left_anti")
-    return commit_window_hash_frame(spark, new, hash_sink, run_id, n_buckets)
+    return commit_window_hash_frame(
+        spark, new, hash_sink, run_id, n_buckets, history=hist
+    )
+
+
+_HISTORY_UNREAD = object()  # sentinel: None is a meaningful value (fresh sink)
 
 
 def commit_window_hash_frame(
-    spark, hashes: DataFrame, hash_sink: str, run_id: str, n_buckets: int | None = None
+    spark,
+    hashes: DataFrame,
+    hash_sink: str,
+    run_id: str,
+    n_buckets: int | None = None,
+    history: DataFrame | None | object = _HISTORY_UNREAD,
 ) -> int | None:
     """Append-commit an ALREADY-derived distinct new-hash frame (column
     ``wh``, optionally ``df`` = in-increment occurrence count) — the
     reuse seam for the incremental path, which has the history-joined
     occ frame in hand and must not re-hash the text.
+
+    ``history``: the caller's ``read_window_hashes`` result (a frame, or
+    None for a fresh sink), used only to sniff whether the sink's
+    committed schema carries ``df``. Callers that already read history
+    pass it to skip a redundant per-commit snapshot-manifest read;
+    omitted, the schema is read from the sink.
 
     ``n_buckets=None`` adopts the table's committed bucket spec (falls
     back to 16 on a fresh sink), so the incremental path keeps working
@@ -1091,7 +1112,11 @@ def commit_window_hash_frame(
         n_buckets = int(spec["n_buckets"]) if spec else 16
     cols = ["wh"]
     if "df" in hashes.columns:
-        existing = read_window_hashes(spark, hash_sink)
+        existing = (
+            read_window_hashes(spark, hash_sink)
+            if history is _HISTORY_UNREAD
+            else history
+        )
         if existing is None or "df" in existing.columns:
             cols.append("df")
     keyed = hashes.select(
@@ -1176,9 +1201,13 @@ def incremental_substring_dedup(
     ``persist=None`` (default) therefore persists the narrow occ frame
     (MEMORY_AND_DISK) exactly when ``commit=True`` — the spans action
     reuses the commit action's hashing work; pass an explicit bool to
-    override. The cache lives until executor eviction or an explicit
-    ``spark.catalog.clearCache()``."""
+    override. After materializing the returned spans, release the cache
+    via ``artexin_spark.operators.release_caches(spans)`` — an ingest
+    loop calling this once per increment otherwise pins one
+    occurrence-frame cache per call."""
     import uuid as _uuid
+
+    from . import attach_caches
 
     _check_substr_spec(hash_sink, window, hash_mode, publish=commit)
     if persist is None:
@@ -1226,9 +1255,13 @@ def incremental_substring_dedup(
         # the text and no anti-join re-scan of the stored table
         new = stats.filter(~in_hist).select("wh", "df")
         commit_window_hash_frame(
-            spark, new, hash_sink, run_id or ("sub-" + _uuid.uuid4().hex[:10])
+            spark,
+            new,
+            hash_sink,
+            run_id or ("sub-" + _uuid.uuid4().hex[:10]),
+            history=hist,
         )
-    return spans
+    return attach_caches(spans, [occ]) if persist else spans
 
 
 # --- embedding near-dup ------------------------------------------------------

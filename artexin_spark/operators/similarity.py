@@ -438,15 +438,17 @@ def kmeans_fit(
         # O(|V|) work (O(|V|·k) total), not the O(|V|·k²) re-crossjoin
         # of EVERY chosen seed per round the naive form costs. Float max
         # is exact, so the incremental max equals the all-seeds max
-        # bit-for-bit; each round's frame persists (narrow: id, vec,
-        # norm, one double) and the previous round's cache is released
-        # once its successor materializes.
-        from pyspark import StorageLevel
-
+        # bit-for-bit. Each round localCheckpoints (eager; narrow: id,
+        # vec, norm, one double): a plain persist keeps the LOGICAL plan
+        # chained through every prior round, so Catalyst re-analyzes an
+        # O(i)-deep tree each round (O(k²) driver work) and a dropped
+        # cache would cascade recomputation through every prior join —
+        # checkpointing truncates lineage to a scan of the materialized
+        # round; superseded rounds are cleaned by the ContextCleaner
+        # when the loop drops the last reference.
         closest = vectors.select(
             F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_vn")
         ).withColumn("_closest", F.lit(-2.0))
-        prev = None
         for i in range(1, k):
             nc = spark.createDataFrame(
                 [(cents[i - 1],)], f"{vec_col} array<double>"
@@ -464,7 +466,7 @@ def kmeans_fit(
                         ),
                     ).alias("_closest"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint()
             )
             # exclude already-chosen seeds: without this the argmin can
             # re-pick a chosen vector, silently yielding duplicate
@@ -481,11 +483,6 @@ def kmeans_fit(
                 raise ValueError(f"corpus has {len(chosen_ids)} vectors, need >= k={k}")
             cents[i] = [float(x) for x in pick[0][vec_col]]
             chosen_ids.append(pick[0][id_col])
-            if prev is not None:
-                prev.unpersist()
-            prev = closest
-        if prev is not None:
-            prev.unpersist()
 
     for _ in range(iters):
         assigned = ivf_assign(vectors, cents_df(), id_col, vec_col)

@@ -330,13 +330,17 @@ def bm25_rank_multi(
 
     if not queries:
         raise ValueError("queries must be non-empty")
-    qrows = [
-        (str(qid), t)
+    qterms = {
+        str(qid): sorted({str(x).lower() for x in terms})
         for qid, terms in sorted(queries.items())
-        for t in sorted({str(x).lower() for x in terms})
-    ]
-    if not qrows:
-        raise ValueError("every query needs at least one term")
+    }
+    empty = [qid for qid, terms in qterms.items() if not terms]
+    if empty:
+        # raise rather than silently return no rows for these queries —
+        # a caller fanning out hundreds of topics must not get missing
+        # result groups with no error
+        raise ValueError(f"every query needs at least one term; empty: {empty}")
+    qrows = [(qid, t) for qid, terms in qterms.items() for t in terms]
     spark = df.sparkSession
     qmap = spark.createDataFrame(qrows, "query_id string, term string")
     toks_expr = (
@@ -382,13 +386,19 @@ def bm25_rank_multi(
         .filter(F.col("score") > 0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
+    ret = (
         per_q_doc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select(
             "query_id", F.col(id_col), F.round("score", 6).alias("score"), "rank"
         )
     )
+    if persist:
+        # release after materializing: artexin_spark.operators.release_caches
+        from . import attach_caches
+
+        ret = attach_caches(ret, [toked])
+    return ret
 
 
 def curate(
@@ -539,13 +549,17 @@ def blocklist_filter(
     - ``"broadcast"`` (default): force-broadcast the blocklist — right
       for the usual 10^3-10^6-entry lists; one map-side hash probe per
       suffix, no shuffle of the corpus.
-    - ``"shuffle"``: a ``shuffle_hash`` hint on the blocklist — the
-      suffix rows and the blocklist shuffle on ``domain`` regardless of
-      session config (without the hint, a small-ESTIMATED list under the
-      default autoBroadcastJoinThreshold would still broadcast, breaking
-      the guaranteed-no-broadcast promise; r03 ADVICE). The
-      10^8+-entry path (r02 VERDICT item 6): the blocklist never has to
-      fit in driver+executor memory; cost is one exchange of the narrow
+    - ``"shuffle"``: a ``merge`` (sort-merge) hint on the blocklist —
+      the suffix rows and the blocklist shuffle on ``domain`` regardless
+      of session config (without a hint, a small-ESTIMATED list under
+      the default autoBroadcastJoinThreshold would still broadcast,
+      breaking the guaranteed-no-broadcast promise; r03 ADVICE). Merge,
+      not shuffle_hash: a ShuffledHashJoin must BUILD an in-memory hash
+      map of each blocklist partition — re-introducing on the 10^8-entry
+      path exactly the must-fit-in-memory constraint this mode exists to
+      remove — while sort-merge spills both sides. The 10^8+-entry path
+      (r02 VERDICT item 6): the blocklist never has to fit in
+      driver+executor memory; cost is one exchange of the narrow
       (url, domain) suffix frame.
     - ``"auto"``: no hint either — Catalyst/AQE pick broadcast when the
       blocklist's stats are under the threshold, shuffle otherwise.
@@ -560,7 +574,7 @@ def blocklist_filter(
         if mode == "broadcast":
             bl = F.broadcast(bl)
         elif mode == "shuffle":
-            bl = bl.hint("shuffle_hash")
+            bl = bl.hint("merge")
         hit = (
             df.select(F.col(url_col), F.explode(sfx).alias("domain"))
             .join(bl, "domain", "left_semi")
@@ -789,9 +803,20 @@ def hashed_ngram_fit(
         raise ValueError("corpus is empty")
 
     def _half_up(x: float) -> int:
-        import math
+        # Half-away-from-zero on the EXACT double value — Decimal(float)
+        # converts exactly, so this matches Spark round(double, 0) and
+        # DuckDB round() bit-for-bit. floor(x + 0.5) does NOT: for a
+        # double 1 ulp below .5 (e.g. 0.49999999999999994) the IEEE sum
+        # x + 0.5 rounds up to 1.0 and floor answers 1 where both
+        # engines answer 0 — a one-micro-unit driver-vs-oracle drift
+        # that would compound across gradient steps.
+        import decimal
 
-        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+        return int(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     for _ in range(iters):
         warr = F.array(*[F.lit(v).cast("long") for v in iw])
@@ -818,6 +843,11 @@ def hashed_ngram_fit(
         for r in grad_rows:  # k rows — model state, not data
             b = int(r["_b"])
             iw[b] -= _half_up(lr * float(r["_grad"]) / n_docs)
+    # the fit is fully materialized (collect per step); the corpus-sized
+    # feature cache is dead weight past this point — release it so
+    # repeated fits (hyperparameter sweeps) don't leak one corpus-sized
+    # cache each
+    bkts.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [(b, iw[b] / 1_000_000.0) for b in range(k)], "bucket int, weight double"

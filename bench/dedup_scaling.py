@@ -299,10 +299,16 @@ def main() -> None:
         }
         for name, fn in sf1_ops.items():
             sf1["ops"][name] = {"wall_s": timed(fn, warm=False, reps=1)}
-            x4 = result["ops"].get(name, {}).get("x4")
-            if x4:
-                pred_linear = x4["wall_s"] * (s10 / SCALES[0])
-                sf1["ops"][name]["vs_linear_from_x4"] = round(
+            # project from the SMALLEST measured leg, using ITS scale as
+            # the divisor (hardcoding "x4" with SCALES[0] corrupts the
+            # gate whenever SCALES is overridden: SCALES="2,4" would
+            # halve the linear prediction and let a 2x super-linear
+            # blowup read as ~1.0)
+            lo_scale = SCALES[0]
+            base = result["ops"].get(name, {}).get(f"x{lo_scale}")
+            if base:
+                pred_linear = base["wall_s"] * (s10 / lo_scale)
+                sf1["ops"][name][f"vs_linear_from_x{lo_scale}"] = round(
                     sf1["ops"][name]["wall_s"] / pred_linear, 2
                 )
         result["sf1_equivalent"] = sf1

@@ -1226,7 +1226,9 @@ def test_blocklist_modes_plan_shapes(spark):
     """Both DataFrame-blocklist strategies are plan-gated:
     mode='broadcast' must probe the list map-side (BroadcastHashJoin on
     the semi); mode='shuffle' must shuffle UNDER DEFAULT SESSION CONFIG
-    — the r03 ADVICE fix: a shuffle_hash hint on the blocklist, because
+    — the r03 ADVICE fix: a merge (sort-merge) hint on the blocklist
+    (spill-safe, unlike shuffle_hash's per-partition hash-map build),
+    because
     without it a small-estimated list under the default
     autoBroadcastJoinThreshold still broadcasts and the documented
     guaranteed-no-broadcast promise (the 10^8-entry path) silently
@@ -1774,6 +1776,49 @@ def test_bm25_multi_semantics_and_plan(spark):
     assert top_a == 0 and top_b == 103, (top_a, top_b)
 
 
+def test_bm25_multi_empty_query_raises(spark):
+    """A query with an EMPTY term list must raise, not silently vanish
+    from the result — a caller fanning out hundreds of topics must never
+    get missing result groups with no error."""
+    df = spark.createDataFrame(
+        [(1, "spark join data")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="'b'"):
+        textstats.bm25_rank_multi(df, {"a": ["join"], "b": []})
+    with pytest.raises(ValueError):
+        textstats.bm25_rank_multi(df, {})
+
+
+def test_release_caches_seam(spark):
+    """Operators that persist a shared subtree on the caller's behalf
+    (substring spans' occ frame, batched BM25's tokenize projection)
+    must hand back a release seam: an ingest loop calling them per
+    increment otherwise pins one cache per call forever, and
+    spark.catalog.clearCache() nukes unrelated caches too."""
+    from artexin_spark.operators import release_caches
+
+    rows = [(i, "alpha beta gamma delta " * 8 + f"tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = dedup.substring_dedup_spans(df, window=8)
+    spans.count()  # materialize (fills the occ cache)
+    cached = list(getattr(spans, "_artexin_caches", ()))
+    assert len(cached) == 1
+    assert cached[0].storageLevel.useMemory or cached[0].storageLevel.useDisk
+    assert release_caches(spans, blocking=True) == 1
+    assert not cached[0].storageLevel.useMemory
+    assert not cached[0].storageLevel.useDisk
+    assert release_caches(spans) == 0  # idempotent
+
+    ranked = textstats.bm25_rank_multi(df, {"a": ["alpha"]})
+    ranked.count()
+    assert release_caches(ranked, blocking=True) == 1
+
+    # persist=False results carry no caches — nothing to release
+    spans2 = dedup.substring_dedup_spans(df, window=8, persist=False)
+    assert release_caches(spans2) == 0
+
+
 def test_hashed_ngram_fit_matches_pure_python_reference(spark):
     """The distributed logistic fit must replay BIT-identically against
     a sequential pure-python implementation of the same quantized
@@ -1820,8 +1865,14 @@ def test_hashed_ngram_fit_matches_pure_python_reference(spark):
         return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % K
 
     def half_up(x):
-        return (
-            int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+        # exact-double HALF_UP, mirroring both Spark round(x, 0) and the
+        # fit's driver-side _half_up (floor(x+0.5) diverges 1 ulp below .5)
+        import decimal
+
+        return int(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
         )
 
     docs = [(i, grams(t), 1.0 if i % 3 == 0 else 0.0) for i, t in rows]
