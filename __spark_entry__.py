@@ -1571,6 +1571,37 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup over the embeddings
+    corpus — broadcast centroid assign (map-only), within-cluster
+    equi-self-join for near-dup pairs, keep-the-centroid-outlier rule.
+    Centroids here are label-group means quantized to 6 decimals
+    (deterministic + compact to replay in SQL; production trains them
+    via kmeans_fit). threshold=0.3 sits 1.9e-4 from the nearest actual
+    pair cosine and every assignment margin is >= 1.1e-4, so the
+    cross-engine float fold (Spark aggregate vs DuckDB
+    list_cosine_similarity) cannot flip any discrete output."""
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select(
+            F.col("label").alias("cid"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("embedding")
+        )
+        .select(F.col("cid").alias("vec_id"), "embedding")
+    )
+    out = dd.semdedup(emb.select("vec_id", "embedding"), cent, threshold=0.3)
+    return out.select("vec_id", "cluster_id", "kept")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN: broadcast centroid assign → inverted-list join →
     windowed top-k within the probed list (the 10^9-vector plan shape)."""
@@ -2333,6 +2364,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "blocklist_large",
     "ngram_train",
     "bm25_multi",
+    "semdedup",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2367,7 +2399,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_classifier",
     "unigram_lm",
     "sequence_pack",
-    "mixture_sample",
 ]
 
 
@@ -2390,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_large": q_blocklist_large,
         "ngram_train": q_ngram_train,
         "bm25_multi": q_bm25_multi,
+        "semdedup": q_semdedup,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -2424,9 +2456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_classifier": q_ngram_classifier,
         "unigram_lm": q_unigram_lm,
         "sequence_pack": q_sequence_pack,
-        "mixture_sample": q_mixture_sample,
         # --- below the driver window: r02-verified remainder first
         # (oldest verdicts), then the r03-verified entries.
+        "mixture_sample": q_mixture_sample,
         "coalesce_turns": q_coalesce_turns,
         "turn_windows": q_turn_windows,
         "redact_secrets": q_redact_secrets,
@@ -2841,6 +2873,31 @@ SELECT e.vec_id AS doc_id,
        coalesce(c.cluster_id, e.vec_id) AS cluster_id,
        coalesce(c.cluster_id, e.vec_id) <> e.vec_id AS is_duplicate
 FROM e LEFT JOIN comp c ON c.doc_id = e.vec_id
+"""
+
+_ORACLES["semdedup"] = """
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+comp AS (SELECT label AS cid,
+                unnest(generate_series(1, len(embedding))) AS pos,
+                unnest(embedding) AS v
+         FROM e),
+cent AS (SELECT cid, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+         FROM comp GROUP BY cid, pos),
+cvec AS (SELECT cid, list(cv ORDER BY pos) AS cv FROM cent GROUP BY cid),
+sc AS (SELECT e.vec_id, e.embedding, c.cid,
+              list_cosine_similarity(e.embedding, c.cv) AS cc,
+              row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                         c.cid ASC) AS rn
+       FROM e CROSS JOIN cvec c),
+asg AS (SELECT vec_id, embedding, cid AS cluster_id, cc FROM sc WHERE rn = 1),
+drp AS (SELECT DISTINCT a.vec_id
+        FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id
+         AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN drp d ON d.vec_id = a.vec_id
 """
 
 _LANG_SQL_MARKERS = {

@@ -1397,6 +1397,124 @@ def embedding_near_dup_lsh(
     ).filter(F.col("cosine") >= threshold)
 
 
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping within-cluster
+    near-duplicates, keeping per duplicate pair the example FARTHEST
+    from its cluster centroid (lowest centroid cosine — the paper's
+    keep-the-outlier rule, which preserves distributional diversity).
+
+    ``centroids``: (id_col, vec_col) rows — trained via ``kmeans_fit``
+    in production, or any deterministic scheme (the gated query uses
+    hash-bucket means so the oracle replays them compactly). Every
+    vector assigns to its max-cosine centroid (tie → lowest centroid
+    id); within a cluster, a vector DROPS iff ANY strictly-more-keepable
+    clustermate sits at pairwise cosine >= ``threshold``, where the
+    keep order is (lower centroid-cosine, then lower id). This is the
+    one-pass existence rule — the same greedy shape the paragraph /
+    keep-first paths use — not the paper's iterative per-group peeling:
+    in a chain x~y~z with cos(x,z) < t, both y and z can drop here
+    (each has a more-keepable near-dup) where iterative peeling would
+    re-admit z after y drops. Deterministic, order-free, and exactly
+    expressible as SQL EXISTS — the property the oracle gate needs.
+
+    Scale shape (the reason SemDeDup beats all-pairs at 10^9 vectors):
+    the centroid table broadcasts (k rows) and assignment is a MAP-ONLY
+    pass — the corpus never shuffles on the fat vector for it; the only
+    exchange is the within-cluster self-join, an equi-join on
+    cluster_id whose per-key width is the cluster size — bounded by the
+    ``k`` knob (pick k ≈ N / target_cluster_size; the paper runs 50k
+    clusters over LAION), with AQE's skew-split backstop on whatever
+    imbalance k-means leaves. The vector rides the cluster exchange
+    ONCE per side deliberately — the opposite of the LSH path's
+    ids-only slimming — because semdedup candidate pairs are DENSE
+    within a cluster (≈ cluster_size per member), so re-joining vectors
+    per pair would move |pairs| ≈ N·cluster_size vectors instead of
+    2N. No cross join anywhere (plan-gated).
+
+    Returns one row per input vector: (id, cluster_id, centroid_cos,
+    kept) — filter kept for the surviving corpus, or aggregate by
+    cluster for dedup-rate reporting."""
+    from .similarity import cosine_from_parts, dot_expr, norm_expr
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], not {threshold}")
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).alias("_cv"),
+        norm_expr(vec_col).alias("_cn"),
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_vn"))
+        .join(F.broadcast(c))
+        .select(
+            id_col,
+            vec_col,
+            "_vn",
+            "cluster_id",
+            cosine_from_parts(
+                dot_expr(vec_col, "_cv"), F.col("_vn"), F.col("_cn")
+            ).alias("centroid_cos"),
+        )
+    )
+    # per-vector argmax over k centroids: the window group is k-bounded
+    # (never content-keyed), so no skew hazard
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("centroid_cos"), F.asc("cluster_id")
+    )
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_vn").alias("_na"),
+        F.col("cluster_id").alias("_cla"),
+        F.col("centroid_cos").alias("_cca"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_vn").alias("_nb"),
+        F.col("cluster_id").alias("_clb"),
+        F.col("centroid_cos").alias("_ccb"),
+    )
+    more_keepable = (F.col("_ccb") < F.col("_cca")) | (
+        (F.col("_ccb") == F.col("_cca")) & (F.col("_idb") < F.col("_ida"))
+    )
+    dropped = (
+        a.join(b, (F.col("_cla") == F.col("_clb")) & more_keepable)
+        .filter(
+            cosine_from_parts(
+                dot_expr("_va", "_vb"), F.col("_na"), F.col("_nb")
+            )
+            >= threshold
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "centroid_cos",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def gen_planted_vectors(
     n: int = 150, dim: int = 32, n_dups: int = 25, seed: int = 5
 ) -> list:

@@ -209,6 +209,57 @@ def test_ivf_assign_is_argmax(spark, emb):
     assert (own.vec_id == own.centroid_id).all()
 
 
+def test_semdedup_planted_semantics_and_plan(spark):
+    """SemDeDup keep-the-centroid-outlier rule on a hand-built corpus:
+    within a near-dup pair the member CLOSER to its centroid drops; the
+    existence rule is non-transitive (in a chain x~y~z with cos(x,z)<t,
+    both x and y drop — each has a more-keepable near-dup, even though
+    y itself dropped). Plan: centroid assign broadcasts, the pair join
+    is an equi-join on cluster_id — no cartesian anywhere."""
+    import math
+
+    c25, s25 = math.cos(math.radians(25)), math.sin(math.radians(25))
+    c50, s50 = math.cos(math.radians(50)), math.sin(math.radians(50))
+    c10, s10 = math.cos(math.radians(10)), math.sin(math.radians(10))
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # x: cc=1.0       (cluster A)
+        (2, [c25, 0.0, s25, 0.0]),   # y: cc=cos25     (cluster A)
+        (3, [c50, 0.0, s50, 0.0]),   # z: cc=cos50     (cluster A)
+        (4, [0.0, 1.0, 0.0, 0.0]),   # b1: cc=1.0      (cluster B)
+        (5, [0.0, c10, 0.0, s10]),   # b2: cc=cos10    (cluster B)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = dedup.semdedup(emb, cents, threshold=0.9).toPandas()
+    got = {int(r.vec_id): (int(r.cluster_id), bool(r.kept)) for _, r in out.iterrows()}
+    # cos(x,y)=cos(y,z)=cos25≈0.906>=0.9, cos(x,z)=cos50<0.9:
+    # x drops (y more-keepable), y drops (z more-keepable), z keeps;
+    # b1 drops against the farther-out b2 (cos(b1,b2)=cos10>=0.9)
+    assert got == {
+        1: (0, False), 2: (0, False), 3: (0, True),
+        4: (1, False), 5: (1, True),
+    }, got
+    plan = dedup.semdedup(emb, cents, threshold=0.9)._jdf.queryExecution()\
+        .executedPlan().toString()
+    # the pair join must be an EQUI join keyed on cluster_id (bounded by
+    # cluster size, AQE skew backstop) — never an unkeyed product over
+    # the corpus. The k-row centroid assign is a deliberate broadcast
+    # cross (IdentityBroadcastMode over k rows, map-only); any unkeyed
+    # join node must be exactly that shape.
+    import re as _re2
+
+    assert _re2.search(r"(SortMergeJoin|BroadcastHashJoin) \[_cla", plan), plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line or "CartesianProduct" in line:
+            assert "BroadcastNestedLoopJoin" in line, line  # never cartesian
+    assert "IdentityBroadcastMode" in plan  # the k-row centroid broadcast
+    with pytest.raises(ValueError):
+        dedup.semdedup(emb, cents, threshold=1.5)
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     """kmeans_fit on a corpus of k well-separated gaussian blobs must put
     each blob in one cluster (spherical k-means with enough iterations),
