@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from artexin_spark.operators import bpe as bp
 from artexin_spark.operators import dedup as dd
 from artexin_spark.operators import multimodal as mm
 from artexin_spark.operators import similarity as sim
@@ -1571,6 +1572,34 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training (Sennrich et al. 2016) over the
+    documents corpus: word-frequency table (the one corpus-sized pass)
+    → per-step narrow pair-count agg + 1-row argmax + zero-shuffle
+    column-fold merge apply. 2 merges; the DuckDB oracle re-derives
+    both steps (pair counts, argmax with (freq DESC, left, right)
+    tie-break, and the positional-island merge application that is
+    provably the fold's left-to-right non-overlapping semantics)."""
+    m = bp.bpe_train(_docs(spark, sf_dir), n_merges=2, min_pair_freq=1)
+    return m.select(
+        "step",
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "pair_freq",
+    )
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Post-merge BPE vocabulary: apply the 2 trained merges to the
+    word table (|vocab| rows, never the corpus) and rank surviving
+    symbols by summed word frequency — exercises the merge APPLICATION
+    end-to-end in both engines, not just the argmax."""
+    docs = _docs(spark, sf_dir)
+    m = bp.bpe_train(docs, n_merges=2, min_pair_freq=1)
+    return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup over the embeddings
     corpus — broadcast centroid assign (map-only), within-cluster
@@ -2365,6 +2394,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_train",
     "bm25_multi",
     "semdedup",
+    "bpe_train",
+    "bpe_vocab",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2397,8 +2428,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "url_dedup",
     "pipeline_e2e",
     "ngram_classifier",
-    "unigram_lm",
-    "sequence_pack",
 ]
 
 
@@ -2422,6 +2451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_train": q_ngram_train,
         "bm25_multi": q_bm25_multi,
         "semdedup": q_semdedup,
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -2454,10 +2485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pipeline_e2e": q_pipeline_e2e,
         "ngram_classifier": q_ngram_classifier,
-        "unigram_lm": q_unigram_lm,
-        "sequence_pack": q_sequence_pack,
         # --- below the driver window: r02-verified remainder first
         # (oldest verdicts), then the r03-verified entries.
+        "unigram_lm": q_unigram_lm,
+        "sequence_pack": q_sequence_pack,
         "mixture_sample": q_mixture_sample,
         "coalesce_turns": q_coalesce_turns,
         "turn_windows": q_turn_windows,
@@ -2873,6 +2904,71 @@ SELECT e.vec_id AS doc_id,
        coalesce(c.cluster_id, e.vec_id) AS cluster_id,
        coalesce(c.cluster_id, e.vec_id) <> e.vec_id AS is_duplicate
 FROM e LEFT JOIN comp c ON c.doc_id = e.vec_id
+"""
+
+def _bpe_step_sql(k: int) -> str:
+    """One BPE merge step as DuckDB CTEs: s{k} (word, freq, syms) →
+    best{k} (the argmax pair) and s{k+1} (merged symbol arrays). The
+    merge application uses the positional-island formulation — merge at
+    a pair-match position iff its offset within its run of consecutive
+    matches is even — which equals the engine's left-to-right
+    non-overlapping fold (consecutive matches only arise when left ==
+    right; see operators/bpe.py:_apply_merge)."""
+    return f"""
+best{k} AS (
+  SELECT l, r, pair_freq FROM (
+    SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS pair_freq
+    FROM s{k}, LATERAL unnest(generate_series(1, len(syms)-1)) AS g(i)
+    GROUP BY 1, 2)
+  ORDER BY pair_freq DESC, l ASC, r ASC LIMIT 1),
+pos{k} AS (SELECT word, freq, unnest(generate_series(1, len(syms))) AS i,
+                  unnest(syms) AS s FROM s{k}),
+pm{k} AS (SELECT p.word, p.freq, p.i, p.s,
+            coalesce(p.s = b.l AND
+              lead(p.s) OVER (PARTITION BY p.word ORDER BY p.i) = b.r,
+              false) AS pmatch
+          FROM pos{k} p CROSS JOIN best{k} b),
+isl{k} AS (SELECT word, i,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+           FROM pm{k} WHERE pmatch),
+mf{k} AS (SELECT word, i,
+            ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS dm
+          FROM isl{k}),
+apx{k} AS (SELECT pm.word, pm.freq, pm.i, pm.s, coalesce(mf.dm, false) AS dm
+           FROM pm{k} pm LEFT JOIN mf{k} mf USING (word, i)),
+ap{k} AS (SELECT *, coalesce(lag(dm) OVER (PARTITION BY word ORDER BY i),
+                             false) AS consumed
+          FROM apx{k}),
+s{k + 1} AS (SELECT word, min(freq) AS freq,
+             list(CASE WHEN dm THEN s || (SELECT r FROM best{k}) ELSE s END
+                  ORDER BY i) AS syms
+           FROM ap{k} WHERE NOT consumed GROUP BY word)"""
+
+
+_BPE_BASE_SQL = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+wd AS (SELECT unnest(toks) AS word FROM t),
+wt AS (SELECT word, count(*) AS freq FROM wd GROUP BY word),
+s1 AS (SELECT word, freq,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i]), '</w>') AS syms
+       FROM wt),
+{_bpe_step_sql(1)},
+{_bpe_step_sql(2)}
+"""
+
+_ORACLES["bpe_train"] = _BPE_BASE_SQL + """
+SELECT 1 AS step, l AS lhs, r AS rhs, l || r AS merged, pair_freq FROM best1
+UNION ALL
+SELECT 2 AS step, l AS lhs, r AS rhs, l || r AS merged, pair_freq FROM best2
+"""
+
+_ORACLES["bpe_vocab"] = _BPE_BASE_SQL + """
+, v AS (SELECT freq, unnest(syms) AS sym FROM s3),
+agg AS (SELECT sym, sum(freq) AS n FROM v GROUP BY sym),
+rk AS (SELECT sym, n, row_number() OVER (ORDER BY n DESC, sym ASC) AS rank
+       FROM agg)
+SELECT sym, n, rank FROM rk WHERE rank <= 30
 """
 
 _ORACLES["semdedup"] = """

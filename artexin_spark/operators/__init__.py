@@ -5,8 +5,10 @@ engine additionally needs corpus-level ops. All Spark-first: native
 column expressions where possible, Arrow pandas_udfs only where vector
 math genuinely wants numpy.
 
+    bpe.py         distributed BPE merge training / application
+                   (word-table reduction, fold-based merges)
     dedup.py       exact / MinHash-LSH / SimHash / n-gram-Jaccard /
-                   embedding-cosine near-duplicate detection
+                   embedding-cosine near-duplicate detection + SemDeDup
     similarity.py  brute-force cosine top-k + LSH-bucketed ANN
     textstats.py   language id, quality scoring, token counting,
                    document fingerprinting

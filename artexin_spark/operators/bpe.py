@@ -1,0 +1,250 @@
+"""Distributed BPE merge training and application (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-training stage of a training-data
+pipeline, next to the reference's token-counting surface
+(reference index.py:107-121 counts words; a 100 TB curation engine also
+needs to TRAIN the subword vocabulary those counts feed).
+
+Scale design
+------------
+BPE's sufficient statistic is the WORD-FREQUENCY table, not the corpus:
+one explode + hash-agg collapses 100 TB of text to a ~10^6-10^7-row
+(word, freq) table, and every merge step thereafter runs on |vocab|
+rows. Per step:
+
+- pair counting: explode each word's symbol array to narrow
+  (left, right, freq) rows → groupBy(left, right) hash-agg — map-side
+  partial aggregation, one small shuffle keyed on the pair;
+- argmax: a 1-row collect (driver state is ONE row per step, the same
+  model-state budget kmeans_fit / hashed_ngram_fit run on);
+- merge application: a pure column fold (``aggregate`` over the symbol
+  array) — zero shuffle, zero Python, whole-stage codegen.
+
+Symbol frames ``localCheckpoint`` between steps (knob
+``checkpoint_every``) for the same reason kmeans' spread init does:
+without truncation step i's pair-count action would recompute all i-1
+prior folds (O(n²) total fold work) and Catalyst would re-analyze an
+ever-deeper expression tree.
+
+Determinism: ties in pair frequency break on (left ASC, right ASC) —
+exact int64 frequencies and ASCII-only tokens (the tokenizer charset is
+``[a-z0-9']``), so any engine replaying the algorithm picks identical
+merges; the ``bpe_train`` driver query's DuckDB oracle re-derives every
+step in SQL (positional islands formulation — provably the same
+left-to-right non-overlapping merge the fold computes, see
+``_apply_merge``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"  # end-of-word sentinel symbol (classic BPE word boundary)
+
+
+def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): corpus word frequencies — BPE's sufficient
+    statistic. The ONLY corpus-sized pass in the trainer."""
+    from .dedup import tokens_col
+
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def char_symbols(word_col) -> F.Column:
+    """Initial symbol array: one symbol per character plus the ``</w>``
+    sentinel. Substring-based (never split-on-empty-regex, whose edge
+    semantics are engine-quirky); tokens are ASCII by tokenizer
+    construction, so per-character substring agrees across engines."""
+    w = F.col(word_col) if isinstance(word_col, str) else word_col
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        ),
+        F.array(F.lit(EOW)),
+    )
+
+
+def pair_counts(symframe: DataFrame) -> DataFrame:
+    """(left, right, pair_freq): adjacent-symbol pair frequencies over a
+    (word, freq, syms) frame, weighted by word frequency. Narrow explode
+    + map-side-partial hash-agg — the per-step shuffle is keyed on the
+    pair, never content-skewed beyond the natural zipf head (which the
+    partial agg collapses map-side)."""
+    return (
+        symframe.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("left"),
+                        F.element_at(F.col("syms"), i + F.lit(1)).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def _apply_merge(syms_col, left: str, right: str) -> F.Column:
+    """Left-to-right non-overlapping replacement of the adjacent pair
+    (left, right) by its concatenation — one ``aggregate`` fold, no
+    shuffle, no Python.
+
+    Equivalence to classic BPE's positional scan: a merged element can
+    never re-merge within the same pass (the merged string ``left ||
+    right`` is strictly longer than ``left``, so it never equals the
+    pair's left side), hence the fold's "last element" check fires on
+    exactly the positions the left-to-right scan merges — including the
+    aaa→[aa,a] overlap case, where the freshly merged ``aa`` fails the
+    ``== a`` test and the scan resumes after the pair. The DuckDB oracle
+    computes the same set via parity-within-island window logic."""
+    merged = left + right
+    return F.aggregate(
+        syms_col if not isinstance(syms_col, str) else F.col(syms_col),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 1,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus. Returns the merge
+    table (step int, left, right, merged, pair_freq) in learned order —
+    feed it to ``bpe_apply`` / ``bpe_vocab``. Stops early when the best
+    remaining pair's frequency drops below ``min_pair_freq``.
+
+    ``words``: pass a precomputed/persisted ``word_table`` to share the
+    corpus pass across trainers; by default it is derived here and
+    materialized by the first step's localCheckpoint.
+
+    ``checkpoint_every=0`` disables lineage truncation (testing only —
+    see module docstring for why that is O(n_merges²))."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    w = words if words is not None else word_table(df, text_col)
+    syms = w.select("word", "freq", char_symbols("word").alias("syms"))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if checkpoint_every and (step - 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+        top = (
+            pair_counts(syms)
+            .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["pair_freq"]) < min_pair_freq:
+            break
+        left, right = str(top[0]["left"]), str(top[0]["right"])
+        merges.append((step, left, right, left + right, int(top[0]["pair_freq"])))
+        syms = syms.select(
+            "word", "freq", _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_freq long"
+    )
+
+
+def apply_merges_col(syms_col, merges_rows) -> F.Column:
+    """Chain the learned merges (ordered (left, right) pairs) over a
+    symbol-array column. Expression depth grows with the merge count —
+    right for the tens-of-merges regime this trainer targets; a 10^4+-
+    merge production vocabulary would bake into a greedy longest-match
+    tokenizer at inference instead (out of scope here, documented)."""
+    out = syms_col if not isinstance(syms_col, str) else F.col(syms_col)
+    for left, right in merges_rows:
+        out = _apply_merge(out, left, right)
+    return out
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize documents with a trained merge table: tokens → per-word
+    char symbols → every merge in learned order → flattened per-doc BPE
+    token array (+ ``n_bpe_tokens``). The merge table collects to the
+    driver (n_merges rows — model state, like kmeans centroids); the
+    application itself is pure column expressions, zero Python."""
+    from .dedup import tokens_col
+
+    rows = [
+        (str(r["left"]), str(r["right"]))
+        for r in merges.orderBy("step").collect()
+    ]
+    toked = df.select(*df.columns, tokens_col(text_col).alias("_toks"))
+    per_word = F.transform(
+        F.col("_toks"),
+        lambda w: apply_merges_col(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: w.substr(i, F.lit(1)),
+                ),
+                F.array(F.lit(EOW)),
+            ),
+            rows,
+        ),
+    )
+    return toked.select(
+        *df.columns,
+        F.flatten(per_word).alias(out_col),
+    ).withColumn("n_bpe_tokens", F.size(F.col(out_col)))
+
+
+def bpe_vocab(
+    symframe_or_df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    topk: int | None = None,
+) -> DataFrame:
+    """Post-merge symbol vocabulary with corpus frequencies: apply the
+    merge table to the WORD table (|vocab| rows, not |corpus|) and sum
+    word frequencies per surviving symbol. Returns (sym, n, rank) —
+    ranked by (n DESC, sym ASC); ``topk`` truncates."""
+    rows = [
+        (str(r["left"]), str(r["right"]))
+        for r in merges.orderBy("step").collect()
+    ]
+    cols = set(symframe_or_df.columns)
+    if {"word", "freq"} <= cols:
+        w = symframe_or_df
+    else:
+        w = word_table(symframe_or_df, text_col)
+    syms = w.select(
+        "freq", apply_merges_col(char_symbols("word"), rows).alias("syms")
+    )
+    agg = (
+        syms.select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = agg.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("sym")))
+    )
+    return ranked.filter(F.col("rank") <= topk) if topk else ranked

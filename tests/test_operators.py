@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from artexin_spark.operators import dedup, multimodal, similarity, textstats
+from artexin_spark.operators import bpe, dedup, multimodal, similarity, textstats
 
 SF = "/root/testdata/sf0.001"
 import os as _os
@@ -207,6 +207,68 @@ def test_ivf_assign_is_argmax(spark, emb):
     # centroids assign to themselves (cosine=1 is the max)
     own = assign[assign.vec_id < 4]
     assert (own.vec_id == own.centroid_id).all()
+
+
+def test_bpe_train_learns_textbook_merges(spark):
+    """Sennrich et al.'s toy corpus (low/lower/newest/widest): the
+    trainer must learn es→est→est</w> first (freq 9), then lo→low
+    (freq 7) — exact merge order AND frequencies, ties broken (left,
+    right) ascending. Application and vocab must agree with the learned
+    merges; the (a,a) self-pair must merge left-to-right
+    non-overlapping (aaaa→[aa,aa], aaa→[aa,a])."""
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    m = bpe.bpe_train(df, n_merges=5, min_pair_freq=2)
+    got = [(r.step, r.left, r.right, r.merged, r.pair_freq) for r in m.collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+        (5, "lo", "w", "low", 7),
+    ], got
+    ap = bpe.bpe_apply(df, m).select("bpe_tokens", "n_bpe_tokens").first()
+    assert ap.bpe_tokens[:2] == ["low", "</w>"]
+    assert "est</w>" in ap.bpe_tokens and ap.n_bpe_tokens == len(ap.bpe_tokens)
+    v = {r.sym: (r.n, r.rank) for r in bpe.bpe_vocab(df, m, topk=3).collect()}
+    assert v["est</w>"] == (9, 1)  # every newest/widest ends est</w>
+
+    # overlap: self-pair merges left-to-right non-overlapping
+    t2 = spark.createDataFrame([(1, "aaaa aaaa aaa")], "doc_id long, text string")
+    m2 = bpe.bpe_train(t2, n_merges=1, min_pair_freq=1)
+    r2 = m2.first()
+    assert (r2.left, r2.right, r2.pair_freq) == ("a", "a", 8)
+    toks = bpe.bpe_apply(t2, m2).first().bpe_tokens
+    assert toks == ["aa", "aa", "</w>", "aa", "aa", "</w>", "aa", "a", "</w>"]
+
+    # early stop: nothing reaches min_pair_freq → fewer merges, no error
+    m3 = bpe.bpe_train(t2, n_merges=5, min_pair_freq=10**6)
+    assert m3.count() == 0
+    with pytest.raises(ValueError):
+        bpe.bpe_train(t2, n_merges=0)
+
+
+def test_bpe_plan_stays_native(spark, docs):
+    """The trainer's per-step frames and the application path must stay
+    JVM-native: no Python eval nodes anywhere (fold-based merges are
+    column expressions), and the pair count is a partial-agg hash
+    aggregate keyed on the pair — the scale contract of the module
+    docstring."""
+    w = bpe.word_table(docs.limit(50))
+    syms = w.select("word", "freq", bpe.char_symbols("word").alias("syms"))
+    pc = bpe.pair_counts(syms)
+    plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan and "partial_sum" in plan.lower() or \
+        "HashAggregate" in plan  # partial agg naming varies by codegen
+    m = bpe.bpe_train(docs.limit(50), n_merges=2, min_pair_freq=1)
+    ap_plan = (
+        bpe.bpe_apply(docs.limit(5), m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in ap_plan, ap_plan
 
 
 def test_semdedup_planted_semantics_and_plan(spark):
