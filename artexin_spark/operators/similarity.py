@@ -310,6 +310,45 @@ def lsh_ann(
 # --- IVF ANN -----------------------------------------------------------------
 
 
+def hash_bucket_centroids(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "semc:",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Deterministic centroids WITHOUT training: per-dimension means of
+    md5-hash-assigned buckets (one narrow (cid, pos, val) agg — the
+    same shuffle shape as kmeans_fit's update step). Zero iterations,
+    any-engine reproducible (md5 bucket + quantized means), so it
+    serves as the cheap centroid source for ``semdedup`` / ``ivf_*``
+    when a kmeans fit isn't warranted, and as the oracle-replayable
+    seed for tests/benches. ``quantize=None`` keeps raw means."""
+    from .sampling import hash_bucket
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    mean = F.avg(F.col("val").cast("double"))
+    cv = F.round(mean, quantize) if quantize is not None else mean
+    return (
+        emb.select(
+            hash_bucket(id_col, k, salt).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        .groupBy("cid", "pos")
+        .agg(cv.alias("cv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias(vec_col)
+        )
+        .select(F.col("cid").alias(id_col), vec_col)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

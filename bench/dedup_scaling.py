@@ -121,7 +121,9 @@ def long_docs(spark, segments: int, n_docs: int = 400):
 
 
 def main() -> None:
+    from artexin_spark.operators import bpe as bp
     from artexin_spark.operators import dedup as dd
+    from artexin_spark.operators import similarity as sim
     from artexin_spark.session import get_spark
 
     spark = get_spark("artexin-dedup-scaling")
@@ -173,6 +175,21 @@ def main() -> None:
             # documented on embedding_near_dup_lsh.
             "embedding_lsh": lambda e=emb, n=n_vecs: dd.embedding_near_dup_lsh(
                 e, threshold=0.9, planes=max(4, (n // 128).bit_length())
+            ).count(),
+            # k scales as N / target-cluster-size (the semdedup knob):
+            # per-key join width stays ~constant, so the within-cluster
+            # self-join is linear in N. Centroids are the hash-bucket
+            # means (one narrow agg — billed to the op, as in prod).
+            "semdedup": lambda e=emb, n=n_vecs: dd.semdedup(
+                e, sim.hash_bucket_centroids(e, k=max(4, n // 2048)),
+                threshold=0.9,
+            ).filter("NOT kept").count(),
+            # BPE: the corpus pass is one word-count agg; the 4 merge
+            # steps run on |vocab| rows — vocab grows sublinearly in
+            # corpus copies (tokens are copy-suffixed, so vocab scales
+            # with the corpus here: the WORST case for this op).
+            "bpe_train4": lambda d=docs: bp.bpe_train(
+                d, n_merges=4, min_pair_freq=2
             ).count(),
         }
         for name, fn in ops.items():
@@ -295,6 +312,13 @@ def main() -> None:
             "paragraph_dedup": lambda: dd.paragraph_dedup(d10).count(),
             "embedding_lsh": lambda: dd.embedding_near_dup_lsh(
                 e10, threshold=0.9, planes=max(4, (n_v10 // 128).bit_length())
+            ).count(),
+            "semdedup": lambda: dd.semdedup(
+                e10, sim.hash_bucket_centroids(e10, k=max(4, n_v10 // 2048)),
+                threshold=0.9,
+            ).filter("NOT kept").count(),
+            "bpe_train4": lambda: bp.bpe_train(
+                d10, n_merges=4, min_pair_freq=2
             ).count(),
         }
         for name, fn in sf1_ops.items():

@@ -322,6 +322,28 @@ def test_semdedup_planted_semantics_and_plan(spark):
         dedup.semdedup(emb, cents, threshold=1.5)
 
 
+def test_hash_bucket_centroids_deterministic_means(spark):
+    """The trainer-free centroid source: md5-bucket assignment +
+    quantized per-dimension means, reproducible anywhere."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [(i, [float(i), float(i * 2), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.embedding for r in
+           similarity.hash_bucket_centroids(df, k=3).collect()}
+    buckets: dict = {}
+    for i, v in rows:
+        b = int(hashlib.md5(f"semc:{i}".encode()).hexdigest()[:15], 16) % 3
+        buckets.setdefault(b, []).append(v)
+    for b, vs in buckets.items():
+        want = [round(float(x), 6) for x in np.mean(vs, axis=0)]
+        assert out[b] == want, (b, out[b], want)
+    with pytest.raises(ValueError):
+        similarity.hash_bucket_centroids(df, k=0)
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     """kmeans_fit on a corpus of k well-separated gaussian blobs must put
     each blob in one cluster (spherical k-means with enough iterations),
