@@ -1600,6 +1600,50 @@ def q_bpe_vocab(spark, sf_dir):
     return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination (dedup.bloom_contamination): the
+    scale path for eval-shingle sets too big to broadcast as rows — a
+    fixed-size (word, bits) filter table built in ONE agg over the eval
+    set, then a map-side broadcast probe of the corpus shingles (k=2
+    md5-derived hash positions each) and one (id) count agg. Same eval
+    split as `contamination` (doc_id % 50 = 0), so the two queries
+    document the exact-vs-probabilistic trade side by side; the oracle
+    replays the identical bit arithmetic, false positives included."""
+    docs = _docs(spark, sf_dir)
+    return dd.bloom_contamination(
+        docs, docs.filter("doc_id % 50 = 0"), m_bits=1 << 18, k_hashes=2
+    )
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-trained bigram LM scoring (textstats.bigram_lm_score):
+    add-0.5-smoothed conditional P(cur|prev) from two hash-agg count
+    tables (unigram + bigram, one shared tokenize projection), scored
+    via two broadcast equi-joins of each doc's exploded bigrams and one
+    (id) agg — the KenLM-perplexity-gate skeleton one order above
+    `unigram_lm`. ln() on integer counts keeps it engine-exact."""
+    return ts.bigram_lm_score(_docs(spark, sf_dir))
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval fusion (similarity.rrf_fuse): reciprocal-rank
+    fusion of the lexical leg (BM25 top-50 for a 3-term query over
+    documents) and the semantic leg (exact cosine top-50 neighbors of
+    vec_id 0 over embeddings — the id spaces align by construction).
+    Each reciprocal is quantized to an exact int64 (RRF_SCALE div
+    (60+rank)) so the fused scores are order-free integer sums any
+    engine reproduces bit-for-bit; one union + one hash agg + global
+    top-20, no join chain."""
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    lex = ts.bm25_rank(docs, ["hash", "merge", "window"], topk=50).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    sem = sim.cosine_topk(emb, emb.filter("vec_id = 0"), k=50).select(
+        F.col("neighbor_id").alias("id"), "rank"
+    )
+    return sim.rrf_fuse([lex, sem], k=60, top_n=20)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup over the embeddings
     corpus — broadcast centroid assign (map-only), within-cluster
@@ -2396,6 +2440,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "semdedup",
     "bpe_train",
     "bpe_vocab",
+    "bloom_decontam",
+    "bigram_lm",
+    "rrf_fusion",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2425,9 +2472,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_near_dup_exact",
     "domain_stats",
     "gopher_quality",
-    "url_dedup",
-    "pipeline_e2e",
-    "ngram_classifier",
 ]
 
 
@@ -2453,6 +2497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
+        "bloom_decontam": q_bloom_decontam,
+        "bigram_lm": q_bigram_lm,
+        "rrf_fusion": q_rrf_fusion,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -2800,6 +2847,104 @@ ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0)
 SELECT s.doc_id, count(*) AS n_overlap
 FROM s JOIN ev USING (sh)
 GROUP BY s.doc_id HAVING count(*) >= 2
+"""
+
+# Bloom decontamination replay: identical md5-derived bit positions
+# (first 15 hex chars = 60 bits, % m), 32 bits packed per word, k=2.
+_BLOOM_M = 1 << 18
+_ORACLES["bloom_decontam"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 3
+          THEN list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t),
+pos AS (SELECT doc_id, sh,
+          CAST('0x' || substr(md5(sh || '#' || j), 1, 15) AS BIGINT)
+            % {_BLOOM_M} AS pos
+        FROM s, unnest([0, 1]) AS u(j)),
+flt AS (SELECT pos // 32 AS word,
+          bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0) e,
+             unnest([0, 1]) AS u(j),
+             LATERAL (SELECT CAST('0x' || substr(md5(e.sh || '#' || j), 1, 15)
+                             AS BIGINT) % {_BLOOM_M} AS pos) p
+        GROUP BY 1),
+probe AS (SELECT doc_id, sh,
+            bool_and(coalesce(
+              (flt.bits & (1::BIGINT << CAST(pos.pos % 32 AS INT))) <> 0,
+              FALSE)) AS all_hit
+          FROM pos LEFT JOIN flt ON pos.pos // 32 = flt.word
+          GROUP BY doc_id, sh)
+SELECT doc_id, count(*) AS n_maybe_overlap FROM probe WHERE all_hit
+GROUP BY doc_id HAVING count(*) >= 2
+"""
+
+_ORACLES["bigram_lm"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM t),
+uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+v AS (SELECT count(*) AS vocab FROM uc),
+bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+       FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+       WHERE len(toks) >= 2),
+bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+sc AS (SELECT bg.doc_id,
+         ln((coalesce(bc.cb, 0) + 0.5)
+            / (coalesce(uc.cu, 0) + 0.5 * v.vocab)) AS lp
+       FROM bg LEFT JOIN bc USING (prev, cur)
+               LEFT JOIN uc ON bg.prev = uc.tok
+               CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS mean_logprob
+FROM sc GROUP BY doc_id
+"""
+
+# RRF fusion: BM25 top-50 (identical formula to the bm25 oracle, deeper
+# cut) + cosine top-50 of vec_id 0, reciprocals quantized to exact int64.
+_ORACLES["rrf_fusion"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, len(toks) AS dl,
+        len(list_filter(toks, x -> x = 'hash')) AS tf0,
+        len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        len(list_filter(toks, x -> x = 'window')) AS tf2
+      FROM t),
+s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM f),
+sc AS (SELECT doc_id,
+        ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+          * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+          * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+          * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+       FROM f, s),
+lex AS (SELECT doc_id AS id, rank FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+            AS rank
+          FROM sc WHERE score > 0) WHERE rank <= 50),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT vec_id AS neighbor_id,
+         list_cosine_similarity(qv, embedding) AS cosine
+       FROM embeddings, q WHERE vec_id <> 0),
+sem AS (SELECT neighbor_id AS id, rank FROM (
+          SELECT neighbor_id,
+            row_number() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM cs) WHERE rank <= 50),
+u AS (SELECT id, 1000000000 // (60 + rank) AS rr FROM lex
+      UNION ALL SELECT id, 1000000000 // (60 + rank) FROM sem),
+fused AS (SELECT id, CAST(sum(rr) AS BIGINT) AS rrf_scaled,
+            count(*) AS n_sources
+          FROM u GROUP BY id)
+SELECT id, rrf_scaled, n_sources, fused_rank FROM (
+  SELECT id, rrf_scaled, n_sources,
+    row_number() OVER (ORDER BY rrf_scaled DESC, id ASC) AS fused_rank
+  FROM fused)
+WHERE fused_rank <= 20
 """
 
 

@@ -483,6 +483,131 @@ def contamination(
     )
 
 
+_BLOOM_WORD_BITS = 32  # bits packed per filter-table row (positive int64 safe)
+
+# mask for a projected `pos` attribute (F.shiftleft only takes a literal
+# shift, so the variable shift goes through the SQL parser)
+_BLOOM_MASK_EXPR = (
+    f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+)
+
+
+def _bloom_positions(sh_col, m_bits: int, k_hashes: int):
+    """Array of ``k_hashes`` bit positions in [0, m_bits) for a shingle —
+    each hash j is the first 15 hex chars (60 bits) of md5(sh || '#' || j),
+    so the identical positions are computable in ANSI SQL (md5 agrees
+    byte-for-byte across engines; see module docstring)."""
+    sh_col = F.col(sh_col) if isinstance(sh_col, str) else sh_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat(sh_col, F.lit("#"), j.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits,
+    )
+
+
+def bloom_filter_table(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD over an eval set's word n-gram
+    shingles: (word:long, bits:long) rows packing _BLOOM_WORD_BITS filter
+    bits each — at most m_bits/32 rows REGARDLESS of eval-set size. One
+    explode + one (word, bit_or) hash aggregate; partial aggregation
+    happens map-side, so the shuffle carries ≤ m_bits/32 rows per task."""
+    sh = (
+        eval_df.select(tokens_col(text_col).alias("_toks"))
+        .select(
+            F.explode(F.array_distinct(shingles_from("_toks", n))).alias("sh")
+        )
+        .select(
+            F.explode(_bloom_positions("sh", m_bits, k_hashes)).alias("pos")
+        )
+    )
+    return (
+        sh.select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(_BLOOM_MASK_EXPR).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Decontamination via a Bloom filter of the eval shingle set — the
+    scale path for when ``contamination``'s distinct-shingle broadcast no
+    longer fits: a 10^9-shingle eval set is ~60 GB of strings as rows but
+    a 2^33-bit filter is 1 GB as (word, bits) longs, with the usual
+    one-sided error (no false NEGATIVES — every true overlap is counted;
+    false-positive rate per shingle ≈ (1 - e^(-k·n_eval/m))^k, sized by
+    ``m_bits``/``k_hashes``).
+
+    Plan shape (the 100 TB story): build = one agg over the eval set to a
+    ≤ m_bits/32-row table (fixed size, broadcastable at any eval scale);
+    check = corpus shingles explode ×k positions → broadcast-hash-join on
+    the word index (map-side, no corpus shuffle) → per-shingle AND of the
+    k membership bits → one (id) count agg. Returns (id, n_maybe_overlap)
+    for docs with ≥ ``min_overlap`` DISTINCT maybe-contaminated shingles.
+
+    Semantics are Bloom semantics (superset of ``contamination``'s exact
+    hits); the SQL oracle replays the identical md5-derived positions, so
+    the operator is exactly reproducible, false positives included."""
+    flt = bloom_filter_table(eval_df, eval_text_col, n, m_bits, k_hashes)
+    doc_pos = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_from("_toks", n))).alias("sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("sh"),
+            F.explode(_bloom_positions("sh", m_bits, k_hashes)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("sh"),
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(_BLOOM_MASK_EXPR).alias("mask"),
+        )
+    )
+    probed = doc_pos.join(F.broadcast(flt), "word", "left").select(
+        F.col(id_col),
+        F.col("sh"),
+        F.coalesce(
+            F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+        ).alias("hit"),
+    )
+    sh_hits = probed.groupBy(id_col, "sh").agg(
+        F.bool_and("hit").alias("all_hit")
+    )
+    return (
+        sh_hits.filter("all_hit")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_maybe_overlap"))
+        .filter(F.col("n_maybe_overlap") >= min_overlap)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -633,3 +633,60 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     hit = e.join(a, ["query_id", "neighbor_id"]).count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# --- Hybrid rank fusion ------------------------------------------------------
+
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked candidate
+    lists — the standard way a curation/retrieval pipeline combines the
+    lexical (BM25) and semantic (embedding ANN) legs without score
+    calibration: fused(d) = Σ_sources 1/(k + rank_source(d)).
+
+    Determinism: each reciprocal is quantized to the exact integer
+    ``RRF_SCALE div (k + rank)`` and summed as int64 — a single correctly
+    rounded op per row and an order-free integer sum, so any engine
+    reproduces the fused scores bit-for-bit (float Σ 1/(k+r) would hang
+    cross-engine equality on summation order). Monotone in the true RRF
+    score up to 1e-9 quantization, which no (k, rank ≤ 10^6) pair crosses.
+
+    Plan shape (100 TB): the inputs are already top-N candidate lists
+    (bounded), so this is a union of narrow (id, rank) rows → one (id)
+    hash agg → one global top-``top_n``. No join chain — fusing S sources
+    is one shuffle regardless of S. Returns
+    (id, rrf_scaled, n_sources[, fused_rank])."""
+    if not ranked:
+        raise ValueError("ranked must contain at least one DataFrame")
+    parts = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"{RRF_SCALE} div ({int(k)} + {rank_col})")
+            .cast("long")
+            .alias("rr"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.sum("rr").alias("rrf_scaled"), F.count("*").alias("n_sources")
+    )
+    if top_n is None:
+        return fused
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("rrf_scaled"), F.asc("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_n)
+    )

@@ -960,6 +960,84 @@ def unigram_logprob_score(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style LM gate, one order up from ``unigram_logprob_score``:
+    score each document by its mean conditional bigram log-probability
+    under an add-alpha-smoothed model TRAINED ON THE CORPUS ITSELF in the
+    same job —
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + alpha) / (c(w_{i-1}) + alpha·V)
+    with c(·) corpus counts and V the distinct unigram vocabulary size.
+    Low scores flag token sequences the corpus itself finds improbable
+    (gibberish, shuffled text, OCR noise) that unigram frequency alone
+    cannot see — the scalable skeleton of the KenLM perplexity filter
+    (swap the count tables for n-gram shards; plan shape holds).
+
+    Plan shape (100 TB): ONE tokenize projection feeds both count tables
+    — unigram counts are a (tok) hash agg, bigram counts a (prev, cur)
+    hash agg, both map-side partial; V reduces to a scalar with the same
+    agg. Scoring explodes each doc's bigrams once and equi-joins them
+    against the two count tables (broadcast while they fit —
+    ``broadcast_vocab=False`` for web-scale vocabularies, where both
+    sides are narrow shuffle-hash joins on a token key); one final (id)
+    agg. No window, no cartesian, no Python.
+
+    Docs with <2 tokens have no bigram and are absent from the output
+    (the caller left-joins and treats null as "no evidence"). Returns
+    (id, n_bigrams, mean_logprob) with mean_logprob rounded to 6dp;
+    ln() keeps the per-bigram terms engine-reproducible."""
+    from .dedup import tokens_col
+
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    uni = toks.select(F.explode("_toks").alias("tok"))
+    uni_counts = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    vocab = uni_counts.count()
+    bigr_all = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i + 1).alias("prev"),
+                        F.element_at("_toks", i + 2).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.prev"), F.col("bg.cur"))
+    bigr_counts = bigr_all.groupBy("prev", "cur").agg(
+        F.count("*").alias("cb")
+    )
+    if broadcast_vocab:
+        uni_counts = F.broadcast(uni_counts)
+        bigr_counts = F.broadcast(bigr_counts)
+    scored = (
+        bigr_all.join(bigr_counts, ["prev", "cur"], "left")
+        .join(uni_counts.withColumnRenamed("tok", "prev"), "prev", "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + alpha)
+                / (
+                    F.coalesce(F.col("cu"), F.lit(0)).cast("double")
+                    + alpha * float(vocab)
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
 def unicode_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

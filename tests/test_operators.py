@@ -2295,3 +2295,99 @@ def test_incremental_substring_persist_on_commit_single_hash(spark, tmp_path):
     plan = spans._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
     assert spans.count() == 0
+
+
+def test_bloom_contamination_no_false_negatives(spark, docs):
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dedup.contamination(docs, eval_df).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_maybe_overlap"]
+        for r in dedup.bloom_contamination(
+            docs, eval_df, m_bits=1 << 18, k_hashes=2
+        ).collect()
+    }
+    # Bloom semantics: one-sided error — every exact overlap is counted,
+    # with at least the exact count (false positives only ADD shingles)
+    for d, n in exact.items():
+        assert d in bloom and bloom[d] >= n
+    # deterministic (no RNG state): identical on re-run
+    again = {
+        r["doc_id"]: r["n_maybe_overlap"]
+        for r in dedup.bloom_contamination(
+            docs, eval_df, m_bits=1 << 18, k_hashes=2
+        ).collect()
+    }
+    assert bloom == again
+
+
+def test_bloom_filter_table_is_fixed_size(spark, docs):
+    m = 1 << 10
+    flt = dedup.bloom_filter_table(docs, m_bits=m, k_hashes=4).collect()
+    # at most m/32 packed words regardless of eval size, all bits set rows
+    assert len(flt) <= m // 32
+    assert all(0 <= r["word"] < m // 32 for r in flt)
+    assert all(r["bits"] != 0 for r in flt)
+
+
+def test_bigram_lm_score_matches_hand_model(spark):
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "z z z"), (4, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in textstats.bigram_lm_score(df).collect()
+    }
+    # hand model: tokens lowercase split; V=5 (a b c z q)
+    import math
+    from collections import Counter
+
+    toks = {1: ["a", "b", "a", "b", "c"], 2: ["a", "b"], 3: ["z", "z", "z"], 4: ["q"]}
+    cu = Counter(t for ts_ in toks.values() for t in ts_)
+    cb = Counter(
+        (ts_[i], ts_[i + 1]) for ts_ in toks.values() for i in range(len(ts_) - 1)
+    )
+    V = len(cu)
+    for d, ts_ in toks.items():
+        bgs = [(ts_[i], ts_[i + 1]) for i in range(len(ts_) - 1)]
+        if not bgs:
+            assert d not in out  # <2 tokens → absent
+            continue
+        lps = [
+            math.log((cb[bg] + 0.5) / (cu[bg[0]] + 0.5 * V)) for bg in bgs
+        ]
+        n, mean = out[d]
+        assert n == len(bgs)
+        assert abs(mean - sum(lps) / len(lps)) < 1e-5
+    # higher-probability sequences score higher: doc 3 ("z z" seen twice,
+    # z always followed by z) beats doc 1's mixed transitions
+    assert out[3][1] > out[1][1]
+
+
+def test_rrf_fuse_integer_scores_and_order(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "id long, rank int"
+    )
+    out = {
+        r["id"]: (r["rrf_scaled"], r["n_sources"], r["fused_rank"])
+        for r in similarity.rrf_fuse([lex, sem], k=60, top_n=10).collect()
+    }
+    S = similarity.RRF_SCALE
+    exp = {
+        10: S // 61,
+        20: S // 62 + S // 61,
+        30: S // 63,
+        40: S // 62,
+    }
+    assert {d: v[0] for d, v in out.items()} == exp
+    assert out[20][1] == 2 and out[10][1] == 1
+    # doc in both lists fuses highest; ranks are dense from 1
+    order = sorted(out, key=lambda d: out[d][2])
+    assert order == [20, 10, 40, 30]
+    assert [out[d][2] for d in order] == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="at least one"):
+        similarity.rrf_fuse([])
