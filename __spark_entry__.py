@@ -1644,6 +1644,37 @@ def q_rrf_fusion(spark, sf_dir):
     return sim.rrf_fuse([lex, sem], k=60, top_n=20)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (sampling.chunk_documents): documents →
+    bounded training sequences of ≤50 tokens with stride 40 (10-token
+    overlap so no boundary span is lost). One tokenize projection + one
+    explode — zero shuffles; output linear in corpus tokens."""
+    from artexin_spark.operators import sampling as sp
+
+    return sp.chunk_documents(_docs(spark, sf_dir), max_tokens=50, stride=40)
+
+
+def q_hot_keys(spark, sf_dir):
+    """Shuffle-key skew diagnostics (joins.hot_key_stats): top-15 hottest
+    user_id keys in events with exact counts and table share — the
+    pre-flight measurement for "does this join/agg key need salting".
+    One count agg + a 1-row total broadcast + a top-k over the
+    distinct-key table. frac is one correctly-rounded int64 division,
+    engine-exact."""
+    from artexin_spark.operators import joins as jn
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return jn.hot_key_stats(events, ["user_id"], top_k=15)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc Shannon character entropy (textstats.char_entropy) — the
+    cheap gibberish/template detector: histogram via two narrow aggs,
+    then ONE float fold in sorted-character order so the IEEE addition
+    sequence (and hence round(·,6)) is identical in any engine."""
+    return ts.char_entropy(_docs(spark, sf_dir))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup over the embeddings
     corpus — broadcast centroid assign (map-only), within-cluster
@@ -2443,6 +2474,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "bloom_decontam",
     "bigram_lm",
     "rrf_fusion",
+    "chunk_docs",
+    "hot_keys",
+    "char_entropy",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2469,9 +2503,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "incremental_read",
     "stats_skipping",
     "merge_upsert",
-    "embedding_near_dup_exact",
-    "domain_stats",
-    "gopher_quality",
 ]
 
 
@@ -2500,6 +2531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "bigram_lm": q_bigram_lm,
         "rrf_fusion": q_rrf_fusion,
+        "chunk_docs": q_chunk_docs,
+        "hot_keys": q_hot_keys,
+        "char_entropy": q_char_entropy,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -2945,6 +2979,41 @@ SELECT id, rrf_scaled, n_sources, fused_rank FROM (
     row_number() OVER (ORDER BY rrf_scaled DESC, id ASC) AS fused_rank
   FROM fused)
 WHERE fused_rank <= 20
+"""
+
+# chunking: DuckDB list_slice is begin..end inclusive ≡ Spark slice(start, len)
+_ORACLES["chunk_docs"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        list_slice(toks, i*40 + 1, i*40 + 50) AS ctoks
+      FROM t, unnest(generate_series(0, (len(toks) - 1) // 40)) AS g(i)
+      WHERE len(toks) > 0)
+SELECT doc_id, chunk_idx, CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text FROM c
+"""
+
+_ORACLES["hot_keys"] = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT count(*) AS total FROM events)
+SELECT user_id, n, frac, rank FROM (
+  SELECT user_id, n, round(n / CAST(total AS DOUBLE), 6) AS frac,
+    row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+  FROM c CROSS JOIN t) WHERE rank <= 15
+"""
+
+# entropy fold replayed via list_reduce in the same sorted-char order the
+# Spark F.aggregate evaluates — identical IEEE addition sequence
+_ORACLES["char_entropy"] = """
+WITH ch AS (SELECT doc_id,
+              unnest(string_split_regex(text, '')) AS c FROM documents),
+h AS (SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> ''
+      GROUP BY doc_id, c),
+f AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        list_reduce(list(cnt * ln(cnt) ORDER BY c), (acc, x) -> acc + x) AS s
+      FROM h GROUP BY doc_id)
+SELECT doc_id, n_chars,
+  round((ln(n_chars) - s / n_chars) / 0.6931471805599453, 6) AS entropy_bits
+FROM f
 """
 
 

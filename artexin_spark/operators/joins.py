@@ -168,3 +168,43 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return f.join(d, on + ["_salt"], how).drop("_salt")
+
+
+def hot_key_stats(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the top-``top_k`` hottest keys with
+    their row counts and share of the table — the measurement that tells
+    you BEFORE a 100 TB run whether a planned shuffle key needs salting
+    (`salted_join`), an AQE skew split, or a dedup-first rewrite. One
+    glance answers "is this key Zipfian and how bad": frac of the #1 key
+    ≈ the fraction of the whole shuffle that lands on one reducer.
+
+    Scale shape: one map-side-partial (key) count agg (the only pass over
+    the table), a 1-row total broadcast-crossjoined back, and a global
+    top-k over the DISTINCT-KEY table — orders smaller than the input;
+    the explicit rank window keeps the output deterministically ordered
+    and oracle-checkable. frac is a single correctly-rounded division of
+    two exact int64s, so any engine reproduces it bit-for-bit.
+
+    Returns (*key_cols, n, frac, rank) with rank 1 = hottest (count
+    desc, then key asc for determinism)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("n")
+    )
+    total = df.groupBy().agg(F.count("*").alias("_total"))
+    w = Window.orderBy(
+        F.desc("n"), *[F.asc(c) for c in key_cols]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("frac"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

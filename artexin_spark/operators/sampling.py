@@ -239,3 +239,52 @@ def mixture_sample(
         c = (F.col(source_col) == s) & (bucket < int(rate * 1_000_000))
         conds = c if conds is None else (conds | c)
     return df.filter(conds)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking over the token stream — the prep
+    step that turns variable-length documents into bounded training
+    sequences (with ``stride < max_tokens`` adjacent chunks overlap by
+    ``max_tokens - stride`` tokens so no span is lost at a boundary).
+    Chunk i covers tokens [i·stride, i·stride + max_tokens); starts are
+    emitted while they fall inside the document, so the final chunk may
+    be short. Chunk text is the space-joined token slice (chunking is
+    over the TOKEN stream, as in LLM pretraining — original whitespace
+    is not preserved). Empty documents produce no chunks.
+
+    Scale shape: one projection (tokenize once) + one explode — no
+    shuffle, no window, no Python; the per-doc chunk count is
+    ceil(n_tokens/stride), so output size is linear in corpus tokens.
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    from .dedup import tokens_col
+
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    n = F.size("_toks")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(F.col("_toks"), i * stride + 1, max_tokens).alias(
+                    "_ctoks"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_idx:int,_ctoks:array<string>>>"))
+    return toks.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        F.col(id_col),
+        F.col("c.chunk_idx"),
+        F.size("c._ctoks").alias("n_chunk_tokens"),
+        F.array_join("c._ctoks", " ").alias("chunk_text"),
+    )

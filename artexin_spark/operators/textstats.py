@@ -1038,6 +1038,46 @@ def bigram_lm_score(
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the classic
+    cheap gibberish/boilerplate detector next to the LM gates: natural
+    prose sits ~4-4.5 bits, base64/hex blobs and key-mash noise run
+    higher, repeated-template and single-char spam runs much lower, so
+    both tails of the distribution are curation candidates.
+
+    H = log2(n) - (Σ_c cnt_c · ln(cnt_c)) / (n · ln 2)  over the doc's
+    character histogram — integer counts into ONE float fold evaluated
+    in sorted-character order (F.aggregate over an array_sort'd
+    histogram; the oracle replays it with list_reduce over an ORDER BY
+    list), so the IEEE addition sequence is identical in any engine —
+    a plain SUM would make round(·, 6) flip on association order.
+
+    Scale shape: explode chars → (id, char) partial+final count agg →
+    (id) histogram agg + in-array fold. Two narrow shuffles, no window,
+    no Python. Empty documents have no characters and are absent from
+    the output. Returns (id, n_chars, entropy_bits)."""
+    ch = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = ch.groupBy(id_col, "ch").agg(F.count("*").alias("cnt"))
+    arr = F.array_sort(F.collect_list(F.struct("ch", "cnt")))
+    s = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda a, x: a + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+    )
+    n = F.sum("cnt")
+    ln2 = 0.6931471805599453
+    return hist.groupBy(id_col).agg(
+        n.alias("n_chars"),
+        F.round(
+            (F.log(n.cast("double")) - s / n.cast("double")) / ln2, 6
+        ).alias("entropy_bits"),
+    )
+
+
 def unicode_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2391,3 +2391,58 @@ def test_rrf_fuse_integer_scores_and_order(spark):
     assert [out[d][2] for d in order] == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="at least one"):
         similarity.rrf_fuse([])
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(95))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    from artexin_spark.operators import sampling as sp
+
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in sp.chunk_documents(df, max_tokens=50, stride=40).collect()
+    )
+    d1 = [r for r in out if r[0] == 1]
+    # 95 tokens, stride 40 → starts at 0, 40, 80 → three chunks
+    assert [(r[1], r[2]) for r in d1] == [(0, 50), (1, 50), (2, 15)]
+    # overlap: chunk 1 starts at token 40, chunk 0 ends at token 49
+    assert d1[1][3].split()[0] == "t40" and d1[0][3].split()[-1] == "t49"
+    # every token appears in some chunk
+    covered = {t for r in d1 for t in r[3].split()}
+    assert covered == {f"t{i}" for i in range(95)}
+    # short doc → one short chunk; empty doc → no chunks
+    assert [r[1:] for r in out if r[0] == 2] == [(0, 2, "a b")]
+    assert not [r for r in out if r[0] == 3]
+    with pytest.raises(ValueError, match="positive"):
+        sp.chunk_documents(df, max_tokens=0)
+
+
+def test_hot_key_stats_ranks_skew(spark):
+    from artexin_spark.operators import joins as jn
+
+    rows = [(i, "hot") for i in range(80)] + [(i, f"k{i % 10}") for i in range(20)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    out = {r["key"]: (r["n"], r["frac"], r["rank"])
+           for r in jn.hot_key_stats(df, ["key"], top_k=3).collect()}
+    assert out["hot"] == (80, 0.8, 1)
+    assert len(out) == 3 and all(v[0] == 2 for k, v in out.items() if k != "hot")
+    # ties broken by key ascending for determinism
+    ranks = sorted((v[2], k) for k, v in out.items())
+    assert ranks == [(1, "hot"), (2, "k0"), (3, "k1")]
+    with pytest.raises(ValueError, match="non-empty"):
+        jn.hot_key_stats(df, [])
+
+
+def test_char_entropy_orders_noise_above_templates(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa"), (2, "abcdefghijklmnop"), (3, "the cat sat"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_chars"], r["entropy_bits"])
+           for r in textstats.char_entropy(df).collect()}
+    # single repeated char → 0 bits; 16 distinct chars → exactly 4 bits
+    assert out[1] == (16, 0.0)
+    assert out[2] == (16, 4.0)
+    assert 0 < out[3][1] < 4 and out[3][0] == 11
+    assert 4 not in out  # empty doc absent
