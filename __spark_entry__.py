@@ -1644,6 +1644,37 @@ def q_rrf_fusion(spark, sf_dir):
     return sim.rrf_fuse([lex, sem], k=60, top_n=20)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup (streaming.stream_dedup): an at-least-once input —
+    transcripts with every third conversation delivered TWICE (exact
+    replays) — drains through dropDuplicatesWithinWatermark keyed on
+    (conv_id, turn_idx) into a parquet sink; the watermark bounds the key
+    store to the duplicate-arrival horizon, the shape that survives a
+    10^12-turn stream. All replays land within the 1-hour horizon, so the
+    output is exactly the distinct key set the SQL oracle derives."""
+    import shutil
+    import tempfile
+
+    from artexin_spark.streaming import stream_dedup
+
+    tr = _transcripts_from_docs(spark, sf_dir).filter(
+        F.col("conv_id").cast("int") < 300
+    )
+    replays = tr.filter(F.col("conv_id").cast("int") % 3 == 0)
+    base = tempfile.mkdtemp(prefix="artexin_sdedup_")
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        tr.unionByName(replays).write.mode("overwrite").parquet(inp)
+        stream_dedup(spark, inp, outp, ckpt, delay="1 hour")
+        out = spark.read.parquet(outp).select(
+            "conv_id", "turn_idx", "role"
+        )
+        # materialize before deleting the temp tree (see q_stream_windowed)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window chunking (sampling.chunk_documents): documents →
     bounded training sequences of ≤50 tokens with stride 40 (10-token
@@ -2477,6 +2508,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_docs",
     "hot_keys",
     "char_entropy",
+    "stream_dedup",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2502,7 +2534,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "compaction",
     "incremental_read",
     "stats_skipping",
-    "merge_upsert",
 ]
 
 
@@ -2534,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "hot_keys": q_hot_keys,
         "char_entropy": q_char_entropy,
+        "stream_dedup": q_stream_dedup,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -4458,6 +4490,14 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
 """
+
+_ORACLES["stream_dedup"] = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       0 AS turn_idx,
+       'user' AS role
+FROM documents WHERE doc_id < 300
+"""
+
 
 _ORACLES["stream_extract"] = """
 SELECT CAST(doc_id AS VARCHAR) AS conv_id,

@@ -278,3 +278,55 @@ def incremental_extract_snapshot(
     )
     query.awaitTermination()
     return query
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | tuple[str, ...] = ("conv_id", "turn_idx"),
+    schema: str = TRANSCRIPT_SCHEMA,
+    watermark_col: str | None = "ts",
+    delay: str = "1 hour",
+):
+    """Streaming deduplication: drain pending input files and append only
+    rows whose ``key_cols`` were not seen before, exactly-once across
+    invocations via the streaming checkpoint — at-least-once upstreams
+    (replayed fetches, retried producers, overlapping crawl batches) are
+    collapsed before rows reach the training sink.
+
+    State is THE streaming-dedup scale question. With ``watermark_col``
+    set (the default) this uses ``dropDuplicatesWithinWatermark``: the
+    key store only retains keys younger than max(event_time) − ``delay``,
+    so state is bounded by the duplicate-arrival horizon instead of
+    growing with all history — the only shape that survives a 10^12-turn
+    stream. Past-horizon boundary semantics (both measured, see
+    test_stream_dedup_*): a replay carrying its ORIGINAL old event time
+    is late data and the watermark drops it before the dedup state (gone,
+    though as lateness, not as a recognized duplicate); a duplicate
+    re-arriving with a FRESH event time after its key's state expired
+    re-emits. Cross-horizon dedup therefore belongs to the batch layer
+    (`operators.dedup` / the snapshot sink's content_hash key), which
+    this operator deliberately composes with rather than replicates.
+    ``watermark_col=None`` falls back to exact ``dropDuplicates`` with
+    unbounded state — only for bounded replays.
+
+    Returns the finished StreamingQuery (availableNow drain)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if watermark_col is not None:
+        deduped = stream.withWatermark(
+            watermark_col, delay
+        ).dropDuplicatesWithinWatermark(list(key_cols))
+    else:
+        deduped = stream.dropDuplicates(list(key_cols))
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -225,3 +225,91 @@ def test_incremental_extract_snapshot_appends_commits(spark, tmp_path):
         .collect()
     )
     assert all(r["count"] == 1 for r in per_bucket)  # one run per bucket
+
+
+def test_stream_dedup_suppresses_replays_within_watermark(spark, tmp_path):
+    from artexin_spark.streaming import stream_dedup
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    pdf = gen_transcripts(n_convs=8, seed=7)
+    first = pdf.iloc[:40]
+
+    # batch 1: fresh rows, including an in-batch exact duplicate
+    dup_in_batch = first.iloc[[0]]
+    spark.createDataFrame(
+        __import__("pandas").concat([first, dup_in_batch])
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 40  # in-batch dup collapsed
+    assert out1.select("conv_id", "turn_idx").distinct().count() == 40
+
+    # batch 2: a replay of batch 1's rows (same event times, within the
+    # watermark horizon) plus genuinely new rows — replays suppressed by
+    # checkpointed state, new rows pass
+    second = pdf.iloc[40:60]
+    spark.createDataFrame(
+        __import__("pandas").concat([first.iloc[:10], second])
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 60
+    assert out2.select("conv_id", "turn_idx").distinct().count() == 60
+
+    # third drain with nothing new: no growth
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+    assert spark.read.parquet(out_dir).count() == 60
+
+
+def test_stream_dedup_past_horizon_boundary_semantics(spark, tmp_path):
+    """The two measured past-horizon behaviors the docstring pins: an
+    old-timestamp replay is dropped AS LATE DATA (watermark, not state);
+    a fresh-timestamp duplicate after state eviction re-emits."""
+    import datetime as dt
+
+    from artexin_spark.streaming import TRANSCRIPT_SCHEMA, stream_dedup
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    def mk(ids, ts):
+        t = dt.datetime.fromisoformat(ts)
+        return spark.createDataFrame(
+            [(str(i), 0, "user", "hello", None, t) for i in ids],
+            TRANSCRIPT_SCHEMA,
+        )
+
+    mk(range(20), "2026-01-01 00:00:00").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+    assert spark.read.parquet(out_dir).count() == 20
+
+    # advance the watermark far past batch 1's state horizon
+    mk([99], "2026-01-01 06:00:00").coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+
+    # old-ts replay: late data, dropped by the watermark (no re-emit)
+    mk([0], "2026-01-01 00:00:00").coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+    assert spark.read.parquet(out_dir).count() == 21
+
+    # fresh-ts duplicate after eviction: state is gone, row re-emits —
+    # the documented cross-horizon residue the batch layer catches
+    mk([0], "2026-01-01 06:00:30").coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+    stream_dedup(spark, input_dir, out_dir, ckpt, delay="1 hour")
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 22
+    assert out.filter("conv_id = '0'").count() == 2
