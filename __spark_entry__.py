@@ -1600,6 +1600,17 @@ def q_bpe_vocab(spark, sf_dir):
     return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (dedup.containment_pairs): the
+    near-dup relation Jaccard dilutes away — a short doc quoted inside a
+    long one. Same inverted-index self-join shape as ngram_jaccard; each
+    overlap yields up to two directed rows; containment is one correctly
+    rounded int64 division, so the 0.3 cut is engine-exact."""
+    return dd.containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.3, max_df=None
+    )
+
+
 def q_bloom_decontam(spark, sf_dir):
     """Bloom-filter decontamination (dedup.bloom_contamination): the
     scale path for eval-shingle sets too big to broadcast as rows — a
@@ -2509,6 +2520,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hot_keys",
     "char_entropy",
     "stream_dedup",
+    "containment",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2533,7 +2545,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "time_travel",
     "compaction",
     "incremental_read",
-    "stats_skipping",
 ]
 
 
@@ -2566,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys": q_hot_keys,
         "char_entropy": q_char_entropy,
         "stream_dedup": q_stream_dedup,
+        "containment": q_containment,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -3107,6 +3119,30 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+
+_ORACLES["containment"] = f"""
+WITH t AS (SELECT doc_id AS id,
+  (CASE WHEN len({_SQL_TOKS}) >= 3
+    THEN list_distinct(list_transform(
+           generate_series(1, len({_SQL_TOKS}) - 2),
+           i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
+    ELSE [array_to_string({_SQL_TOKS}, ' ')] END) AS shs
+  FROM documents),
+sizes AS (SELECT id, len(shs) AS n_sh FROM t),
+e AS (SELECT id, unnest(shs) AS sh FROM t),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+          GROUP BY a.id, b.id),
+j AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM inter JOIN sizes sa ON sa.id = id_a
+                 JOIN sizes sb ON sb.id = id_b),
+d AS (SELECT id_a AS id, id_b AS other_id,
+        n_inter / CAST(n_a AS DOUBLE) AS c FROM j
+      UNION ALL
+      SELECT id_b AS id, id_a AS other_id,
+        n_inter / CAST(n_b AS DOUBLE) AS c FROM j)
+SELECT id, other_id, round(c, 6) AS containment FROM d WHERE c >= 0.3
 """
 
 _ORACLES["cosine_topk"] = """

@@ -444,6 +444,67 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 10000,
+) -> DataFrame:
+    """Asymmetric shingle containment — |A∩B| / |A| per DIRECTED pair —
+    the near-dup relation symmetric Jaccard cannot see: a 50-token doc
+    quoted verbatim inside a 5000-token doc has containment 1.0 but
+    Jaccard ≈ 0.01, below any usable threshold. This is how quote
+    plagiarism, article-in-digest wrapping, and boilerplate-padded
+    copies are caught in web-scale dedup (the asymmetric complement of
+    ``ngram_jaccard_pairs``).
+
+    Same scale shape as the Jaccard path: ONE inverted-index equi-self-
+    join on the shingle (``max_df`` drops stop-shingles BEFORE pairing —
+    the no-cartesian guard), one (pair) count agg, sizes joined back from
+    the unfiltered sets so the ratio stays exact. Each undirected overlap
+    yields up to two directed rows (small⊂large and large⊃small filter
+    independently). containment is ONE correctly-rounded int64 division,
+    so the threshold cut is engine-exact.
+
+    Returns (id, other_id, containment): ``containment`` = fraction of
+    ``id``'s distinct shingles that appear in ``other_id``."""
+    sh = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks")
+    ).select("id", F.array_distinct(shingles_from("_toks", n)).alias("shs"))
+    sizes = sh.select("id", F.size("shs").alias("n_sh"))
+    ex = sh.select("id", F.explode("shs").alias("sh"))
+    if max_df is not None:
+        dfreq = ex.groupBy("sh").count().filter(F.col("count") <= max_df).drop("count")
+        ex = ex.join(dfreq, "sh")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = inter.join(
+        sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+    fwd = joined.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("other_id"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("id_b").alias("id"),
+        F.col("id_a").alias("other_id"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .select("id", "other_id", F.round("containment", 6).alias("containment"))
+    )
+
+
 # --- benchmark contamination --------------------------------------------------
 
 

@@ -2446,3 +2446,26 @@ def test_char_entropy_orders_noise_above_templates(spark):
     assert out[2] == (16, 4.0)
     assert 0 < out[3][1] < 4 and out[3][0] == 11
     assert 4 not in out  # empty doc absent
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = ("intro words here . " + short + " . ") + " ".join(
+        f"filler{i} pad{i} more{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated content words")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id"], r["other_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    # the short doc is fully contained in the long one...
+    assert cont[(1, 2)] == 1.0
+    # ...but NOT vice versa (long doc is mostly filler), and Jaccard
+    # dilutes the pair below any usable threshold
+    assert (2, 1) not in cont
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+    assert (3, 1) not in cont and (3, 2) not in cont
