@@ -1600,6 +1600,21 @@ def q_bpe_vocab(spark, sf_dir):
     return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget mixture cut (sampling.token_budget_sample): keep
+    docs per source, in deterministic id-hash order, until 800 tokens —
+    the "N tokens of source X" data-recipe operator. Distributed prefix
+    sum: hash-order-aligned buckets → per-(source,bucket) sums → tiny
+    offset window → per-(source,bucket) row window, so no single task
+    ever holds a whole source; the oracle computes the same prefix with
+    one flat window."""
+    from artexin_spark.operators import sampling as sp
+
+    return sp.token_budget_sample(
+        _docs(spark, sf_dir), budget=800, source_col="source"
+    )
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric shingle containment (dedup.containment_pairs): the
     near-dup relation Jaccard dilutes away — a short doc quoted inside a
@@ -2521,6 +2536,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "char_entropy",
     "stream_dedup",
     "containment",
+    "token_budget",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2544,7 +2560,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stateful_progress",
     "time_travel",
     "compaction",
-    "incremental_read",
 ]
 
 
@@ -2578,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "stream_dedup": q_stream_dedup,
         "containment": q_containment,
+        "token_budget": q_token_budget,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -3119,6 +3135,17 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+
+_ORACLES["token_budget"] = f"""
+WITH t AS (SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             md5('tokbudget' || doc_id) AS hkey FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY hkey, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 800
 """
 
 _ORACLES["containment"] = f"""

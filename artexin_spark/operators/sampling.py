@@ -288,3 +288,88 @@ def chunk_documents(
         F.size("c._ctoks").alias("n_chunk_tokens"),
         F.array_join("c._ctoks", " ").alias("chunk_text"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+    n_buckets: int = 256,
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Greedy token-budget sampling — keep documents, in a deterministic
+    id-hash order, until each source's cumulative token count reaches
+    ``budget`` — how a training mixture is cut to "N tokens of source X"
+    (the data-recipe operator next to ``mixture_sample``'s ratio cut).
+    A row is kept iff its INCLUSIVE prefix sum ≤ budget; a row that
+    would cross the budget is dropped and the prefix continues past it
+    (greedy prefix, so the budget is a hard cap, not a target). Hash
+    order (md5 over salt+id) makes the cut content-deterministic:
+    re-runs and engine replays select the identical rows, and appending
+    new docs never reorders existing ones ahead of the cut.
+
+    Scale shape — the distributed prefix sum, NOT one window per source
+    (a window partitioned only by source puts a whole source's rows in
+    ONE task — a 10-source 100 TB corpus would use 10 reducers): rows
+    land in ``n_buckets`` hash-ORDER-ALIGNED buckets (first md5 byte,
+    so bucket order == key order); per-(source,bucket) sums reduce in
+    one tiny agg; bucket offsets cumsum over the ≤ S·n_buckets-row
+    summary (tiny window); the per-row cumsum window partitions by
+    (source, bucket) — max task ≈ N/(S·n_buckets), dialed by
+    ``n_buckets``. The final cum is offset + within-bucket cum ==
+    the global prefix sum, which the SQL oracle computes directly
+    with one flat window.
+
+    ``source_col=None`` treats the corpus as one source. Returns
+    (id, [source,] n_tokens, cum_tokens) for the kept rows."""
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 1 <= n_buckets <= 256:
+        raise ValueError("n_buckets must be in [1, 256]")
+    src = (
+        F.col(source_col) if source_col else F.lit("__all__").alias("_src")
+    )
+    base = df.select(
+        F.col(id_col),
+        src.alias("_src"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias(
+            "_hkey"
+        ),
+    ).withColumn(
+        # first md5 byte scaled to n_buckets: bucket order == hkey order
+        "_bkt",
+        (F.conv(F.substring("_hkey", 1, 2), 16, 10).cast("int") * n_buckets / 256)
+        .cast("int"),
+    )
+    bsums = base.groupBy("_src", "_bkt").agg(
+        F.sum("n_tokens").alias("_bsum")
+    )
+    woff = (
+        Window.partitionBy("_src")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.withColumn(
+        "_off", F.coalesce(F.sum("_bsum").over(woff), F.lit(0))
+    ).select("_src", "_bkt", "_off")
+    win = (
+        Window.partitionBy("_src", "_bkt")
+        .orderBy("_hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        base.join(F.broadcast(offsets), ["_src", "_bkt"])
+        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(win))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    cols = [F.col(id_col)]
+    if source_col:
+        cols.append(F.col("_src").alias(source_col))
+    return out.select(*cols, "n_tokens", "cum_tokens")

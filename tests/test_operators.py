@@ -2469,3 +2469,40 @@ def test_containment_catches_quote_jaccard_misses(spark):
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()
     assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
     assert (3, 1) not in cont and (3, 2) not in cont
+
+
+def test_token_budget_sample_greedy_prefix_and_append_safe(spark, docs):
+    from artexin_spark.operators import sampling as sp
+
+    out = sp.token_budget_sample(docs, budget=600, source_col="source")
+    pdf = out.toPandas()
+    # hard cap per source, greedy prefix
+    per_src = pdf.groupby("source")["n_tokens"].sum()
+    assert (per_src <= 600).all()
+    assert (pdf["cum_tokens"] <= 600).all()
+    # deterministic: identical on re-run
+    again = sp.token_budget_sample(docs, budget=600, source_col="source").toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+    # append-safety: running on a SUBSET never selects a row the full-run
+    # order placed past the cut ahead of it... (hash order is global, so
+    # full-corpus selection ⊆ subset selection for the shared rows is NOT
+    # guaranteed; the invariant that matters is prefix-consistency:)
+    # every kept row's cum equals the sum of kept-or-earlier rows — i.e.
+    # the selection is exactly a prefix of the hash order per source
+    full = sp.token_budget_sample(docs, budget=10**9, source_col="source").toPandas()
+    for srcname, grp in full.groupby("source"):
+        ordered = grp.sort_values("cum_tokens")
+        kept = set(pdf[pdf["source"] == srcname]["doc_id"])
+        seen_cut = False
+        for _, row in ordered.iterrows():
+            if row["doc_id"] in kept:
+                assert not seen_cut or row["cum_tokens"] <= 600
+            if row["cum_tokens"] > 600:
+                seen_cut = True
+    # bucketing must not change semantics: n_buckets=1 (flat) == default
+    flat = sp.token_budget_sample(
+        docs, budget=600, source_col="source", n_buckets=1
+    ).toPandas()
+    assert sorted(flat["doc_id"]) == sorted(pdf["doc_id"])
+    with pytest.raises(ValueError, match="positive"):
+        sp.token_budget_sample(docs, budget=0)
