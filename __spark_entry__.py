@@ -1647,7 +1647,9 @@ def q_bigram_lm(spark, sf_dir):
     tables (unigram + bigram, one shared tokenize projection), scored
     via two broadcast equi-joins of each doc's exploded bigrams and one
     (id) agg — the KenLM-perplexity-gate skeleton one order above
-    `unigram_lm`. ln() on integer counts keeps it engine-exact."""
+    `unigram_lm`. Each ln() term is engine-exact (integer counts), and
+    the per-doc mean folds terms in sorted (prev, cur) order so the IEEE
+    addition sequence — and round(·,6) — matches the oracle exactly."""
     return ts.bigram_lm_score(_docs(spark, sf_dir))
 
 
@@ -2985,13 +2987,17 @@ bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
        FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
        WHERE len(toks) >= 2),
 bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
-sc AS (SELECT bg.doc_id,
+sc AS (SELECT bg.doc_id, bg.prev, bg.cur,
          ln((coalesce(bc.cb, 0) + 0.5)
             / (coalesce(uc.cu, 0) + 0.5 * v.vocab)) AS lp
        FROM bg LEFT JOIN bc USING (prev, cur)
                LEFT JOIN uc ON bg.prev = uc.tok
                CROSS JOIN v)
-SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS mean_logprob
+-- fold in sorted (prev, cur) order = the exact IEEE addition sequence the
+-- Spark sorted-array aggregate evaluates (plain AVG is order-random)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(list_reduce(list(lp ORDER BY prev, cur), (acc, x) -> acc + x)
+             / count(*), 6) AS mean_logprob
 FROM sc GROUP BY doc_id
 """
 

@@ -404,18 +404,19 @@ def dedup_clusters(
 # --- n-gram Jaccard (exact) --------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_intersections(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_df: int | None = 10000,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets via inverted-index
-    self-join. ``max_df`` removes stop-shingles before pairing (the scale
-    guard); sizes use the UNfiltered sets so jaccard stays exact for pairs
-    whose overlap survives filtering."""
+    """Shared inverted-index core of the set-overlap pair operators:
+    (id_a, id_b, n_inter, n_a, n_b) for every id_a < id_b pair sharing at
+    least one (df-surviving) shingle. ``max_df`` removes stop-shingles
+    BEFORE pairing (the no-cartesian scale guard); n_a/n_b are the
+    UNfiltered set sizes so downstream ratios stay exact for pairs whose
+    overlap survives filtering."""
     sh = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks")
     ).select("id", F.array_distinct(shingles_from("_toks", n)).alias("shs"))
@@ -431,9 +432,22 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    ja = inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a").join(
-        sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b"
-    )
+    return inter.join(
+        sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 10000,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets via inverted-index
+    self-join (`_shingle_pair_intersections`)."""
+    ja = _shingle_pair_intersections(df, text_col, id_col, n, max_df)
     return ja.select(
         "id_a",
         "id_b",
@@ -460,34 +474,16 @@ def containment_pairs(
     copies are caught in web-scale dedup (the asymmetric complement of
     ``ngram_jaccard_pairs``).
 
-    Same scale shape as the Jaccard path: ONE inverted-index equi-self-
-    join on the shingle (``max_df`` drops stop-shingles BEFORE pairing —
-    the no-cartesian guard), one (pair) count agg, sizes joined back from
-    the unfiltered sets so the ratio stays exact. Each undirected overlap
-    yields up to two directed rows (small⊂large and large⊃small filter
-    independently). containment is ONE correctly-rounded int64 division,
-    so the threshold cut is engine-exact.
+    Same scale shape as the Jaccard path — the shared
+    `_shingle_pair_intersections` core (inverted-index equi-self-join,
+    ``max_df`` no-cartesian guard, unfiltered sizes joined back). Each
+    undirected overlap yields up to two directed rows (small⊂large and
+    large⊃small filter independently); containment is ONE correctly-
+    rounded int64 division, so the threshold cut is engine-exact.
 
     Returns (id, other_id, containment): ``containment`` = fraction of
     ``id``'s distinct shingles that appear in ``other_id``."""
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks")
-    ).select("id", F.array_distinct(shingles_from("_toks", n)).alias("shs"))
-    sizes = sh.select("id", F.size("shs").alias("n_sh"))
-    ex = sh.select("id", F.explode("shs").alias("sh"))
-    if max_df is not None:
-        dfreq = ex.groupBy("sh").count().filter(F.col("count") <= max_df).drop("count")
-        ex = ex.join(dfreq, "sh")
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    joined = inter.join(
-        sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
-    ).join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+    joined = _shingle_pair_intersections(df, text_col, id_col, n, max_df)
     fwd = joined.select(
         F.col("id_a").alias("id"),
         F.col("id_b").alias("other_id"),

@@ -188,7 +188,9 @@ def hot_key_stats(
     two exact int64s, so any engine reproduces it bit-for-bit.
 
     Returns (*key_cols, n, frac, rank) with rank 1 = hottest (count
-    desc, then key asc for determinism)."""
+    desc, then key asc NULLS LAST for determinism — Spark's plain asc is
+    NULLS FIRST while standard-SQL engines default ASC to NULLS LAST, so
+    the explicit ordering keeps a NULL key's rank engine-exact too)."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
@@ -196,7 +198,7 @@ def hot_key_stats(
     )
     total = df.groupBy().agg(F.count("*").alias("_total"))
     w = Window.orderBy(
-        F.desc("n"), *[F.asc(c) for c in key_cols]
+        F.desc("n"), *[F.asc_nulls_last(c) for c in key_cols]
     )
     return (
         counts.crossJoin(F.broadcast(total))

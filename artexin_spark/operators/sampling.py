@@ -268,6 +268,13 @@ def chunk_documents(
         stride = max_tokens
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
+    if stride > max_tokens:
+        # chunk i ends at i*stride + max_tokens < (i+1)*stride: tokens in
+        # the gap would silently vanish from the training data
+        raise ValueError(
+            f"stride ({stride}) > max_tokens ({max_tokens}) would drop "
+            "the tokens between consecutive chunks"
+        )
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     n = F.size("_toks")
     chunks = F.when(

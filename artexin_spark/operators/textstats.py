@@ -989,14 +989,21 @@ def bigram_lm_score(
 
     Docs with <2 tokens have no bigram and are absent from the output
     (the caller left-joins and treats null as "no evidence"). Returns
-    (id, n_bigrams, mean_logprob) with mean_logprob rounded to 6dp;
-    ln() keeps the per-bigram terms engine-reproducible."""
+    (id, n_bigrams, mean_logprob) with mean_logprob rounded to 6dp.
+    ln() on integer counts makes each per-bigram TERM engine-exact, and
+    the per-doc mean folds the terms in sorted (prev, cur) order (the
+    char_entropy trick: identical IEEE addition sequence in any engine —
+    a plain AVG would hang round(·,6) on summation order). V stays IN
+    the plan as a 1-row distinct-count aggregate broadcast-crossjoined
+    back (no eager corpus pass at construction time)."""
     from .dedup import tokens_col
 
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     uni = toks.select(F.explode("_toks").alias("tok"))
     uni_counts = uni.groupBy("tok").agg(F.count("*").alias("cu"))
-    vocab = uni_counts.count()
+    vocab_row = uni.groupBy().agg(
+        F.countDistinct("tok").cast("double").alias("_vocab")
+    )
     bigr_all = toks.select(
         F.col(id_col),
         F.explode(
@@ -1021,20 +1028,28 @@ def bigram_lm_score(
     scored = (
         bigr_all.join(bigr_counts, ["prev", "cur"], "left")
         .join(uni_counts.withColumnRenamed("tok", "prev"), "prev", "left")
+        .crossJoin(F.broadcast(vocab_row))
         .select(
             F.col(id_col),
+            F.col("prev"),
+            F.col("cur"),
             F.log(
                 (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + alpha)
                 / (
                     F.coalesce(F.col("cu"), F.lit(0)).cast("double")
-                    + alpha * float(vocab)
+                    + alpha * F.col("_vocab")
                 )
             ).alias("lp"),
         )
     )
+    # sorted fold: duplicate (prev, cur) bigrams carry identical lp values,
+    # so ordering by the key alone fixes the full addition sequence
+    arr = F.array_sort(F.collect_list(F.struct("prev", "cur", "lp")))
+    s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["lp"])
+    n = F.count("*")
     return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        n.alias("n_bigrams"),
+        F.round(s / n.cast("double"), 6).alias("mean_logprob"),
     )
 
 

@@ -2416,6 +2416,8 @@ def test_chunk_documents_covers_all_tokens_with_overlap(spark):
     assert not [r for r in out if r[0] == 3]
     with pytest.raises(ValueError, match="positive"):
         sp.chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError, match="would drop"):
+        sp.chunk_documents(df, max_tokens=50, stride=60)
 
 
 def test_hot_key_stats_ranks_skew(spark):
