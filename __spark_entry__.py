@@ -1600,6 +1600,25 @@ def q_bpe_vocab(spark, sf_dir):
     return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank (graph.pagerank) over a deterministic
+    link graph derived from document ids (two multiplier edge families,
+    doc_id%17 nodes dangling to exercise mass redistribution): 2 power
+    iterations, each ONE join + ONE hash agg, localCheckpoint lineage
+    truncation. share = rank div deg and damping = *17 div 20 keep the
+    whole recurrence in exact int64, so the CTE-unrolled oracle matches
+    bit-for-bit."""
+    from artexin_spark.operators import graph as gr
+
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("src"))
+    e1 = base.select("src", ((F.col("src") * 3 + 1) % 500).alias("dst"))
+    e2 = base.filter("src % 5 != 0").select(
+        "src", ((F.col("src") * 7 + 2) % 500).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter("src % 17 != 0").filter("src != dst")
+    return gr.pagerank(edges, n_iter=2)
+
+
 def q_token_budget(spark, sf_dir):
     """Token-budget mixture cut (sampling.token_budget_sample): keep
     docs per source, in deterministic id-hash order, until 800 tokens —
@@ -2539,6 +2558,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_dedup",
     "containment",
     "token_budget",
+    "pagerank",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2561,7 +2581,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pdf_extract",
     "stateful_progress",
     "time_travel",
-    "compaction",
 ]
 
 
@@ -2596,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "containment": q_containment,
         "token_budget": q_token_budget,
+        "pagerank": q_pagerank,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -3141,6 +3161,34 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+
+# PageRank: CTE-unrolled 2-iteration replay of the exact int64 recurrence
+# (share = rank // deg, damping = *17 // 20, dangling mass // N)
+_PR_S = 1_000_000_000_000
+_ORACLES["pagerank"] = f"""
+WITH base AS (SELECT doc_id AS src FROM documents),
+e1 AS (SELECT src, (src * 3 + 1) % 500 AS dst FROM base),
+e2 AS (SELECT src, (src * 7 + 2) % 500 AS dst FROM base WHERE src % 5 <> 0),
+edges AS (SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+          WHERE src % 17 <> 0 AND src <> dst),
+nodes AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
+n AS (SELECT count(*) AS c FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, {_PR_S} // c AS r FROM nodes CROSS JOIN n),
+sh1 AS (SELECT e.dst, sum(r0.r // deg.d) AS s
+        FROM edges e JOIN deg USING (src) JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+m1 AS (SELECT coalesce(sum(r0.r), 0) AS m FROM r0 LEFT JOIN deg ON r0.v = deg.src
+       WHERE deg.d IS NULL),
+r1 AS (SELECT v, (3 * {_PR_S} // c) // 20 + (17 * (coalesce(s, 0) + m // c)) // 20 AS r
+       FROM nodes CROSS JOIN n CROSS JOIN m1 LEFT JOIN sh1 ON v = dst),
+sh2 AS (SELECT e.dst, sum(r1.r // deg.d) AS s
+        FROM edges e JOIN deg USING (src) JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+m2 AS (SELECT coalesce(sum(r1.r), 0) AS m FROM r1 LEFT JOIN deg ON r1.v = deg.src
+       WHERE deg.d IS NULL),
+r2 AS (SELECT v, (3 * {_PR_S} // c) // 20 + (17 * (coalesce(s, 0) + m // c)) // 20 AS r
+       FROM nodes CROSS JOIN n CROSS JOIN m2 LEFT JOIN sh2 ON v = dst)
+SELECT v AS node_id, CAST(r AS BIGINT) AS rank_scaled FROM r2
 """
 
 _ORACLES["token_budget"] = f"""

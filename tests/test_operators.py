@@ -2508,3 +2508,32 @@ def test_token_budget_sample_greedy_prefix_and_append_safe(spark, docs):
     assert sorted(flat["doc_id"]) == sorted(pdf["doc_id"])
     with pytest.raises(ValueError, match="positive"):
         sp.token_budget_sample(docs, budget=0)
+
+
+def test_pagerank_integer_recurrence_properties(spark):
+    from artexin_spark.operators import graph as gr
+
+    # star graph: 1..5 all link to 0; 0 links to 1; 6 is dangling (edge
+    # into it, none out)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1), (1, 6)],
+        "src long, dst long",
+    )
+    out = {r["node_id"]: r["rank_scaled"] for r in gr.pagerank(edges, n_iter=2).collect()}
+    S = gr.PAGERANK_SCALE
+    assert set(out) == set(range(7))
+    # iter 1: the hub (everyone's target) holds the max; iter 2: the
+    # hub's whole mass flows down its single out-edge to node 1 —
+    # textbook power-iteration dynamics on a near-cyclic star
+    one = {r["node_id"]: r["rank_scaled"] for r in gr.pagerank(edges, n_iter=1).collect()}
+    assert one[0] == max(one.values())
+    assert out[1] == max(out.values()) and out[1] > out[0]
+    # all ranks positive, total mass ≈ 1 (floors leak only tiny amounts)
+    assert all(v > 0 for v in out.values())
+    assert 0.9 * S <= sum(out.values()) <= S
+    assert one != out  # power iteration hasn't converged at 1
+    # deterministic across runs
+    again = {r["node_id"]: r["rank_scaled"] for r in gr.pagerank(edges, n_iter=2).collect()}
+    assert again == out
+    with pytest.raises(ValueError, match="n_iter"):
+        gr.pagerank(edges, n_iter=0)
