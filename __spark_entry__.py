@@ -1600,6 +1600,29 @@ def q_bpe_vocab(spark, sf_dir):
     return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch (sketches.cms_build/cms_query): shingle
+    document-frequency estimated from a 4×1024-cell sketch — the
+    bounded-memory path to the df counts the max_df dedup guards need
+    at 100 TB (16k distinct shingles squeezed into 4k cells here, so
+    collisions are REAL: every estimate ≥ truth, none below — the
+    one-sided CMS contract, bit-exactly replayed by the oracle,
+    collisions included). Build = one explode + one (row,col) agg;
+    probe = broadcast join + MIN."""
+    from artexin_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("doc_id"), dd.tokens_col("text").alias("_t")
+    ).select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(dd.shingles_from("_t", 3))).alias("sh"),
+    )
+    sketch = sk.cms_build(sh, "sh", depth=4, width=1024)
+    probes = sh.filter("doc_id < 3").select("sh").distinct()
+    return sk.cms_query(sketch, probes, "sh", depth=4, width=1024)
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-scaled PageRank (graph.pagerank) over a deterministic
     link graph derived from document ids (two multiplier edge families,
@@ -2559,6 +2582,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "containment",
     "token_budget",
     "pagerank",
+    "cms_counts",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2580,7 +2604,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_video",
     "pdf_extract",
     "stateful_progress",
-    "time_travel",
 ]
 
 
@@ -2616,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "token_budget": q_token_budget,
         "pagerank": q_pagerank,
+        "cms_counts": q_cms_counts,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -3161,6 +3185,30 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+
+# count-min sketch: identical md5 cell coordinates, exact int sums + MIN
+_ORACLES["cms_counts"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 3
+          THEN list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t),
+cells AS (SELECT CAST(j AS INT) AS row,
+            CAST(CAST('0x' || substr(md5(sh || '#' || j), 1, 15) AS BIGINT)
+                 % 1024 AS INT) AS col
+          FROM s, unnest([0, 1, 2, 3]) AS u(j)),
+sketch AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+probes AS (SELECT DISTINCT sh AS key FROM s WHERE doc_id < 3),
+pc AS (SELECT key, CAST(j AS INT) AS row,
+         CAST(CAST('0x' || substr(md5(key || '#' || j), 1, 15) AS BIGINT)
+              % 1024 AS INT) AS col
+       FROM probes, unnest([0, 1, 2, 3]) AS u(j))
+SELECT key, min(coalesce(cnt, 0)) AS est
+FROM pc LEFT JOIN sketch USING (row, col) GROUP BY key
 """
 
 # PageRank: CTE-unrolled 2-iteration replay of the exact int64 recurrence

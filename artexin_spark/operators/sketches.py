@@ -1,0 +1,94 @@
+"""Mergeable frequency sketches: count-min.
+
+A 100 TB corpus has more distinct tokens/URLs/shingles than any exact
+count table comfortably holds per executor; the count-min sketch (Cormode
+& Muthukrishnan 2005) bounds that state to d·w int64 cells with a
+one-sided overestimate error (ε ≈ e/w with probability 1−(1/e)^d). The
+sketch is a plain (row, col, cnt) DataFrame here — mergeable by union +
+re-agg (the streaming/cross-shard story), broadcastable for map-side
+probes (like ``dedup.bloom_filter_table``).
+
+Determinism: cell coordinates derive from md5 (the engines' one shared
+hash — see operators/dedup.py), counts are exact int64 sums, and the
+probe takes an integer MIN — every output is engine-exact, so the
+sketch AND its estimates have exact ANSI-SQL oracles, collisions
+included.
+
+Scale shape: build = one explode ×d + one (row, col) hash agg with
+map-side partials — the shuffle carries ≤ d·w rows per task regardless
+of corpus size. Probe = ×d key expansion + broadcast join against the
+sketch + one (key) MIN agg; no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cms_cols(key_col, depth: int, width: int):
+    """Array of ``depth`` (row, col) coordinates for a key: row j uses
+    col = first 15 md5 hex chars (60 bits) of ``key || '#' || j`` mod
+    ``width`` — the same cross-engine hash family as the Bloom filter."""
+    key_col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(key_col, F.lit("#"), j.cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+            .cast("int")
+            .alias("col"),
+        ),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col`` (one sketch increment
+    per input ROW — pre-aggregate or explode upstream to choose the
+    counting unit). Returns (row, col, cnt): at most depth·width rows
+    for ANY input size. Merge sketches from different shards/batches by
+    unioning and re-aggregating sum(cnt) on (row, col)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    cells = df.select(
+        F.explode(_cms_cols(key_col, depth, width)).alias("c")
+    ).select("c.row", "c.col")
+    return cells.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Point-estimate the frequency of each key in ``keys`` against a
+    sketch built with the SAME (depth, width): est = min over rows of
+    the key's cell count (never below the true count; above it only on
+    collisions). Keys absent from the corpus estimate 0 via the left
+    join. Returns (key, est)."""
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(_cms_cols(key_col, depth, width)).alias("c"),
+    ).select("key", "c.row", "c.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

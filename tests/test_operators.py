@@ -2537,3 +2537,30 @@ def test_pagerank_integer_recurrence_properties(spark):
     assert again == out
     with pytest.raises(ValueError, match="n_iter"):
         gr.pagerank(edges, n_iter=0)
+
+
+def test_cms_never_underestimates_and_merges(spark, docs):
+    from artexin_spark.operators import sketches as sk
+
+    toks = docs.select(F.explode(dedup.tokens_col("text")).alias("tok"))
+    D, W = 3, 64  # tiny width → guaranteed collisions
+    sketch = sk.cms_build(toks, "tok", depth=D, width=W)
+    assert sketch.count() <= D * W  # bounded regardless of input
+    probes = toks.distinct()
+    est = {r["key"]: r["est"] for r in sk.cms_query(sketch, probes, "tok", depth=D, width=W).collect()}
+    true = {r["tok"]: r["c"] for r in toks.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    # one-sided error: never below truth
+    assert all(est[k] >= true[k] for k in true)
+    # absent key estimates 0 (its cells may collide, but with W=64 at
+    # least assert the left-join path returns a value, >= 0)
+    miss = spark.createDataFrame([("qqqqabsent",)], "tok string")
+    got = sk.cms_query(sketch, miss, "tok", depth=D, width=W).collect()[0]["est"]
+    assert got >= 0
+    # mergeability: sketch(half1) + sketch(half2) re-agged == sketch(all)
+    h1 = sk.cms_build(docs.filter("doc_id % 2 = 0").select(F.explode(dedup.tokens_col("text")).alias("tok")), "tok", depth=D, width=W)
+    h2 = sk.cms_build(docs.filter("doc_id % 2 = 1").select(F.explode(dedup.tokens_col("text")).alias("tok")), "tok", depth=D, width=W)
+    merged = h1.unionByName(h2).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    full = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    assert {(r["row"], r["col"]): r["cnt"] for r in merged.collect()} == full
+    with pytest.raises(ValueError, match="positive"):
+        sk.cms_build(toks, "tok", depth=0)
