@@ -1,0 +1,75 @@
+"""Training-data recipe, end to end — raw documents to bounded training
+sequences through the engine's curation operators:
+
+1. **Quality + dedup + decontam gate**: `curate` composes lang-id,
+   quality scoring, exact dedup and eval-set decontamination into one
+   frame (the Bloom variant `bloom_contamination` is the drop-in when
+   the eval shingle set outgrows the broadcast).
+2. **Mixture cut**: `token_budget_sample` keeps each source's documents
+   in deterministic id-hash order until the per-source token budget —
+   "N tokens of source X", the data-recipe knob.
+3. **Chunking**: `chunk_documents` slides a bounded overlapping token
+   window over the survivors — the sequences a trainer consumes.
+
+Every step is a plain DataFrame→DataFrame operator, so the whole recipe
+is ONE lazy plan until the final action.
+
+Run: python examples/data_recipe.py  [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from artexin_spark.operators import sampling as sp  # noqa: E402
+from artexin_spark.operators import textstats as ts  # noqa: E402
+from artexin_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("data-recipe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter("doc_id % 50 = 0")
+
+    kept = ts.curate(docs, eval_df, min_quality=0.4, langs=("en",))
+    survivors = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    print(f"curate gate: {docs.count()} docs -> {survivors.count()} kept")
+
+    budget = 500
+    cut = sp.token_budget_sample(
+        survivors, budget=budget, source_col="source"
+    )
+    per_src = (
+        cut.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tokens"), F.count("*").alias("docs"))
+        .orderBy("source")
+    )
+    print(f"token budget ({budget}/source):")
+    for r in per_src.collect()[:5]:
+        print(f"  {r['source']}: {r['docs']} docs, {r['tokens']} tokens")
+
+    chunked = sp.chunk_documents(
+        survivors.join(cut.select("doc_id"), "doc_id", "left_semi"),
+        max_tokens=64,
+        stride=48,
+    )
+    n_chunks = chunked.count()
+    stats = chunked.agg(
+        F.max("n_chunk_tokens").alias("mx"), F.avg("n_chunk_tokens").alias("av")
+    ).collect()[0]
+    print(
+        f"chunks: {n_chunks} sequences, max {stats['mx']} tokens "
+        f"(bound 64), mean {stats['av']:.1f}"
+    )
+    assert stats["mx"] <= 64
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,29 +54,22 @@ def main() -> None:
             f"cosine={r['cosine']:.4f} rank={r['rank']}"
         )
 
-    # 3. hybrid: reciprocal-rank fusion over the shared id space
-    fused = (
-        lex.select(F.col("doc_id").alias("id"), (1.0 / (60 + F.col("rank"))).alias("s_lex"))
-        .join(
+    # 3. hybrid: the first-class reciprocal-rank fusion operator
+    # (int64-quantized reciprocals — engine-exact fused scores; one
+    # union + one hash agg, no outer-join chain)
+    fused = sim.rrf_fuse(
+        [
+            lex.select(F.col("doc_id").alias("id"), "rank"),
             ann.filter("query_id = 0").select(
-                F.col("neighbor_id").alias("id"),
-                (1.0 / (60 + F.col("rank"))).alias("s_sem"),
+                F.col("neighbor_id").alias("id"), "rank"
             ),
-            "id",
-            "full_outer",
-        )
-        .select(
-            "id",
-            F.round(
-                F.coalesce("s_lex", F.lit(0.0)) + F.coalesce("s_sem", F.lit(0.0)), 6
-            ).alias("rrf"),
-        )
-        .orderBy(F.desc("rrf"), F.asc("id"))
-        .limit(5)
+        ],
+        k=60,
+        top_n=5,
     )
     print("Hybrid (RRF) top-5:")
-    for r in fused.collect():
-        print(f"  id {r['id']}: rrf={r['rrf']}")
+    for r in fused.orderBy("fused_rank").collect():
+        print(f"  id {r['id']}: rrf={r['rrf_scaled']}")
     spark.stop()
 
 

@@ -110,3 +110,15 @@ def test_retrieval_pipeline_example():
     assert "BM25 top-3:" in r.stdout
     assert "IVF(multiprobe=2) neighbours" in r.stdout
     assert "Hybrid (RRF) top-5:" in r.stdout
+
+
+def test_data_recipe_example():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "data_recipe.py")],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "curate gate:" in r.stdout
+    assert "token budget (500/source):" in r.stdout
+    assert "chunks:" in r.stdout
