@@ -32,6 +32,17 @@ from pyspark.sql import DataFrame, functions as F
 
 # Tokenization used by all text dedup ops — MUST stay in lockstep with the
 # SQL oracle: lower → split on non-alphanumerics → drop empties.
+def md5_int60(col):
+    """First 15 md5 hex chars as a positive 60-bit int64 — THE shared
+    cross-engine hash primitive (15 chars, not 16: a 16th would reach the
+    BIGINT sign bit). Single source of truth for every md5-derived
+    integer in the engine (sampling buckets, Bloom/CMS/HLL coordinates,
+    minhash bases); the DuckDB twin is
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def tokens_col(text_col: str):
     return F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+"), lambda t: t != ""
@@ -557,13 +568,7 @@ def _bloom_positions(sh_col, m_bits: int, k_hashes: int):
     sh_col = F.col(sh_col) if isinstance(sh_col, str) else sh_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(k_hashes - 1)),
-        lambda j: F.conv(
-            F.substring(
-                F.md5(F.concat(sh_col, F.lit("#"), j.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        lambda j: md5_int60(F.concat(sh_col, F.lit("#"), j.cast("string")))
         % m_bits,
     )
 

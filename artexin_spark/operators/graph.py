@@ -53,59 +53,72 @@ def pagerank(
     divide by ``scale`` for the conventional [0, 1] rank."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    # loop invariants persist ONCE: without this every iteration would
+    # rescan and re-shuffle the edge source for deg, the contribution
+    # join AND the node universe — 3+ redundant edge passes per hop
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
         .distinct()
+        .persist()
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n_row = nodes.groupBy().agg(F.count("*").alias("_n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select(
-            "node_id",
-            F.expr(f"{scale} div _n").cast("long").alias("rank_scaled"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(n_iter):
-        with_deg = ranks.join(
-            deg.withColumnRenamed("src", "node_id"), "node_id", "left"
-        )
-        shares = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .select(
-                "node_id",
-                F.expr("rank_scaled div deg").cast("long").alias("share"),
-            )
-        )
-        contribs = (
-            e.join(shares.withColumnRenamed("node_id", "src"), "src")
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.sum("share").alias("contrib"))
-        )
-        dangling = with_deg.filter(F.col("deg").isNull()).groupBy().agg(
-            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("_m")
-        )
+    try:
         ranks = (
-            ranks.select("node_id")
-            .join(contribs, "node_id", "left")
-            .crossJoin(F.broadcast(n_row))
-            .crossJoin(F.broadcast(dangling))
+            nodes.crossJoin(F.broadcast(n_row))
             .select(
                 "node_id",
-                (
-                    F.expr(f"(3 * {scale} div _n) div 20")
-                    + F.expr(
-                        "(17 * (coalesce(contrib, 0) + _m div _n)) div 20"
-                    )
-                )
-                .cast("long")
-                .alias("rank_scaled"),
+                F.expr(f"{scale} div _n").cast("long").alias("rank_scaled"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+        for _ in range(n_iter):
+            # ranks⋈deg feeds BOTH the shares and the dangling branches —
+            # persist so the join runs once per iteration, not twice
+            with_deg = ranks.join(
+                deg.withColumnRenamed("src", "node_id"), "node_id", "left"
+            ).persist()
+            shares = with_deg.filter(F.col("deg").isNotNull()).select(
+                "node_id",
+                F.expr("rank_scaled div deg").cast("long").alias("share"),
+            )
+            contribs = (
+                e.join(shares.withColumnRenamed("node_id", "src"), "src")
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.sum("share").alias("contrib"))
+            )
+            dangling = with_deg.filter(F.col("deg").isNull()).groupBy().agg(
+                F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("_m")
+            )
+            # the eager localCheckpoint materializes ranks NOW, so
+            # with_deg can release immediately; the PREVIOUS checkpoint's
+            # RDD goes unreferenced here and the ContextCleaner reclaims
+            # it (there is no public unpersist for localCheckpoint blocks)
+            ranks = (
+                ranks.select("node_id")
+                .join(contribs, "node_id", "left")
+                .crossJoin(F.broadcast(n_row))
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node_id",
+                    (
+                        F.expr(f"(3 * {scale} div _n) div 20")
+                        + F.expr(
+                            "(17 * (coalesce(contrib, 0) + _m div _n)) div 20"
+                        )
+                    )
+                    .cast("long")
+                    .alias("rank_scaled"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            with_deg.unpersist()
+        return ranks
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()

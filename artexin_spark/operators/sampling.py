@@ -29,11 +29,13 @@ def hash_bucket(col, buckets: int, salt: str = ""):
     would put every surviving row in 'train' (sampled rows are exactly
     the low buckets, and the train cutoff covers them all), silently
     emptying val/test."""
+    from .dedup import md5_int60
+
     c = F.col(col) if isinstance(col, str) else col
     key = c.cast("string")
     if salt:
         key = F.concat(F.lit(salt), key)
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % buckets
+    return md5_int60(key) % buckets
 
 
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:

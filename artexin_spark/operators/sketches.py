@@ -24,28 +24,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .dedup import md5_int60
+
 
 def _cms_cols(key_col, depth: int, width: int):
     """Array of ``depth`` (row, col) coordinates for a key: row j uses
-    col = first 15 md5 hex chars (60 bits) of ``key || '#' || j`` mod
-    ``width`` — the same cross-engine hash family as the Bloom filter."""
+    col = ``md5_int60(key || '#' || j) % width`` — the one shared
+    cross-engine hash primitive (same family as the Bloom filter)."""
     key_col = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(depth - 1)),
         lambda j: F.struct(
             j.cast("int").alias("row"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(key_col, F.lit("#"), j.cast("string"))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % width
-            )
+            (md5_int60(F.concat(key_col, F.lit("#"), j.cast("string"))) % width)
             .cast("int")
             .alias("col"),
         ),
@@ -111,11 +102,7 @@ def hll_registers(
         raise ValueError("p must be in [4, 16]")
     key_col_c = F.col(key_col) if isinstance(key_col, str) else key_col
     rest_bits = 60 - p
-    base = df.select(
-        F.conv(F.substring(F.md5(key_col_c), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_h")
-    )
+    base = df.select(md5_int60(key_col_c).alias("_h"))
     # rho = leading zeros of the low rest_bits bits + 1, computed EXACTLY
     # via binary-string length (floor_log2(x) = length(bin(x)) - 1 in any
     # engine) — floor(log2(double)) would hang on libm rounding at the
@@ -152,7 +139,11 @@ def hll_estimate(registers, p: int = 10) -> float:
         else list(registers)
     )
     regs = {int(r[0]): int(r[1]) for r in (tuple(x) for x in rows)}
-    alpha = 0.7213 / (1 + 1.079 / m)
+    # Flajolet et al.'s small-m constants; the asymptotic formula only
+    # holds for m >= 128
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
     # sorted register order: deterministic float fold
     z = sum(2.0 ** -regs.get(j, 0) for j in range(m))
     est = alpha * m * m / z

@@ -11,8 +11,9 @@ sequences through the engine's curation operators:
 3. **Chunking**: `chunk_documents` slides a bounded overlapping token
    window over the survivors — the sequences a trainer consumes.
 
-Every step is a plain DataFrame→DataFrame operator, so the whole recipe
-is ONE lazy plan until the final action.
+Every step is a plain DataFrame→DataFrame operator; the curate gate's
+survivors persist once because the demo drives several separate actions
+off them (a single-action pipeline would stay fully lazy).
 
 Run: python examples/data_recipe.py  [sf_dir]
 """
@@ -38,7 +39,11 @@ def main() -> None:
     eval_df = docs.filter("doc_id % 50 = 0")
 
     kept = ts.curate(docs, eval_df, min_quality=0.4, langs=("en",))
-    survivors = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    # persist: the demo runs several actions over the survivors — without
+    # this each one re-executes the whole quality/lang/dedup/decontam gate
+    survivors = docs.join(
+        kept.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
     print(f"curate gate: {docs.count()} docs -> {survivors.count()} kept")
 
     budget = 500

@@ -8,9 +8,10 @@ slice" workflow over the engine's search operators:
    k-means, deterministic farthest-first init), `ivf_topk` searches the
    inverted lists with multiprobe (`n_probe=2`) for the nearest
    neighbours of a query vector.
-3. **Hybrid**: the two result sets join on doc/vec id (the synthetic
-   tables share the id space) — rank-fused with a simple reciprocal-rank
-   sum, the standard first-cut hybrid ranker.
+3. **Hybrid**: both candidate lists (the synthetic tables share the id
+   space) feed `similarity.rrf_fuse` — reciprocal-rank fusion with
+   int64-quantized reciprocals, one union + one hash agg, engine-exact
+   fused scores.
 
 Run: python examples/retrieval_pipeline.py  [sf_dir]
 """

@@ -2551,11 +2551,13 @@ def test_cms_never_underestimates_and_merges(spark, docs):
     true = {r["tok"]: r["c"] for r in toks.groupBy("tok").agg(F.count("*").alias("c")).collect()}
     # one-sided error: never below truth
     assert all(est[k] >= true[k] for k in true)
-    # absent key estimates 0 (its cells may collide, but with W=64 at
-    # least assert the left-join path returns a value, >= 0)
-    miss = spark.createDataFrame([("qqqqabsent",)], "tok string")
-    got = sk.cms_query(sketch, miss, "tok", depth=D, width=W).collect()[0]["est"]
-    assert got >= 0
+    # absent-key contract: the left join must RETURN a row (not drop the
+    # key) and estimate exactly 0 — 'qqqqabsent0' was verified
+    # collision-free against this corpus's cells at (D=3, W=64), so a
+    # nonzero here means the estimate path regressed
+    miss = spark.createDataFrame([("qqqqabsent0",)], "tok string")
+    rows_ = sk.cms_query(sketch, miss, "tok", depth=D, width=W).collect()
+    assert len(rows_) == 1 and rows_[0]["est"] == 0
     # mergeability: sketch(half1) + sketch(half2) re-agged == sketch(all)
     h1 = sk.cms_build(docs.filter("doc_id % 2 = 0").select(F.explode(dedup.tokens_col("text")).alias("tok")), "tok", depth=D, width=W)
     h2 = sk.cms_build(docs.filter("doc_id % 2 = 1").select(F.explode(dedup.tokens_col("text")).alias("tok")), "tok", depth=D, width=W)
