@@ -1641,6 +1641,22 @@ def q_hll_distinct(spark, sf_dir):
     return sk.hll_registers(sh, "sh", p=10)
 
 
+def q_cc_chain(spark, sf_dir):
+    """Pointer-jumping connected components
+    (dedup.connected_components(shortcut=True)) on an adversarial
+    120-node chain (diameter 119) — the case plain min-label propagation
+    CANNOT solve inside its round budget (O(diameter) rounds; the plain
+    path provably raises at max_iter=15 in tests). The jump step —
+    label(u) ← label(label(u)), one self-join of the narrow label
+    relation — doubles pointer distance per round: O(log diameter)
+    rounds, the large-star/small-star asymptotics in two lines."""
+    base = _docs(spark, sf_dir).filter("doc_id < 120")
+    chain = base.filter("doc_id < 119").select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return dd.connected_components(chain, max_iter=15, shortcut=True)
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-scaled PageRank (graph.pagerank) over a deterministic
     link graph derived from document ids (two multiplier edge families,
@@ -2602,6 +2618,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pagerank",
     "cms_counts",
     "hll_distinct",
+    "cc_chain",
     "customer_distribution",
     "region_revenue",
     "strip_links",
@@ -2621,7 +2638,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_resize",
     "multimodal_audio",
     "multimodal_video",
-    "pdf_extract",
 ]
 
 
@@ -2659,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
+        "cc_chain": q_cc_chain,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -3228,6 +3245,21 @@ pc AS (SELECT key, CAST(j AS INT) AS row,
        FROM probes, unnest([0, 1, 2, 3]) AS u(j))
 SELECT key, min(coalesce(cnt, 0)) AS est
 FROM pc LEFT JOIN sketch USING (row, col) GROUP BY key
+"""
+
+# chain closure: recursive-CTE transitive reachability, min label
+_ORACLES["cc_chain"] = """
+WITH RECURSIVE
+chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id < 119),
+edges AS (SELECT id_a AS u, id_b AS v FROM chain
+          UNION ALL SELECT id_b AS u, id_a AS v FROM chain),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+)
+SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 """
 
 # HLL registers: rho via binary-string length (exact; no libm log2)

@@ -2591,3 +2591,29 @@ def test_hll_registers_merge_and_estimate(spark, docs):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, regs.collect()))
     with pytest.raises(ValueError, match="p must be"):
         sk.hll_registers(toks, "tok", p=2)
+
+
+def test_connected_components_shortcut_solves_long_chains(spark):
+    # 120-node chain, diameter 119: plain min-label propagation cannot
+    # finish in 15 rounds (O(diameter)); pointer jumping can (O(log d))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=15)
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            chain, max_iter=15, shortcut=True
+        ).collect()
+    }
+    assert len(out) == 120 and set(out.values()) == {0}
+    # output parity with the plain path on a multi-component graph
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 9), (2, 7), (7, 11), (20, 21)], "id_a long, id_b long"
+    )
+    plain = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    jump = sorted(
+        map(tuple, dedup.connected_components(pairs, shortcut=True).collect())
+    )
+    assert plain == jump
