@@ -1650,8 +1650,7 @@ def q_cc_chain(spark, sf_dir):
     label(u) ← label(label(u)), one self-join of the narrow label
     relation — doubles pointer distance per round: O(log diameter)
     rounds, the large-star/small-star asymptotics in two lines."""
-    base = _docs(spark, sf_dir).filter("doc_id < 120")
-    chain = base.filter("doc_id < 119").select(
+    chain = _docs(spark, sf_dir).filter("doc_id < 119").select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
     return dd.connected_components(chain, max_iter=15, shortcut=True)

@@ -329,8 +329,9 @@ def connected_components(
 
     Scale notes: the labels relation is two narrow int columns (the fat
     pair metadata never rides along); `localCheckpoint` cuts the lineage
-    each round so the plan doesn't grow; convergence is detected by the
-    (monotone non-increasing) sum of labels, one cheap agg per round.
+    each round so the plan doesn't grow; convergence is detected by a
+    0/1 changed-flag sum (never a raw-id sum, which would overflow
+    BIGINT under ANSI mode), one cheap agg per round.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -356,7 +357,9 @@ def connected_components(
         # convergence via a 0/1 changed flag (a label changes iff a
         # neighbor carries a smaller one) — never sum raw ids, which
         # overflows BIGINT under ANSI mode at snowflake-scale ids
-        prev = labels
+        # the round's starting label rides along as _pl so the changed
+        # flag costs zero extra joins (comparing against a re-joined
+        # prev frame would add a full labels shuffle per round)
         labels = labels.join(
             nbr_min, labels["id"] == nbr_min["src"], "left"
         ).select(
@@ -364,30 +367,30 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
+            F.col("label").alias("_pl"),
         )
         if shortcut:
-            # pointer jump: follow the label one hop (label is always a
-            # node id in the same component, so the self-join is total)
+            # pointer jump: follow the label one hop. LEFT join +
+            # coalesce: a label with no matching id row (only possible
+            # for NULL ids, which never equi-match) keeps its value, so
+            # shortcut output stays identical to the plain path
             lu = labels.select(
                 F.col("id").alias("_lid"), F.col("label").alias("_ll")
             )
             labels = labels.join(
-                lu, labels["label"] == lu["_lid"]
-            ).select("id", F.col("_ll").alias("label"))
-        # changed iff any node's final label moved this round (jump
-        # included) — compare against the round's starting labels
-        labels = (
-            labels.join(
-                prev.withColumnsRenamed({"id": "_pid", "label": "_pl"}),
-                labels["id"] == F.col("_pid"),
-            )
-            .select(
+                lu, labels["label"] == lu["_lid"], "left"
+            ).select(
                 "id",
-                "label",
-                (F.col("label") < F.col("_pl")).cast("int").alias("_chg"),
+                F.coalesce("_ll", "label").alias("label"),
+                "_pl",
             )
-            .localCheckpoint()
-        )
+        # changed iff any node's final label moved this round (jump
+        # included)
+        labels = labels.select(
+            "id",
+            "label",
+            (F.col("label") < F.col("_pl")).cast("int").alias("_chg"),
+        ).localCheckpoint()
         changed = labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = labels.drop("_chg")
         if changed == 0:
@@ -397,8 +400,9 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             "connected_components did not converge in %d rounds — a "
-            "component's diameter exceeds max_iter; raise max_iter or "
-            "switch to large-star/small-star contraction" % max_iter
+            "component's diameter exceeds max_iter; pass shortcut=True "
+            "(pointer jumping, O(log diameter) rounds) or raise max_iter"
+            % max_iter
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 

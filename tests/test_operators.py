@@ -2608,12 +2608,19 @@ def test_connected_components_shortcut_solves_long_chains(spark):
         ).collect()
     }
     assert len(out) == 120 and set(out.values()) == {0}
-    # output parity with the plain path on a multi-component graph
+    # output parity with the plain path on a multi-component graph —
+    # including a NULL id, which the jump's left join must carry through
+    # rather than drop (inner-join regression pinned)
     pairs = spark.createDataFrame(
-        [(0, 5), (5, 9), (2, 7), (7, 11), (20, 21)], "id_a long, id_b long"
+        [(0, 5), (5, 9), (2, 7), (7, 11), (20, 21), (None, 30)],
+        "id_a long, id_b long",
     )
-    plain = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    plain = sorted(
+        map(tuple, dedup.connected_components(pairs).collect()),
+        key=str,
+    )
     jump = sorted(
-        map(tuple, dedup.connected_components(pairs, shortcut=True).collect())
+        map(tuple, dedup.connected_components(pairs, shortcut=True).collect()),
+        key=str,
     )
     assert plain == jump
