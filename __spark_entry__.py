@@ -1778,6 +1778,55 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream INNER join (streaming.stream_join):
+    transcript turns on one stream meet annotations arriving
+    independently on another, keyed (conv_id, turn_idx) within a ±2h
+    event-time band — the join condition that lets Spark EVICT buffered
+    state once the other side's watermark passes the band (without it a
+    stream-stream join buffers forever). Even-doc annotations only, so
+    the oracle is the plain batch join this converges to."""
+    import shutil
+    import tempfile
+
+    from artexin_spark.streaming import stream_join
+
+    tr = _transcripts_from_docs(spark, sf_dir).filter(
+        F.col("conv_id").cast("int") < 200
+    )
+    ann = tr.filter(F.col("conv_id").cast("int") % 2 == 0).select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.lit("tag"), F.col("conv_id")).alias("tag"),
+        (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias("ats"),
+    )
+    base = tempfile.mkdtemp(prefix="artexin_sjoin_")
+    ld, rd, od, ck = [f"{base}/{n}" for n in ("l", "r", "o", "c")]
+    try:
+        tr.write.mode("overwrite").parquet(ld)
+        ann.write.mode("overwrite").parquet(rd)
+        stream_join(
+            spark,
+            ld,
+            rd,
+            od,
+            ck,
+            left_schema=(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"
+            ),
+            right_schema=(
+                "conv_id string, turn_idx int, tag string, ats timestamp"
+            ),
+            select_cols=["conv_id", "turn_idx", "tag"],
+        )
+        out = spark.read.parquet(od).select("conv_id", "turn_idx", "tag")
+        # materialize before deleting the temp tree (see q_stream_windowed)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window chunking (sampling.chunk_documents): documents →
     bounded training sequences of ≤50 tokens with stride 40 (10-token
@@ -2612,6 +2661,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hot_keys",
     "char_entropy",
     "stream_dedup",
+    "stream_join",
     "containment",
     "token_budget",
     "pagerank",
@@ -2636,7 +2686,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "asset_resolution",
     "multimodal_resize",
     "multimodal_audio",
-    "multimodal_video",
 ]
 
 
@@ -2669,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys": q_hot_keys,
         "char_entropy": q_char_entropy,
         "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
         "containment": q_containment,
         "token_budget": q_token_budget,
         "pagerank": q_pagerank,
@@ -4720,6 +4770,14 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
 """
+
+_ORACLES["stream_join"] = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       0 AS turn_idx,
+       'tag' || doc_id AS tag
+FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+"""
+
 
 _ORACLES["stream_dedup"] = """
 SELECT CAST(doc_id AS VARCHAR) AS conv_id,

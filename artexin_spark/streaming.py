@@ -330,3 +330,74 @@ def stream_dedup(
     )
     query.awaitTermination()
     return query
+
+
+def stream_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    left_schema: str,
+    right_schema: str,
+    on: list[str] | tuple[str, ...] = ("conv_id", "turn_idx"),
+    left_ts: str = "ts",
+    right_ts: str = "ats",
+    delay: str = "1 hour",
+    within: str = "2 hours",
+    select_cols: list[str] | None = None,
+):
+    """Watermarked stream-stream INNER join: turns arriving on one stream
+    meet their annotations (tool results, labels, safety verdicts)
+    arriving independently on another — neither side is a static table,
+    so this is the genuinely-streaming enrichment shape (a static side
+    would be a plain broadcast join in foreachBatch).
+
+    State is bounded by construction, which is the whole point: the
+    join condition carries the event-time band
+    |left.ts − right.ts| ≤ ``within``, so Spark can evict a buffered
+    row once the GLOBAL watermark — the MINIMUM across both streams
+    under the default multipleWatermarkPolicy, each lagging its own
+    max event time by ``delay`` — passes the row's band; without the
+    time constraint a stream-stream join must buffer EVERYTHING forever
+    and dies at 10^12 turns. Boundary semantics (all three MEASURED,
+    see test_stream_join_*): a partner arriving drains later still
+    matches while the global watermark has not passed the band (an
+    idle partner stream HOLDS the global watermark back, keeping state
+    alive — min policy); once BOTH streams' watermarks pass the band,
+    state evicts and a straggler behind the global watermark is
+    dropped as late data, silently unmatched — the at-most-horizon
+    contract `stream_dedup` also documents; batch backfill covers the
+    stragglers.
+
+    Exactly-once across invocations via the checkpoint (availableNow
+    drain). Returns the finished StreamingQuery."""
+    l = spark.readStream.schema(left_schema).parquet(left_dir).withWatermark(
+        left_ts, delay
+    )
+    r = spark.readStream.schema(right_schema).parquet(right_dir).withWatermark(
+        right_ts, delay
+    )
+    # rename the right side's join keys so the joined schema carries each
+    # key once, unambiguously (stream-stream join has no USING form)
+    for k in on:
+        r = r.withColumnRenamed(k, f"_r_{k}")
+    cond = None
+    for k in on:
+        c = l[k] == r[f"_r_{k}"]
+        cond = c if cond is None else (cond & c)
+    band = (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}")) & (
+        r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}")
+    )
+    joined = l.join(r, cond & band, "inner").drop(*[f"_r_{k}" for k in on])
+    out = joined.select(*select_cols) if select_cols else joined
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()
+    return query

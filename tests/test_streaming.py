@@ -313,3 +313,85 @@ def test_stream_dedup_past_horizon_boundary_semantics(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 22
     assert out.filter("conv_id = '0'").count() == 2
+
+
+def test_stream_join_matches_across_drains_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from artexin_spark.streaming import stream_join
+
+    ld, rd, od, ck = [str(tmp_path / n) for n in ("l", "r", "o", "c")]
+    os.makedirs(ld)
+    os.makedirs(rd)
+    LS = "conv_id string, turn_idx int, text string, ts timestamp"
+    RS = "conv_id string, turn_idx int, tag string, ats timestamp"
+    t0 = dt.datetime(2026, 1, 1)
+
+    def mkl(ids):
+        return spark.createDataFrame(
+            [(str(i), 0, f"text{i}", t0) for i in ids], LS
+        )
+
+    def mkr(ids, tag):
+        t = t0 + dt.timedelta(minutes=30)
+        return spark.createDataFrame(
+            [(str(i), 0, f"{tag}{i}", t) for i in ids], RS
+        )
+
+    mkl(range(10)).coalesce(1).write.mode("append").parquet(ld)
+    mkr(range(5), "a").coalesce(1).write.mode("append").parquet(rd)
+    stream_join(spark, ld, rd, od, ck, LS, RS,
+                select_cols=["conv_id", "turn_idx", "text", "tag"])
+    assert spark.read.parquet(od).count() == 5
+
+    # the partner side arrives a DRAIN LATER but inside the watermark
+    # horizon: the buffered left state must still match it
+    mkr(range(5, 10), "b").coalesce(1).write.mode("append").parquet(rd)
+    stream_join(spark, ld, rd, od, ck, LS, RS,
+                select_cols=["conv_id", "turn_idx", "text", "tag"])
+    out = spark.read.parquet(od)
+    assert out.count() == 10
+    assert out.select("conv_id").distinct().count() == 10
+    # enrichment carried both sides' payloads
+    row = out.filter("conv_id = '7'").collect()[0]
+    assert row["text"] == "text7" and row["tag"] == "b7"
+
+
+def test_stream_join_straggler_past_global_watermark_unmatched(spark, tmp_path):
+    """The measured eviction boundary: the global watermark is the MIN
+    across both streams, so only when BOTH sides advance past the band
+    do buffered rows evict and stragglers drop as late data."""
+    import datetime as dt
+
+    from artexin_spark.streaming import stream_join
+
+    ld, rd, od, ck = [str(tmp_path / n) for n in ("l", "r", "o", "c")]
+    os.makedirs(ld)
+    os.makedirs(rd)
+    LS = "conv_id string, turn_idx int, text string, ts timestamp"
+    RS = "conv_id string, turn_idx int, tag string, ats timestamp"
+    t0 = dt.datetime(2026, 1, 1)
+    far = t0 + dt.timedelta(hours=8)
+
+    spark.createDataFrame(
+        [(str(i), 0, "x", t0) for i in range(5)] + [("98", 0, "f", far)], LS
+    ).coalesce(1).write.mode("append").parquet(ld)
+    spark.createDataFrame([("99", 0, "f", far)], RS).coalesce(1).write.mode(
+        "append"
+    ).parquet(rd)
+    stream_join(spark, ld, rd, od, ck, LS, RS, select_cols=["conv_id", "tag"])
+
+    # stragglers: annotations behind the (now-advanced) global watermark
+    spark.createDataFrame(
+        [(str(i), 0, f"a{i}", t0 + dt.timedelta(minutes=30)) for i in range(5)],
+        RS,
+    ).coalesce(1).write.mode("append").parquet(rd)
+    stream_join(spark, ld, rd, od, ck, LS, RS, select_cols=["conv_id", "tag"])
+    import glob
+
+    n = (
+        spark.read.parquet(od).count()
+        if glob.glob(f"{od}/*.parquet")
+        else 0
+    )
+    assert n == 0
