@@ -3443,7 +3443,8 @@ def _bpe_step_sql(k: int) -> str:
     return f"""
 best{k} AS (
   SELECT l, r, pair_freq FROM (
-    SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS pair_freq
+    SELECT syms[i] AS l, syms[i+1] AS r,
+           CAST(sum(freq) AS BIGINT) AS pair_freq
     FROM s{k}, LATERAL unnest(generate_series(1, len(syms)-1)) AS g(i)
     GROUP BY 1, 2)
   ORDER BY pair_freq DESC, l ASC, r ASC LIMIT 1),
@@ -3491,7 +3492,7 @@ SELECT 2 AS step, l AS lhs, r AS rhs, l || r AS merged, pair_freq FROM best2
 
 _ORACLES["bpe_vocab"] = _BPE_BASE_SQL + """
 , v AS (SELECT freq, unnest(syms) AS sym FROM s3),
-agg AS (SELECT sym, sum(freq) AS n FROM v GROUP BY sym),
+agg AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM v GROUP BY sym),
 rk AS (SELECT sym, n, row_number() OVER (ORDER BY n DESC, sym ASC) AS rank
        FROM agg)
 SELECT sym, n, rank FROM rk WHERE rank <= 30

@@ -1,0 +1,79 @@
+"""Static audit of every DuckDB oracle's output types.
+
+The driver's correctness gate hashes RAW values from both engines, so an
+oracle column whose DuckDB logical type round-trips through pandas as
+float64 while the Spark side yields an integer dtype hash-mismatches even
+when the values are numerically identical.  That is exactly what shipped
+in r04: ``sum(BIGINT)`` in DuckDB returns HUGEINT (int128), pandas has no
+int128 so ``.df()`` materialises float64 (``4568.0``), while Spark's
+``sum(long)`` stays long (``4568``) — rows/schema matched, hash did not
+(CORRECTNESS_r04.json: bpe_train, bpe_vocab).
+
+This test is data-independent: it asks DuckDB for the *planned* output
+types of every registered oracle (``con.sql(...).types`` — lazy, nothing
+is executed) and fails on any type that pandas cannot represent exactly
+alongside Spark's integer/long output:
+
+- HUGEINT / UHUGEINT  -> pandas float64 (no int128)
+- DECIMAL(p, s)       -> pandas float64 via .df() (uncast SUM over
+                         DECIMAL, or an explicit DECIMAL literal)
+
+Authors must ``CAST(... AS BIGINT)`` (or DOUBLE when the Spark side is
+genuinely floating) so the local gate and the driver gate agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+def test_no_oracle_emits_pandas_inexact_integer_types(con):
+    bad: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        hits = [
+            (col, str(typ))
+            for col, typ in zip(rel.columns, rel.types)
+            if any(b in str(typ).upper() for b in BANNED)
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        "oracle output columns with pandas-inexact integer types (will "
+        "float64-ify in .df() and hash-mismatch Spark's integer output); "
+        f"CAST them to BIGINT: {bad}"
+    )
+
+
+def test_banned_type_detection_catches_the_r04_regression(con):
+    """The exact pre-fix bpe shape — sum(BIGINT) with no cast — must trip
+    the audit, proving the detector works."""
+    rel = con.sql(
+        "SELECT o_custkey, sum(o_totalprice::BIGINT) AS n "
+        "FROM orders GROUP BY 1"
+    )
+    assert any("HUGEINT" in str(t).upper() for t in rel.types)

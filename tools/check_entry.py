@@ -19,6 +19,22 @@ TABLES = (
 ).split()
 
 
+def kind(dtype) -> str:
+    """Coarse dtype class used for cross-engine strictness: the driver
+    hashes raw values, so an int64 4568 on one engine vs a float64
+    4568.0 on the other (DuckDB HUGEINT -> pandas float64, the r04
+    bpe_train/bpe_vocab red) must FAIL locally even though the values
+    compare equal under check_dtype=False."""
+    s = str(dtype).lower()
+    if s.startswith("bool"):
+        return "bool"
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    return "other"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -82,6 +98,18 @@ def main(only: list[str] | None = None) -> int:
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
             failures.append(name)
             results[name] = {"status": "fail", "err": "schema mismatch"}
+            continue
+        kind_bad = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in s.columns
+            if kind(sdf[c].dtype) != kind(odf[c].dtype)
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hashes raw "
+                  f"values): {kind_bad}")
+            failures.append(name)
+            results[name] = {"status": "fail",
+                             "err": f"dtype kind mismatch: {kind_bad}"[:200]}
             continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
