@@ -1600,6 +1600,26 @@ def q_bpe_vocab(spark, sf_dir):
     return bp.bpe_vocab(docs, m, topk=30).select("sym", "n", "rank")
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Inference-time BPE tokenization (bpe.bpe_tokenize, mode='merge'):
+    the trained merge table runs as driver-side model state inside ONE
+    vectorized Arrow stage with per-batch unique-word caching — O(corpus
+    tokens) regardless of merge count, unlike the fold chain whose
+    expression depth grows with n_merges. Output pins the FULL per-doc
+    token sequence via md5 of the space-joined tokens (tokens are
+    [a-z0-9']/sentinel only, so the join is unambiguous); the oracle
+    re-derives the trained word→symbols map in SQL and flattens it per
+    doc in (word position, symbol position) order."""
+    docs = _docs(spark, sf_dir)
+    m = bp.bpe_train(docs, n_merges=2, min_pair_freq=1)
+    tok = bp.bpe_tokenize(docs, m, mode="merge")
+    return tok.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_md5"),
+    )
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch (sketches.cms_build/cms_query): shingle
     document-frequency estimated from a 4×1024-cell sketch — the
@@ -1894,6 +1914,27 @@ def q_ann_ivf(spark, sf_dir):
     windowed top-k within the probed list (the 10^9-vector plan shape)."""
     emb = _emb(spark, sf_dir)
     out = sim.ivf_topk(emb, emb.filter("vec_id < 5"), n_centroids=8, k=5)
+    return out.select("query_id", "centroid_id", "neighbor_id", "rank")
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF-flat ANN over TRAINED centroids with multiprobe — the
+    production path ivf_topk promises: centroids from
+    similarity.hash_bucket_centroids (deterministic md5-bucket means,
+    quantize=6 — the oracle-replayable stand-in for a kmeans_fit that
+    shares its exact shuffle shape), queries probing their 2 nearest
+    lists (n_probe=2, the recall dial). Corpus vectors live in exactly
+    one list; only the 5 queries fan out. Quantized centroid components
+    make both engines score bit-identical inputs, so only discrete
+    outputs (assignments, ranks) cross the engine boundary."""
+    emb = _emb(spark, sf_dir)
+    cents = sim.hash_bucket_centroids(emb, k=8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = sim.ivf_topk(
+        emb, emb.filter("vec_id < 5"), centroids=cents, n_probe=2, k=5
+    )
     return out.select("query_id", "centroid_id", "neighbor_id", "rank")
 
 
@@ -2654,6 +2695,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semdedup",
     "bpe_train",
     "bpe_vocab",
+    "bpe_tokenize",
     "bloom_decontam",
     "bigram_lm",
     "rrf_fusion",
@@ -2677,6 +2719,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_clusters",
     "simhash_pairs",
     "ann_ivf",
+    "ann_ivf_trained",
     "ann_lsh",
     "prep_dispatch",
     "returned_orders",
@@ -2684,8 +2727,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_extract",
     "stream_windowed",
     "asset_resolution",
-    "multimodal_resize",
-    "multimodal_audio",
 ]
 
 
@@ -2711,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_tokenize": q_bpe_tokenize,
         "bloom_decontam": q_bloom_decontam,
         "bigram_lm": q_bigram_lm,
         "rrf_fusion": q_rrf_fusion,
@@ -2734,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh": q_ann_lsh,
         "prep_dispatch": q_prep_dispatch,
         "returned_orders": q_returned_orders,
@@ -3496,6 +3539,25 @@ agg AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS n FROM v GROUP BY sym),
 rk AS (SELECT sym, n, row_number() OVER (ORDER BY n DESC, sym ASC) AS rank
        FROM agg)
 SELECT sym, n, rank FROM rk WHERE rank <= 30
+"""
+
+# bpe_tokenize: reuse the trained word→syms map (s3 after 2 merges), join
+# each document's word sequence against it, flatten in (word position,
+# symbol position) order, and pin the whole sequence with md5. Docs whose
+# text tokenizes to zero words keep a row (LEFT JOIN): 0 tokens, md5('').
+_ORACLES["bpe_tokenize"] = _BPE_BASE_SQL + f"""
+, d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dw AS (SELECT doc_id, unnest(toks) AS word,
+              unnest(generate_series(1, len(toks))) AS wi FROM d),
+tk AS (SELECT w.doc_id, w.wi, s.syms FROM dw w JOIN s3 s USING (word)),
+fl AS (SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS si,
+              unnest(syms) AS sym FROM tk),
+per AS (SELECT doc_id, list(sym ORDER BY wi, si) AS toks
+        FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(array_to_string(p.toks, ' '), '')) AS bpe_md5
+FROM d LEFT JOIN per p USING (doc_id)
 """
 
 _ORACLES["semdedup"] = """
@@ -4689,6 +4751,51 @@ q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
 cand AS (SELECT q.query_id, q.centroid_id, a.vec_id AS neighbor_id,
                 list_cosine_similarity(q.qv, a.embedding) AS cosine
          FROM q JOIN assign a USING (centroid_id)
+         WHERE a.vec_id <> q.query_id),
+r AS (SELECT query_id, centroid_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM cand)
+SELECT query_id, centroid_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+# ann_ivf_trained: replay hash_bucket_centroids (md5 'semc:'-salted id
+# bucket -> per-dimension mean, round 6) then the same assign/probe/rank
+# pipeline as ann_ivf, with queries keeping their 2 nearest lists.
+_ORACLES["ann_ivf_trained"] = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST('0x' || substr(md5('semc:' || CAST(vec_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 8 AS cid
+  FROM embeddings),
+comp AS (SELECT cid, unnest(generate_series(1, len(embedding))) AS pos,
+                unnest(embedding) AS v
+         FROM b),
+cm AS (SELECT cid, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+       FROM comp GROUP BY cid, pos),
+cvec AS (SELECT cid AS centroid_id, list(cv ORDER BY pos) AS cent
+         FROM cm GROUP BY cid),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent)
+                        DESC,
+                      c.centroid_id ASC) AS rn
+    FROM b e, cvec c) WHERE rn = 1),
+qa AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent)
+                        DESC,
+                      c.centroid_id ASC) AS rn
+    FROM b e, cvec c WHERE e.vec_id < 5) WHERE rn <= 2),
+cand AS (SELECT q.query_id, q.centroid_id, a.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[])
+                  AS cosine
+         FROM qa q JOIN assign a USING (centroid_id)
          WHERE a.vec_id <> q.query_id),
 r AS (SELECT query_id, centroid_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id

@@ -23,7 +23,17 @@ def attach_caches(result, cached):
     ``result`` so the caller can release them via ``release_caches``
     after materializing. Internal seam used by the operators that cache
     a shared subtree (substring dedup's occurrence frame, batched BM25's
-    tokenized projection)."""
+    tokenized projection).
+
+    The handle rides as a Python attribute on the EXACT DataFrame object
+    returned — any further transformation (``result.filter(...)``,
+    ``select``, ``withColumn``) yields a NEW object without it, after
+    which ``release_caches`` on the derived frame silently frees nothing
+    and the MEMORY_AND_DISK cache leaks until ``clearCache``. Either
+    call ``release_caches`` on the operator's own return value, or wrap
+    the whole consume step in ``released_after`` (the context manager
+    below), which holds the original handle no matter what the body
+    derives from it."""
     result._artexin_caches = list(getattr(result, "_artexin_caches", ())) + list(
         cached
     )
@@ -37,6 +47,11 @@ def release_caches(df, blocking: bool = False) -> int:
     forfeits the single-pass guarantee (work recomputes; results stay
     correct). Returns the number of caches released.
 
+    MUST be called on the exact object the operator returned, BEFORE any
+    further transformation — derived frames do not carry the handle (see
+    ``attach_caches``); prefer ``released_after`` when the consuming
+    code wraps the result.
+
     Without this seam a continuous-ingest service calling, e.g.,
     ``incremental_substring_dedup`` once per increment would pin one
     occurrence-frame cache per call with no handle to free it short of
@@ -46,3 +61,26 @@ def release_caches(df, blocking: bool = False) -> int:
         c.unpersist(blocking)
     df._artexin_caches = []
     return len(cached)
+
+
+class released_after:
+    """Context manager that pins an operator result's cache handle so it
+    cannot be lost to further transformation::
+
+        with released_after(substring_dedup_spans(docs)) as spans:
+            spans.filter("n_dup_spans > 0").write.parquet(out)
+        # caches released here, whatever the body derived from `spans`
+
+    ``with released_after(df, blocking=True)`` waits for the unpersist."""
+
+    def __init__(self, df, blocking: bool = False):
+        self._df = df
+        self._blocking = blocking
+        self.released = 0
+
+    def __enter__(self):
+        return self._df
+
+    def __exit__(self, exc_type, exc, tb):
+        self.released = release_caches(self._df, self._blocking)
+        return False

@@ -36,6 +36,7 @@ left-to-right non-overlapping merge the fold computes, see
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf string type hints resolve here
 from pyspark.sql import DataFrame, functions as F
 
 EOW = "</w>"  # end-of-word sentinel symbol (classic BPE word boundary)
@@ -72,9 +73,17 @@ def pair_counts(symframe: DataFrame) -> DataFrame:
     (word, freq, syms) frame, weighted by word frequency. Narrow explode
     + map-side-partial hash-agg — the per-step shuffle is keyed on the
     pair, never content-skewed beyond the natural zipf head (which the
-    partial agg collapses map-side)."""
+    partial agg collapses map-side).
+
+    Fully-merged words (a single surviving symbol, e.g. 'a' -> ['a</w>']
+    after enough merges) are filtered FIRST: they contribute no pairs,
+    and Spark's sequence(1, 0) is DESCENDING ([1, 0], unlike DuckDB's
+    empty generate_series(1, 0)), so the unguarded transform would call
+    element_at(syms, 2) on a 1-element array and kill the job — hit in
+    practice at n_merges=24 on the sf0.001 corpus."""
     return (
-        symframe.select(
+        symframe.filter(F.size("syms") >= 2)
+        .select(
             "freq",
             F.explode(
                 F.transform(
@@ -212,6 +221,179 @@ def bpe_apply(
     return toked.select(
         *df.columns,
         F.flatten(per_word).alias(out_col),
+    ).withColumn("n_bpe_tokens", F.size(F.col(out_col)))
+
+
+def merge_ranks(merges: DataFrame) -> dict[tuple[str, str], int]:
+    """Collect a trained merge table to driver-side model state:
+    {(left, right): step}. Same model-state budget as kmeans centroids —
+    a 100k-merge production vocabulary is ~2 MB, shipped to executors in
+    the UDF closure (Spark broadcasts task binaries)."""
+    return {
+        (str(r["left"]), str(r["right"])): int(r["step"])
+        for r in merges.select("step", "left", "right").collect()
+    }
+
+
+def _encode_word_ranks(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-replay BPE encoding of one word (Sennrich's apply-time
+    algorithm): repeatedly merge the present adjacent pair with the
+    lowest learned rank, left-to-right non-overlapping, until no learned
+    pair remains. Equivalent to replaying merges 1..n in learned order
+    (the ``_apply_merge`` fold chain): a learned pair (l, r) can only
+    newly appear when a merge CREATES symbol l or r, and every symbol a
+    rank-j merge references already existed when step j was learned, so
+    no later merge can enable an earlier-rank pair — the minimum present
+    rank is non-decreasing, which is exactly sequential order. The one
+    theoretical exception is two distinct merges producing the same
+    symbol STRING via different splits (e.g. a+bc and ab+c), which
+    would let a later merge resurrect an earlier-rank pair; rank-replay
+    is Sennrich's own apply-time algorithm (the canonical semantics),
+    and the parity tests additionally assert the trained tables they
+    use have all-unique merged strings, under which the two orders are
+    provably identical. Parity with the fold path is pinned in
+    tests/test_operators.py."""
+    syms = list(word)
+    syms.append(EOW)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        left, right = best
+        merged = left + right
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _encode_word_longest(
+    word: str, by_first: dict[str, list[str]]
+) -> list[str]:
+    """Greedy longest-match segmentation of ``word + EOW`` against the
+    learned symbol vocabulary (``by_first``: first-char -> symbols
+    sorted by length DESC). The WordPiece-style production fast path:
+    O(len * candidates) with no merge replay, but NOT always equal to
+    BPE merge order (e.g. merges [(b,c), (a,b)] give "abc" -> [a, bc]
+    under BPE, [ab, c] under longest-match — divergence pinned in
+    tests). Single chars absent from the vocab pass through as OOV
+    symbols. Safe on the raw string: '<' never starts a learned symbol
+    (token charset is [a-z0-9']), so the sentinel region can only match
+    symbols that embed EOW as a suffix."""
+    s = word + EOW
+    out: list[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        cands = by_first.get(s[i])
+        hit = None
+        if cands is not None:
+            for sym in cands:
+                if s.startswith(sym, i):
+                    hit = sym
+                    break
+        if hit is None:
+            # OOV fallback: emit the sentinel whole, else one char
+            hit = EOW if s.startswith(EOW, i) else s[i]
+        out.append(hit)
+        i += len(hit)
+    return out
+
+
+def vocab_by_first(
+    merges_rows: dict[tuple[str, str], int] | list[tuple[str, str]],
+) -> dict[str, list[str]]:
+    """Longest-match candidate index from a merge table: every merged
+    symbol string, grouped by first char, longest first (ties broken
+    lexicographically for determinism). Single chars and the bare
+    sentinel are implicit fallbacks in ``_encode_word_longest``."""
+    pairs = (
+        list(merges_rows.keys())
+        if isinstance(merges_rows, dict)
+        else list(merges_rows)
+    )
+    by_first: dict[str, list[str]] = {}
+    for left, right in pairs:
+        sym = left + right
+        by_first.setdefault(sym[0], []).append(sym)
+    for c in by_first:
+        by_first[c] = sorted(set(by_first[c]), key=lambda s: (-len(s), s))
+    return by_first
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    mode: str = "merge",
+) -> DataFrame:
+    """Inference-time BPE tokenizer for PRODUCTION-SIZED vocabularies —
+    the counterpart ``apply_merges_col`` explicitly defers: that fold
+    chain grows Catalyst expression depth linearly with the merge count
+    (fine at tens of merges, unusable at 32k-100k), while this runs the
+    learned table as driver-side model state inside ONE vectorized
+    Arrow stage whose cost is O(corpus tokens), independent of merge
+    count.
+
+    ``mode='merge'``: exact rank-replay semantics, parity-pinned
+    against the ``bpe_apply`` fold path. ``mode='longest'``: greedy
+    longest-match over the symbol vocab (trie-style by-first-char
+    index) — the faster production approximation, with its documented
+    divergence from merge order (see ``_encode_word_longest``).
+
+    Scale design: tokenization (lower/split) stays JVM-side via
+    ``tokens_col``; the Arrow stage sees (doc tokens) -> (bpe tokens)
+    arrays only. Each Arrow batch encodes every UNIQUE word once and
+    reuses it (zipf: unique/total word ratio falls with batch size), so
+    per-token cost is flat vs both corpus size and merge count —
+    measured in bench/dedup_scaling.py (bpe_tokenize leg). Map-only:
+    no shuffle, no driver collect beyond the n_merges-row model."""
+    if mode not in ("merge", "longest"):
+        raise ValueError(f"mode must be 'merge' or 'longest', got {mode!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import tokens_col
+
+    ranks = merge_ranks(merges)
+    by_first = vocab_by_first(ranks) if mode == "longest" else None
+
+    @pandas_udf("array<string>")
+    def _encode(batch: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for words in batch:
+            doc_toks: list[str] = []
+            if words is not None:
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = (
+                            _encode_word_ranks(w, ranks)
+                            if by_first is None
+                            else _encode_word_longest(w, by_first)
+                        )
+                        cache[w] = enc
+                    doc_toks.extend(enc)
+            out.append(doc_toks)
+        return pd.Series(out)
+
+    toked = df.select(*df.columns, tokens_col(text_col).alias("_toks"))
+    return toked.select(
+        *df.columns, _encode(F.col("_toks")).alias(out_col)
     ).withColumn("n_bpe_tokens", F.size(F.col(out_col)))
 
 

@@ -1618,10 +1618,11 @@ def embedding_near_dup_lsh(
 
 def semdedup(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    target_cluster_size: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping within-cluster
@@ -1631,7 +1632,13 @@ def semdedup(
 
     ``centroids``: (id_col, vec_col) rows — trained via ``kmeans_fit``
     in production, or any deterministic scheme (the gated query uses
-    hash-bucket means so the oracle replays them compactly). Every
+    hash-bucket means so the oracle replays them compactly). Pass
+    ``centroids=None`` to auto-derive them: k = max(4, N /
+    ``target_cluster_size``) hash-bucket-mean centroids (the documented
+    N/2048 knob rule, now code rather than operator lore — one count()
+    action sizes k, then ``similarity.hash_bucket_centroids`` builds
+    them; override ``target_cluster_size`` to move the join-width /
+    cluster-granularity trade-off). Every
     vector assigns to its max-cosine centroid (tie → lowest centroid
     id); within a cluster, a vector DROPS iff ANY strictly-more-keepable
     clustermate sits at pairwise cosine >= ``threshold``, where the
@@ -1655,7 +1662,10 @@ def semdedup(
     ids-only slimming — because semdedup candidate pairs are DENSE
     within a cluster (≈ cluster_size per member), so re-joining vectors
     per pair would move |pairs| ≈ N·cluster_size vectors instead of
-    2N. No cross join anywhere (plan-gated).
+    2N. No unkeyed join over corpus-sized relations; the ONLY cross is
+    the deliberate k-row centroid broadcast (an explicit ``crossJoin``,
+    whitelisted by the plan gate), and the pair join is keyed on
+    cluster_id.
 
     Returns one row per input vector: (id, cluster_id, centroid_cos,
     kept) — filter kept for the surviving corpus, or aggregate by
@@ -1666,6 +1676,17 @@ def semdedup(
         raise ValueError(f"threshold must be in [0, 1], not {threshold}")
     from pyspark.sql.window import Window
 
+    if centroids is None:
+        if target_cluster_size < 1:
+            raise ValueError(
+                f"target_cluster_size must be >= 1, not {target_cluster_size}"
+            )
+        from .similarity import hash_bucket_centroids
+
+        k = max(4, emb.count() // target_cluster_size)
+        centroids = hash_bucket_centroids(emb, k=k, id_col=id_col,
+                                          vec_col=vec_col)
+
     c = centroids.select(
         F.col(id_col).alias("cluster_id"),
         F.col(vec_col).alias("_cv"),
@@ -1673,7 +1694,7 @@ def semdedup(
     )
     scored = (
         emb.select(F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_vn"))
-        .join(F.broadcast(c))
+        .crossJoin(F.broadcast(c))
         .select(
             id_col,
             vec_col,

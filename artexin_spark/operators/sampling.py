@@ -315,9 +315,13 @@ def token_budget_sample(
     A row is kept iff its INCLUSIVE prefix sum ≤ budget; a row that
     would cross the budget is dropped and the prefix continues past it
     (greedy prefix, so the budget is a hard cap, not a target). Hash
-    order (md5 over salt+id) makes the cut content-deterministic:
-    re-runs and engine replays select the identical rows, and appending
-    new docs never reorders existing ones ahead of the cut.
+    order (md5 over salt+id) makes the cut content-deterministic: the
+    kept set is exactly a per-source prefix of the deterministic hash
+    order, stable across re-runs and engine replays of the SAME corpus.
+    Appends are NOT subset-stable: a new doc can hash earlier than
+    existing ones, raising later rows' prefix sums and evicting
+    previously-kept rows — only prefix-consistency is guaranteed
+    (pinned as such in tests).
 
     Scale shape — the distributed prefix sum, NOT one window per source
     (a window partitioned only by source puts a whole source's rows in

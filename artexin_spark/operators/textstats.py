@@ -966,6 +966,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     broadcast_vocab: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """CCNet-style LM gate, one order up from ``unigram_logprob_score``:
     score each document by its mean conditional bigram log-probability
@@ -978,7 +979,7 @@ def bigram_lm_score(
     cannot see — the scalable skeleton of the KenLM perplexity filter
     (swap the count tables for n-gram shards; plan shape holds).
 
-    Plan shape (100 TB): ONE tokenize projection feeds both count tables
+    Plan shape (100 TB): one tokenize PROJECTION feeds both count tables
     — unigram counts are a (tok) hash agg, bigram counts a (prev, cur)
     hash agg, both map-side partial; V reduces to a scalar with the same
     agg. Scoring explodes each doc's bigrams once and equi-joins them
@@ -986,6 +987,17 @@ def bigram_lm_score(
     ``broadcast_vocab=False`` for web-scale vocabularies, where both
     sides are narrow shuffle-hash joins on a token key); one final (id)
     agg. No window, no cartesian, no Python.
+
+    The shared projection is plan-level sharing only: its four
+    consumers (unigram counts, V, bigram counts, scoring) sit under
+    DIFFERENT aggregates, so exchange reuse cannot fire and the default
+    plan re-tokenizes the corpus once per branch at runtime.
+    ``persist=True`` caches the narrow (id, _toks) projection
+    MEMORY_AND_DISK so the regex split runs once — the same shared-
+    subtree discipline as ``substring_dedup_spans`` / ``bm25_rank_multi``,
+    with the same contract: release via ``operators.release_caches`` on
+    the returned frame (or ``operators.released_after``) after
+    materializing.
 
     Docs with <2 tokens have no bigram and are absent from the output
     (the caller left-joins and treats null as "no evidence"). Returns
@@ -996,9 +1008,14 @@ def bigram_lm_score(
     a plain AVG would hang round(·,6) on summation order). V stays IN
     the plan as a 1-row distinct-count aggregate broadcast-crossjoined
     back (no eager corpus pass at construction time)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from . import attach_caches
     from .dedup import tokens_col
 
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    if persist:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     uni = toks.select(F.explode("_toks").alias("tok"))
     uni_counts = uni.groupBy("tok").agg(F.count("*").alias("cu"))
     vocab_row = uni.groupBy().agg(
@@ -1047,10 +1064,11 @@ def bigram_lm_score(
     arr = F.array_sort(F.collect_list(F.struct("prev", "cur", "lp")))
     s = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["lp"])
     n = F.count("*")
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         n.alias("n_bigrams"),
         F.round(s / n.cast("double"), 6).alias("mean_logprob"),
     )
+    return attach_caches(out, [toks]) if persist else out
 
 
 def char_entropy(

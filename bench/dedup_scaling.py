@@ -337,6 +337,59 @@ def main() -> None:
                 )
         result["sf1_equivalent"] = sf1
 
+    # --- 6. bpe inference tokenizer: per-token cost vs merge count --------
+    # The claim under test (operators/bpe.py:bpe_tokenize): the Arrow
+    # rank-replay tokenizer's wall is O(corpus tokens), INDEPENDENT of
+    # merge-table size — the fold path (apply_merges_col) is the
+    # contrast, its expression depth (and per-token work) growing
+    # linearly with n_merges. Three tables on the same corpus: 4 real
+    # merges, 24 real merges, and 24 real + 4072 never-firing pad
+    # merges (synthetic symbol pairs absent from the corpus — a larger
+    # table must cost only dict residency, not per-token work).
+    docs_b = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(64)
+        .localCheckpoint()
+    )
+    m24 = bp.bpe_train(docs_b, n_merges=24, min_pair_freq=2).localCheckpoint()
+    m4 = m24.filter("step <= 4").localCheckpoint()
+    pad = spark.range(25, 4097).select(
+        F.col("id").cast("int").alias("step"),
+        F.concat(F.lit("q"), F.col("id")).alias("left"),
+        F.concat(F.lit("z"), F.col("id")).alias("right"),
+        F.concat(F.lit("q"), F.col("id"), F.lit("z"), F.col("id")).alias(
+            "merged"
+        ),
+        F.lit(1).cast("long").alias("pair_freq"),
+    )
+    m4096 = m24.unionByName(pad).localCheckpoint()
+    bpe_inf: dict = {
+        "n_docs": docs_b.count(),
+        "n_real_merges": m24.count(),
+        "tokenize_wall_s": {},
+        "fold_apply_wall_s": {},
+    }
+    for label, m in (("m4", m4), ("m24", m24), ("m4096", m4096)):
+        bpe_inf["tokenize_wall_s"][label] = timed(
+            lambda m=m: bp.bpe_tokenize(docs_b, m)
+            .agg(F.sum("n_bpe_tokens"))
+            .collect()
+        )
+    for label, m in (("m4", m4), ("m24", m24)):
+        bpe_inf["fold_apply_wall_s"][label] = timed(
+            lambda m=m: bp.bpe_apply(docs_b, m)
+            .agg(F.sum("n_bpe_tokens"))
+            .collect()
+        )
+    tw = bpe_inf["tokenize_wall_s"]
+    fw = bpe_inf["fold_apply_wall_s"]
+    # ~1.0 = flat (the contract); the fold ratio shows the alternative
+    # genuinely pays per merge
+    bpe_inf["tokenize_m4096_over_m4"] = round(tw["m4096"] / tw["m4"], 2)
+    bpe_inf["fold_m24_over_m4"] = round(fw["m24"] / fw["m4"], 2)
+    result["bpe_inference"] = bpe_inf
+
     # honest-coverage note (no silent caps): every leg above runs the
     # full synthesized corpus; the only bounded inputs are n_docs for
     # the long-doc legs and MEGA_SCALE for the planted leg, stated in

@@ -271,6 +271,104 @@ def test_bpe_plan_stays_native(spark, docs):
     assert "Python" not in ap_plan, ap_plan
 
 
+def test_bpe_train_survives_fully_merged_words(spark):
+    """Regression: once a word collapses to ONE symbol (e.g. 'a' →
+    ['a</w>']), the next step's pair explode must skip it — Spark's
+    sequence(1, 0) is DESCENDING ([1,0], unlike DuckDB's empty range),
+    so the unguarded transform crashed with element_at(syms, 2) on a
+    1-element array (hit at n_merges=24 on the sf0.001 corpus).
+    Training past full merge must early-stop cleanly, not throw."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a")], "doc_id long, text string"
+    )
+    m = bpe.bpe_train(df, n_merges=5, min_pair_freq=1)
+    rows = [(r.left, r.right) for r in m.orderBy("step").collect()]
+    assert rows == [("a", "</w>"), ("b", "</w>")]  # then no pairs remain
+    v = {r.sym: r.n for r in bpe.bpe_vocab(df, m).collect()}
+    assert v == {"a</w>": 3, "b</w>": 2}
+
+
+def test_bpe_tokenize_pure_encoders():
+    """Pure-python encoder semantics: rank-replay equals merge-order
+    (incl. the aaa self-overlap and sentinel-suffix merges); greedy
+    longest-match agrees where the vocab is prefix-unambiguous and
+    DIVERGES on the documented counterexample (merges [(b,c),(a,b)]:
+    BPE gives [a, bc], longest-match grabs [ab, c])."""
+    ranks = {("b", "c"): 1, ("a", "b"): 2}
+    assert bpe._encode_word_ranks("abc", ranks) == ["a", "bc", "</w>"]
+    bf = bpe.vocab_by_first(ranks)
+    assert bpe._encode_word_longest("abc", bf) == ["ab", "c", "</w>"]
+
+    # self-pair overlap: left-to-right non-overlapping, same as the fold
+    assert bpe._encode_word_ranks("aaa", {("a", "a"): 1}) == [
+        "aa", "a", "</w>"]
+    # sentinel-suffix merges chain (c+</w> then b+c</w>) in both modes
+    r2 = {("c", "</w>"): 1, ("b", "c</w>"): 2}
+    assert bpe._encode_word_ranks("abc", r2) == ["a", "bc</w>"]
+    assert bpe._encode_word_longest("abc", bpe.vocab_by_first(r2)) == [
+        "a", "bc</w>"]
+    # rank order matters: lower rank fires first even if learned pair
+    # listed later in the dict
+    r3 = {("a", "b"): 2, ("b", "c"): 1}
+    assert bpe._encode_word_ranks("abc", r3) == ["a", "bc", "</w>"]
+    # OOV chars pass through as singletons; empty vocab = char split
+    assert bpe._encode_word_longest("zq", {}) == ["z", "q", "</w>"]
+    assert bpe._encode_word_ranks("zq", {}) == ["z", "q", "</w>"]
+
+
+def test_bpe_tokenize_parity_with_fold_path(spark, docs):
+    """mode='merge' (vectorized Arrow rank-replay) must equal the
+    bpe_apply fold chain token-for-token on a real trained table in the
+    tens-of-merges regime — the equivalence precondition (all-unique
+    merged strings, see _encode_word_ranks docstring) is asserted, not
+    assumed. mode='longest' must produce a valid segmentation (tokens
+    re-concatenate to word+sentinel) even where it diverges."""
+    d = docs.limit(40).select("doc_id", "text")
+    m = bpe.bpe_train(d, n_merges=12, min_pair_freq=1)
+    merged_strs = [r.merged for r in m.collect()]
+    assert len(merged_strs) == 12
+    assert len(set(merged_strs)) == len(merged_strs)
+    fold = {r.doc_id: list(r.bpe_tokens) for r in bpe.bpe_apply(d, m).collect()}
+    fast = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe.bpe_tokenize(d, m, mode="merge").collect()
+    }
+    assert fold == fast
+
+    # longest-match: same concatenation, token count <= char count
+    from artexin_spark.operators.dedup import tokens_col
+
+    words = {
+        r.doc_id: list(r.w)
+        for r in d.select("doc_id", tokens_col("text").alias("w")).collect()
+    }
+    for r in bpe.bpe_tokenize(d, m, mode="longest").collect():
+        joined = "".join(r.bpe_tokens)
+        assert joined == "".join(w + bpe.EOW for w in words[r.doc_id])
+
+    with pytest.raises(ValueError):
+        bpe.bpe_tokenize(d, m, mode="fastest")
+
+
+def test_bpe_tokenize_plan_single_arrow_stage(spark, docs):
+    """The inference tokenizer is ONE Arrow stage: exactly one distinct
+    ArrowEvalPython node (deriving n_bpe_tokens from the UDF output must
+    not re-evaluate the UDF), tokenization stays JVM-side, no shuffle
+    (map-only plan: no Exchange)."""
+    import re
+
+    d = docs.limit(20).select("doc_id", "text")
+    m = bpe.bpe_train(d, n_merges=3, min_pair_freq=1)
+    plan = (
+        bpe.bpe_tokenize(d, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    node_ids = set(re.findall(r"ArrowEvalPython.*?#(\d+)", plan))
+    arrow_nodes = plan.count("ArrowEvalPython")
+    assert arrow_nodes >= 1 and (len(node_ids) <= 1), plan
+    assert "Exchange" not in plan, plan
+
+
 def test_semdedup_planted_semantics_and_plan(spark):
     """SemDeDup keep-the-centroid-outlier rule on a hand-built corpus:
     within a near-dup pair the member CLOSER to its centroid drops; the
@@ -320,6 +418,31 @@ def test_semdedup_planted_semantics_and_plan(spark):
     assert "IdentityBroadcastMode" in plan  # the k-row centroid broadcast
     with pytest.raises(ValueError):
         dedup.semdedup(emb, cents, threshold=1.5)
+
+
+def test_semdedup_auto_centroids_default_knob(spark, emb):
+    """centroids=None auto-derives hash-bucket-mean centroids with
+    k = max(4, N // target_cluster_size) — the documented N/2048 rule
+    as code. Pinned: the floor of 4 fires on a small corpus, an
+    explicit target changes k accordingly, the auto result equals the
+    explicit hash_bucket_centroids call, and one row per input vector
+    comes back."""
+    sub = emb.filter("vec_id < 300").select("vec_id", "embedding")
+    n = sub.count()
+    out = dedup.semdedup(sub, threshold=0.9).toPandas()
+    assert len(out) == n
+    assert out.cluster_id.nunique() <= 4  # floor: N//2048 = 0 -> k=4
+    explicit = dedup.semdedup(
+        sub, similarity.hash_bucket_centroids(sub, k=4), threshold=0.9
+    ).toPandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = explicit.sort_values("vec_id").reset_index(drop=True)
+    assert (a.cluster_id == b.cluster_id).all() and (a.kept == b.kept).all()
+    # explicit knob: target 50 on ~300 vectors -> k=6 clusters available
+    out50 = dedup.semdedup(sub, threshold=0.9, target_cluster_size=50)
+    assert out50.select("cluster_id").distinct().count() <= max(4, n // 50)
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        dedup.semdedup(sub, target_cluster_size=0)
 
 
 def test_hash_bucket_centroids_deterministic_means(spark):
@@ -1845,6 +1968,29 @@ def test_ivf_multiprobe_recall_and_exhaustive_equivalence(spark, emb):
 
     with _pytest.raises(ValueError, match="n_probe"):
         similarity.ivf_assign(emb, emb.limit(2), n_probe=0)
+
+
+def test_ivf_trained_centroids_recall_and_probe_monotone(spark, emb):
+    """The trained-centroid path (hash_bucket_centroids → ivf_topk):
+    recall@k vs brute force is monotone in n_probe, probing every list
+    recovers brute force exactly, and n_probe=2 (the gated driver
+    config, ann_ivf_trained) clearly beats chance — pinning the trained
+    path the same way the seed-centroid path is pinned above."""
+    queries = emb.filter("vec_id < 8")
+    cents = similarity.hash_bucket_centroids(emb, k=8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    r = {}
+    for p in (1, 2, 8):
+        approx = similarity.ivf_topk(
+            emb, queries, k=5, centroids=cents, n_probe=p
+        )
+        r[p] = similarity.ann_recall(exact, approx)
+    assert r[1] <= r[2] <= r[8]
+    assert r[8] == 1.0, r
+    assert r[2] >= 0.2, f"trained-path recall {r[2]} not above chance"
 
 
 def test_bm25_pretokenized_parity(spark):
