@@ -1620,6 +1620,24 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_bpe_tokenize_longest(spark, sf_dir):
+    """Greedy longest-match BPE segmentation (bpe_tokenize
+    mode='longest') — the trie-style production fast path, gated
+    end-to-end: the oracle replays the greedy scan with a RECURSIVE CTE
+    over each distinct word (longest vocab symbol at the cursor, ties
+    lexicographic; sentinel/char fallback), so the documented
+    divergence from merge order is itself pinned cross-engine, not just
+    unit-tested. Same output shape as bpe_tokenize."""
+    docs = _docs(spark, sf_dir)
+    m = bp.bpe_train(docs, n_merges=2, min_pair_freq=1)
+    tok = bp.bpe_tokenize(docs, m, mode="longest")
+    return tok.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_md5"),
+    )
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch (sketches.cms_build/cms_query): shingle
     document-frequency estimated from a 4×1024-cell sketch — the
@@ -2669,35 +2687,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # the declared driver window — a guard test asserts the registry's first
 # len(_DRIVER_WINDOW_PRIORITY) entries match it exactly, so an accidental
 # dict reorder can never silently push a changed query out of the check
-# window. r04 priority, in order:
-#   1. the 7 queries whose only driver verdict is r01 (the r03 rotation's
-#      window-overflow tail — refresh them first);
-#   2. r04-CHANGED queries (substring/paragraph de-skew, blocklist hint);
-#   3. r04 additions (first driver verdict);
-#   4. r02-verified-and-unchanged entries, oldest verdicts first, filling
-#      the window to ~50.
+# window. r05 priority, in order:
+#   1. r05-CHANGED queries (bpe oracle BIGINT casts; semdedup/bigram_lm
+#      operator internals) and r05 additions (bpe_tokenize,
+#      ann_ivf_trained — first driver verdict);
+#   2. the r04-continuation additions holding a single (r04) verdict;
+#   3. oldest-verdict entries (r02 then r03), refreshing their verdicts.
+# Every entry pushed out holds an r04 verdict on unchanged code.
 _DRIVER_WINDOW_PRIORITY = [
-    "events_unpivot",
-    "length_percentiles",
-    "topk_terms_per_source",
-    "image_index",
-    "entity_blocking",
-    "pricing_summary",
-    "shipping_priority",
-    "substring_dedup",
-    "substring_apply",
-    "incremental_substring",
-    "paragraph_dedup",
-    "blocklist_filter",
-    "blocklist_large",
-    "ngram_train",
-    "bm25_multi",
-    "semdedup",
     "bpe_train",
     "bpe_vocab",
     "bpe_tokenize",
-    "bloom_decontam",
+    "bpe_tokenize_longest",
+    "ann_ivf_trained",
+    "semdedup",
     "bigram_lm",
+    "ngram_train",
+    "bm25_multi",
+    "bloom_decontam",
     "rrf_fusion",
     "chunk_docs",
     "hot_keys",
@@ -2710,30 +2717,97 @@ _DRIVER_WINDOW_PRIORITY = [
     "cms_counts",
     "hll_distinct",
     "cc_chain",
-    "customer_distribution",
-    "region_revenue",
-    "strip_links",
-    "extract_spans",
-    "conv_rollup",
-    "lsh_pairs",
-    "dedup_clusters",
-    "simhash_pairs",
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_lsh",
-    "prep_dispatch",
-    "returned_orders",
-    "never_returned",
-    "stream_extract",
-    "stream_windowed",
-    "asset_resolution",
+    "unigram_lm",
+    "sequence_pack",
+    "mixture_sample",
+    "coalesce_turns",
+    "turn_windows",
+    "redact_secrets",
+    "unicode_quality",
+    "extract_transcript",
+    "sql_extract",
+    "title_fastpath",
+    "md5_hash",
+    "skew_salted_join",
+    "embedding_near_dup",
+    "incremental_dedup",
+    "multimodal_decode",
+    "ingest_errors",
+    "kmeans",
+    "bm25",
+    "embedding_clusters",
+    "content_key",
+    "url_predicates",
+    "date_serialize",
+    "token_unigrams",
+    "token_bigrams",
+    "word_counts",
+    "term_df_idf",
+    "exact_dedup",
+    "hash_sample",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- the driver-window priority block (see
-        # _DRIVER_WINDOW_PRIORITY above; guard-tested to match).
+        # _DRIVER_WINDOW_PRIORITY above; guard-tested to match):
+        # r05-changed/new first, then the r04-continuation entries
+        # holding a single verdict, then the oldest-verdict
+        # (r02/r03) entries refreshing their verdicts.
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_tokenize_longest": q_bpe_tokenize_longest,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "semdedup": q_semdedup,
+        "bigram_lm": q_bigram_lm,
+        "ngram_train": q_ngram_train,
+        "bm25_multi": q_bm25_multi,
+        "bloom_decontam": q_bloom_decontam,
+        "rrf_fusion": q_rrf_fusion,
+        "chunk_docs": q_chunk_docs,
+        "hot_keys": q_hot_keys,
+        "char_entropy": q_char_entropy,
+        "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
+        "containment": q_containment,
+        "token_budget": q_token_budget,
+        "pagerank": q_pagerank,
+        "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
+        "cc_chain": q_cc_chain,
+        "unigram_lm": q_unigram_lm,
+        "sequence_pack": q_sequence_pack,
+        "mixture_sample": q_mixture_sample,
+        "coalesce_turns": q_coalesce_turns,
+        "turn_windows": q_turn_windows,
+        "redact_secrets": q_redact_secrets,
+        "unicode_quality": q_unicode_quality,
+        "extract_transcript": q_extract_transcript,
+        "sql_extract": q_sql_extract,
+        "title_fastpath": q_title_fastpath,
+        "md5_hash": q_md5_hash,
+        "skew_salted_join": q_skew_salted_join,
+        "embedding_near_dup": q_embedding_near_dup,
+        "incremental_dedup": q_incremental_dedup,
+        "multimodal_decode": q_multimodal_decode,
+        "ingest_errors": q_ingest_errors,
+        "kmeans": q_kmeans,
+        "bm25": q_bm25,
+        "embedding_clusters": q_embedding_clusters,
+        "content_key": q_content_key,
+        "url_predicates": q_url_predicates,
+        "date_serialize": q_date_serialize,
+        "token_unigrams": q_token_unigrams,
+        "token_bigrams": q_token_bigrams,
+        "word_counts": q_word_counts,
+        "term_df_idf": q_term_df_idf,
+        "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
+        # --- below the driver window: every entry here holds an
+        # r04 driver verdict on unchanged code (weighted_sample: r03).
+        "weighted_sample": q_weighted_sample,
         "events_unpivot": q_events_unpivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
@@ -2747,26 +2821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "blocklist_filter": q_blocklist_filter,
         "blocklist_large": q_blocklist_large,
-        "ngram_train": q_ngram_train,
-        "bm25_multi": q_bm25_multi,
-        "semdedup": q_semdedup,
-        "bpe_train": q_bpe_train,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_tokenize": q_bpe_tokenize,
-        "bloom_decontam": q_bloom_decontam,
-        "bigram_lm": q_bigram_lm,
-        "rrf_fusion": q_rrf_fusion,
-        "chunk_docs": q_chunk_docs,
-        "hot_keys": q_hot_keys,
-        "char_entropy": q_char_entropy,
-        "stream_dedup": q_stream_dedup,
-        "stream_join": q_stream_join,
-        "containment": q_containment,
-        "token_budget": q_token_budget,
-        "pagerank": q_pagerank,
-        "cms_counts": q_cms_counts,
-        "hll_distinct": q_hll_distinct,
-        "cc_chain": q_cc_chain,
         "customer_distribution": q_customer_distribution,
         "region_revenue": q_region_revenue,
         "strip_links": q_strip_links,
@@ -2776,7 +2830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh": q_ann_lsh,
         "prep_dispatch": q_prep_dispatch,
         "returned_orders": q_returned_orders,
@@ -2800,38 +2853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pipeline_e2e": q_pipeline_e2e,
         "ngram_classifier": q_ngram_classifier,
-        # --- below the driver window: r02-verified remainder first
-        # (oldest verdicts), then the r03-verified entries.
-        "unigram_lm": q_unigram_lm,
-        "sequence_pack": q_sequence_pack,
-        "mixture_sample": q_mixture_sample,
-        "coalesce_turns": q_coalesce_turns,
-        "turn_windows": q_turn_windows,
-        "redact_secrets": q_redact_secrets,
-        "unicode_quality": q_unicode_quality,
-        "extract_transcript": q_extract_transcript,
-        "sql_extract": q_sql_extract,
-        "title_fastpath": q_title_fastpath,
-        "md5_hash": q_md5_hash,
-        # --- r03-verified (driver-checked on r03 code, unchanged since).
-        "skew_salted_join": q_skew_salted_join,
-        "embedding_near_dup": q_embedding_near_dup,
-        "incremental_dedup": q_incremental_dedup,
-        "multimodal_decode": q_multimodal_decode,
-        "ingest_errors": q_ingest_errors,
-        "kmeans": q_kmeans,
-        "bm25": q_bm25,
-        "embedding_clusters": q_embedding_clusters,
-        "content_key": q_content_key,
-        "url_predicates": q_url_predicates,
-        "date_serialize": q_date_serialize,
-        "token_unigrams": q_token_unigrams,
-        "token_bigrams": q_token_bigrams,
-        "word_counts": q_word_counts,
-        "term_df_idf": q_term_df_idf,
-        "exact_dedup": q_exact_dedup,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "group_quota": q_group_quota,
@@ -3550,6 +3571,45 @@ _ORACLES["bpe_tokenize"] = _BPE_BASE_SQL + f"""
 dw AS (SELECT doc_id, unnest(toks) AS word,
               unnest(generate_series(1, len(toks))) AS wi FROM d),
 tk AS (SELECT w.doc_id, w.wi, s.syms FROM dw w JOIN s3 s USING (word)),
+fl AS (SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS si,
+              unnest(syms) AS sym FROM tk),
+per AS (SELECT doc_id, list(sym ORDER BY wi, si) AS toks
+        FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(coalesce(array_to_string(p.toks, ' '), '')) AS bpe_md5
+FROM d LEFT JOIN per p USING (doc_id)
+"""
+
+# bpe_tokenize_longest: greedy longest-match segmentation replayed with a
+# recursive CTE — per distinct word, advance a cursor through word||'</w>'
+# emitting the longest matching vocab symbol (the two merged strings;
+# ties lexicographic), else the whole sentinel, else one char — exactly
+# operators/bpe.py:_encode_word_longest. Recursion terminates because pos
+# strictly advances by len(hit) >= 1 each step.
+_ORACLES["bpe_tokenize_longest"] = _BPE_BASE_SQL + f"""
+, vocab AS (SELECT l || r AS sym FROM best1
+            UNION ALL SELECT l || r AS sym FROM best2),
+d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dw AS (SELECT doc_id, unnest(toks) AS word,
+              unnest(generate_series(1, len(toks))) AS wi FROM d),
+words AS (SELECT DISTINCT word FROM dw),
+seg AS (
+  WITH RECURSIVE walk(word, s, pos, toks) AS (
+    SELECT word, word || '</w>', CAST(1 AS BIGINT), []::VARCHAR[]
+    FROM words
+    UNION ALL
+    SELECT word, s, pos + length(hit), list_append(toks, hit) FROM (
+      SELECT word, s, pos, toks,
+        coalesce(
+          (SELECT v.sym FROM vocab v
+            WHERE substr(s, CAST(pos AS INTEGER), length(v.sym)) = v.sym
+            ORDER BY length(v.sym) DESC, v.sym ASC LIMIT 1),
+          CASE WHEN substr(s, CAST(pos AS INTEGER), 4) = '</w>' THEN '</w>'
+               ELSE substr(s, CAST(pos AS INTEGER), 1) END) AS hit
+      FROM walk WHERE pos <= length(s)))
+  SELECT word, toks FROM walk WHERE pos > length(s)),
+tk AS (SELECT w.doc_id, w.wi, s.toks AS syms FROM dw w JOIN seg s USING (word)),
 fl AS (SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS si,
               unnest(syms) AS sym FROM tk),
 per AS (SELECT doc_id, list(sym ORDER BY wi, si) AS toks
