@@ -1610,9 +1610,19 @@ def q_bpe_tokenize(spark, sf_dir):
     [a-z0-9']/sentinel only, so the join is unambiguous); the oracle
     re-derives the trained word→symbols map in SQL and flattens it per
     doc in (word position, symbol position) order."""
+    return _bpe_tokenize_query(spark, sf_dir, "merge")
+
+
+def _bpe_tokenize_query(spark, sf_dir, mode: str):
+    """Shared body of the two bpe_tokenize queries (they differ only in
+    mode): train 2 merges, tokenize, pin the FULL per-doc token
+    sequence via md5 of the space-joined tokens (tokens are
+    [a-z0-9']/sentinel only, so the join is unambiguous). The oracles
+    share the flatten-and-pin SQL tail the same way
+    (_bpe_flatten_sql)."""
     docs = _docs(spark, sf_dir)
     m = bp.bpe_train(docs, n_merges=2, min_pair_freq=1)
-    tok = bp.bpe_tokenize(docs, m, mode="merge")
+    tok = bp.bpe_tokenize(docs, m, mode=mode)
     return tok.select(
         "doc_id",
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
@@ -1628,14 +1638,7 @@ def q_bpe_tokenize_longest(spark, sf_dir):
     lexicographic; sentinel/char fallback), so the documented
     divergence from merge order is itself pinned cross-engine, not just
     unit-tested. Same output shape as bpe_tokenize."""
-    docs = _docs(spark, sf_dir)
-    m = bp.bpe_train(docs, n_merges=2, min_pair_freq=1)
-    tok = bp.bpe_tokenize(docs, m, mode="longest")
-    return tok.select(
-        "doc_id",
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_md5"),
-    )
+    return _bpe_tokenize_query(spark, sf_dir, "longest")
 
 
 def q_cms_counts(spark, sf_dir):
@@ -2695,6 +2698,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. oldest-verdict entries (r02 then r03), refreshing their verdicts.
 # Every entry pushed out holds an r04 verdict on unchanged code.
 _DRIVER_WINDOW_PRIORITY = [
+    "ngram_classifier",
+    "session_window",
     "bpe_train",
     "bpe_vocab",
     "bpe_tokenize",
@@ -2743,8 +2748,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_bigrams",
     "word_counts",
     "term_df_idf",
-    "exact_dedup",
-    "hash_sample",
 ]
 
 
@@ -2755,6 +2758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05-changed/new first, then the r04-continuation entries
         # holding a single verdict, then the oldest-verdict
         # (r02/r03) entries refreshing their verdicts.
+        "ngram_classifier": q_ngram_classifier,
+        "session_window": q_session_window,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2803,11 +2808,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bigrams": q_token_bigrams,
         "word_counts": q_word_counts,
         "term_df_idf": q_term_df_idf,
-        "exact_dedup": q_exact_dedup,
-        "hash_sample": q_hash_sample,
         # --- below the driver window: every entry here holds an
         # r04 driver verdict on unchanged code (weighted_sample: r03).
         "weighted_sample": q_weighted_sample,
+        "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
         "events_unpivot": q_events_unpivot,
         "length_percentiles": q_length_percentiles,
         "topk_terms_per_source": q_topk_terms_per_source,
@@ -2852,7 +2857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
         "pipeline_e2e": q_pipeline_e2e,
-        "ngram_classifier": q_ngram_classifier,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "group_quota": q_group_quota,
@@ -2877,7 +2881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "tumbling_window": q_tumbling_window,
         "distinct_users": q_distinct_users,
-        "session_window": q_session_window,
         "sliding_window": q_sliding_window,
         "events_pivot": q_events_pivot,
     }
@@ -3562,15 +3565,15 @@ rk AS (SELECT sym, n, row_number() OVER (ORDER BY n DESC, sym ASC) AS rank
 SELECT sym, n, rank FROM rk WHERE rank <= 30
 """
 
-# bpe_tokenize: reuse the trained word→syms map (s3 after 2 merges), join
-# each document's word sequence against it, flatten in (word position,
-# symbol position) order, and pin the whole sequence with md5. Docs whose
-# text tokenizes to zero words keep a row (LEFT JOIN): 0 tokens, md5('').
-_ORACLES["bpe_tokenize"] = _BPE_BASE_SQL + f"""
-, d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-dw AS (SELECT doc_id, unnest(toks) AS word,
-              unnest(generate_series(1, len(toks))) AS wi FROM d),
-tk AS (SELECT w.doc_id, w.wi, s.syms FROM dw w JOIN s3 s USING (word)),
+# Shared flatten-and-pin tail for both bpe_tokenize oracles: given a CTE
+# exposing (word, syms), join each document's word sequence against it,
+# flatten in (word position, symbol position) order, and pin the whole
+# sequence with md5. Docs whose text tokenizes to zero words keep a row
+# (LEFT JOIN): 0 tokens, md5('').
+def _bpe_flatten_sql(wordmap_cte: str) -> str:
+    return f"""
+tk AS (SELECT w.doc_id, w.wi, s.syms
+       FROM dw w JOIN {wordmap_cte} s USING (word)),
 fl AS (SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS si,
               unnest(syms) AS sym FROM tk),
 per AS (SELECT doc_id, list(sym ORDER BY wi, si) AS toks
@@ -3581,18 +3584,29 @@ SELECT d.doc_id,
 FROM d LEFT JOIN per p USING (doc_id)
 """
 
+
+_BPE_DOCWORDS_SQL = f"""
+d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dw AS (SELECT doc_id, unnest(toks) AS word,
+              unnest(generate_series(1, len(toks))) AS wi FROM d),
+"""
+
+# bpe_tokenize (merge mode): the trained word→syms map IS s3 (the word
+# table after both merge steps).
+_ORACLES["bpe_tokenize"] = (
+    _BPE_BASE_SQL + ", " + _BPE_DOCWORDS_SQL + _bpe_flatten_sql("s3")
+)
+
 # bpe_tokenize_longest: greedy longest-match segmentation replayed with a
 # recursive CTE — per distinct word, advance a cursor through word||'</w>'
 # emitting the longest matching vocab symbol (the two merged strings;
 # ties lexicographic), else the whole sentinel, else one char — exactly
 # operators/bpe.py:_encode_word_longest. Recursion terminates because pos
 # strictly advances by len(hit) >= 1 each step.
-_ORACLES["bpe_tokenize_longest"] = _BPE_BASE_SQL + f"""
+_ORACLES["bpe_tokenize_longest"] = _BPE_BASE_SQL + """
 , vocab AS (SELECT l || r AS sym FROM best1
             UNION ALL SELECT l || r AS sym FROM best2),
-d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-dw AS (SELECT doc_id, unnest(toks) AS word,
-              unnest(generate_series(1, len(toks))) AS wi FROM d),
+""" + _BPE_DOCWORDS_SQL + """
 words AS (SELECT DISTINCT word FROM dw),
 seg AS (
   WITH RECURSIVE walk(word, s, pos, toks) AS (
@@ -3608,17 +3622,8 @@ seg AS (
           CASE WHEN substr(s, CAST(pos AS INTEGER), 4) = '</w>' THEN '</w>'
                ELSE substr(s, CAST(pos AS INTEGER), 1) END) AS hit
       FROM walk WHERE pos <= length(s)))
-  SELECT word, toks FROM walk WHERE pos > length(s)),
-tk AS (SELECT w.doc_id, w.wi, s.toks AS syms FROM dw w JOIN seg s USING (word)),
-fl AS (SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS si,
-              unnest(syms) AS sym FROM tk),
-per AS (SELECT doc_id, list(sym ORDER BY wi, si) AS toks
-        FROM fl GROUP BY doc_id)
-SELECT d.doc_id,
-       CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_bpe_tokens,
-       md5(coalesce(array_to_string(p.toks, ' '), '')) AS bpe_md5
-FROM d LEFT JOIN per p USING (doc_id)
-"""
+  SELECT word, toks AS syms FROM walk WHERE pos > length(s)),
+""" + _bpe_flatten_sql("seg")
 
 _ORACLES["semdedup"] = """
 WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
@@ -3808,11 +3813,16 @@ SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n
 FROM starts GROUP BY s
 """
 
+# gap test on TRUE elapsed time (epoch difference): date_diff('second')
+# counts SECOND-BOUNDARY CROSSINGS, not elapsed seconds — with
+# sub-second timestamps a 1799.34 s gap can cross 1800 boundaries and
+# split a session Spark's session_window (exact-time comparison)
+# merges. Hit once at sf0.1 (r05 full-scale sweep, user 511).
 _ORACLES["session_window"] = """
 WITH g AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -4347,8 +4357,9 @@ s AS (SELECT doc_id, len(grams) AS n_grams,
         / 1000000.0 / greatest(len(grams), 1) AS raw
       FROM g)
 SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
-       round(raw, 6) AS raw_score,
-       round(1.0 / (1.0 + exp(-raw * 4)), 6) AS prob
+       floor(raw * 1000000.0 + 0.5) / 1000000.0 AS raw_score,
+       floor((1.0 / (1.0 + exp(-raw * 4))) * 1000000.0 + 0.5) / 1000000.0
+         AS prob
 FROM s
 """
 

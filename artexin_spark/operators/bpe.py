@@ -368,8 +368,15 @@ def bpe_tokenize(
 
     from .dedup import tokens_col
 
-    ranks = merge_ranks(merges)
-    by_first = vocab_by_first(ranks) if mode == "longest" else None
+    # bind exactly ONE model structure into the closure: in longest mode
+    # the ranks dict is only an intermediate — capturing both would ship
+    # ~2x the model bytes to every task for zero work
+    if mode == "merge":
+        model = merge_ranks(merges)
+        encode_one = _encode_word_ranks
+    else:
+        model = vocab_by_first(merge_ranks(merges))
+        encode_one = _encode_word_longest
 
     @pandas_udf("array<string>")
     def _encode(batch: pd.Series) -> pd.Series:
@@ -381,11 +388,7 @@ def bpe_tokenize(
                 for w in words:
                     enc = cache.get(w)
                     if enc is None:
-                        enc = (
-                            _encode_word_ranks(w, ranks)
-                            if by_first is None
-                            else _encode_word_longest(w, by_first)
-                        )
+                        enc = encode_one(w, model)
                         cache[w] = enc
                     doc_toks.extend(enc)
             out.append(doc_toks)

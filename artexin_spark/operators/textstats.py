@@ -682,6 +682,20 @@ def _ngram_bucket(g, k: int):
     return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % k
 
 
+def _round6_engine_exact(c):
+    """round(x, 6) as floor(x*1e6 + 0.5)/1e6 — bit-identical in ANY
+    IEEE-double engine, unlike native round(): Spark rounds the SHORTEST
+    DECIMAL REPRESENTATION of the double (BigDecimal.valueOf -> HALF_UP,
+    so a double printing as '-0.0039285' rounds to -0.003929) while
+    DuckDB rounds the true binary value (-0.00392849999... ->
+    -0.003928). Hit once in 500k values at sf0.1 (r05 full-scale sweep,
+    ngram_classifier doc 581). Semantics at exact midpoints: half-up
+    toward +inf; every op here (multiply, add, floor, divide) is a
+    single deterministic IEEE op, leaving engines no discretion."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+
+
 def hashed_ngram_score(
     df: DataFrame,
     weights: list[float],
@@ -723,8 +737,10 @@ def hashed_ngram_score(
         .select(
             F.col(id_col),
             F.size(grams).alias("n_grams"),
-            F.round(s, 6).alias("raw_score"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4)), 6).alias("prob"),
+            _round6_engine_exact(s).alias("raw_score"),
+            _round6_engine_exact(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4))
+            ).alias("prob"),
         )
     )
 
@@ -913,8 +929,10 @@ def hashed_ngram_score_table(
     return out.select(
         F.col(id_col),
         F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
-        F.round(s, 6).alias("raw_score"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4)), 6).alias("prob"),
+        _round6_engine_exact(s).alias("raw_score"),
+        _round6_engine_exact(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-s * 4))
+        ).alias("prob"),
     )
 
 

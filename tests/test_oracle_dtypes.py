@@ -20,22 +20,29 @@ alongside Spark's integer/long output:
 
 Authors must ``CAST(... AS BIGINT)`` (or DOUBLE when the Spark side is
 genuinely floating) so the local gate and the driver gate agree.
+
+Table wiring (names + view registration) is imported from
+tools/check_entry.py — one source of truth, so a future gate-table
+addition cannot silently lag here.
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools")
+)
+from check_entry import register_views  # noqa: E402
+
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents "
-    "embeddings"
-).split()
 
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
@@ -43,10 +50,7 @@ BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 @pytest.fixture(scope="module")
 def con():
     con = duckdb.connect()
-    for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    register_views(con, SF_DIR)
     yield con
     con.close()
 

@@ -19,6 +19,17 @@ TABLES = (
 ).split()
 
 
+def register_views(con, sf_dir: str) -> None:
+    """Create one DuckDB view per gate table over the sf parquet files —
+    the single source of the oracle schema wiring (tests/
+    test_oracle_dtypes.py imports this so a future table addition cannot
+    silently lag there)."""
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+
 def kind(dtype) -> str:
     """Coarse dtype class used for cross-engine strictness: the driver
     hashes raw values, so an int64 4568 on one engine vs a float64
@@ -54,10 +65,7 @@ def main(only: list[str] | None = None) -> int:
 
     spark = get_spark("check-entry")
     con = duckdb.connect()
-    for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    register_views(con, SF_DIR)
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     if only:
