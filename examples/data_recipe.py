@@ -10,6 +10,10 @@ sequences through the engine's curation operators:
    "N tokens of source X", the data-recipe knob.
 3. **Chunking**: `chunk_documents` slides a bounded overlapping token
    window over the survivors — the sequences a trainer consumes.
+4. **Subword tokenization**: `bpe_train` learns the merge vocabulary on
+   the curated corpus, `bpe_tokenize` applies it as one vectorized
+   Arrow stage (rank-replay; cost flat in merge count) — the final
+   text→token-id-ready representation.
 
 Every step is a plain DataFrame→DataFrame operator; the curate gate's
 survivors persist once because the demo drives several separate actions
@@ -73,6 +77,23 @@ def main() -> None:
         f"(bound 64), mean {stats['av']:.1f}"
     )
     assert stats["mx"] <= 64
+
+    # subword tokenizer: train merges on the curated corpus, apply via
+    # the inference tokenizer (driver-side model state, one Arrow stage)
+    from artexin_spark.operators import bpe as bp
+
+    merges = bp.bpe_train(survivors, n_merges=8, min_pair_freq=2)
+    toked = bp.bpe_tokenize(survivors, merges, mode="merge")
+    tstats = toked.agg(
+        F.sum("n_bpe_tokens").alias("total"),
+        F.avg("n_bpe_tokens").alias("av"),
+    ).collect()[0]
+    n_merged = merges.count()
+    print(
+        f"bpe: {n_merged} merges learned, {tstats['total']} subword "
+        f"tokens over survivors (mean {tstats['av']:.1f}/doc)"
+    )
+    assert tstats["total"] > 0
     spark.stop()
 
 

@@ -122,3 +122,4 @@ def test_data_recipe_example():
     assert "curate gate:" in r.stdout
     assert "token budget (500/source):" in r.stdout
     assert "chunks:" in r.stdout
+    assert "bpe: 8 merges learned," in r.stdout

@@ -311,3 +311,90 @@ def test_merge_fragment_stats_covers_union(fragments):
     # unknown fragments poison the merge to conservative NULL
     assert _merge_fragment_stats(frags + [None]) is None
     assert _merge_fragment_stats([]) is None
+
+
+# --- BPE inference encoders (operators/bpe.py) -------------------------------
+
+def _ref_sequential_merges(word: str, merges: list[tuple[str, str]]) -> list:
+    """Independent reference: classic BPE application — each learned
+    merge applied ONCE in learned order, left-to-right non-overlapping
+    (the semantics of the engine's `_apply_merge` fold chain)."""
+    syms = list(word) + ["</w>"]
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+_word = st.text(alphabet="ab'0", min_size=1, max_size=12)
+
+
+@given(
+    _word,
+    st.lists(st.integers(0, 60), min_size=0, max_size=10),
+)
+@settings(max_examples=400, deadline=None)
+def test_bpe_rank_replay_equals_sequential_merge_order(word, seed_idx):
+    """Rank-replay (the inference tokenizer's mode='merge' encoder) ==
+    sequential merge-order application, on random words over a tiny
+    alphabet (maximizing pair collisions/overlaps) and random VALID merge
+    tables: each merge's sides are drawn from symbols producible at that
+    point, duplicate merged strings skipped (the documented equivalence
+    precondition, asserted by the parity tests on real trainings too)."""
+    from artexin_spark.operators.bpe import _encode_word_ranks
+
+    # grow a valid merge table: sides drawn from the producible symbol
+    # pool (chars + sentinel + previously merged), dedup on merged string
+    pool = ["a", "b", "'", "0", "</w>"]
+    merges: list[tuple[str, str]] = []
+    seen = set()
+    for ix in seed_idx:
+        left = pool[ix % len(pool)]
+        right = pool[(ix // len(pool)) % len(pool)]
+        if right == "</w>" and left == "</w>":
+            continue
+        m = left + right
+        if m in seen:
+            continue
+        seen.add(m)
+        merges.append((left, right))
+        pool.append(m)
+    ranks = {pair: i + 1 for i, pair in enumerate(merges)}
+    got = _encode_word_ranks(word, ranks)
+    want = _ref_sequential_merges(word, merges)
+    assert got == want, (word, merges, got, want)
+    # segmentations always reconstruct the word exactly
+    assert "".join(got) == word + "</w>"
+
+
+@given(_word, st.lists(st.integers(0, 60), min_size=0, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_bpe_longest_match_is_valid_segmentation(word, seed_idx):
+    """Greedy longest-match always yields a VALID segmentation (tokens
+    reconcatenate to word+sentinel) with every multi-char token drawn
+    from the vocab — even where it diverges from merge order."""
+    from artexin_spark.operators.bpe import (
+        _encode_word_longest,
+        vocab_by_first,
+    )
+
+    pool = ["a", "b", "'", "0", "</w>"]
+    merges = []
+    for ix in seed_idx:
+        left = pool[ix % len(pool)]
+        right = pool[(ix // len(pool)) % len(pool)]
+        merges.append((left, right))
+        pool.append(left + right)
+    bf = vocab_by_first({p: i for i, p in enumerate(merges)})
+    toks = _encode_word_longest(word, bf)
+    assert "".join(toks) == word + "</w>"
+    vocab = {l + r for l, r in merges}
+    for t in toks:
+        assert len(t) == 1 or t == "</w>" or t in vocab, (word, toks, t)
