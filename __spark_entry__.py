@@ -2691,9 +2691,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # len(_DRIVER_WINDOW_PRIORITY) entries match it exactly, so an accidental
 # dict reorder can never silently push a changed query out of the check
 # window. r05 priority, in order:
-#   1. r05-CHANGED queries (bpe oracle BIGINT casts; semdedup/bigram_lm
-#      operator internals) and r05 additions (bpe_tokenize,
-#      ann_ivf_trained — first driver verdict);
+#   1. r05-CHANGED queries (ngram_classifier + session_window — both
+#      oracles repaired after the sf0.1 full-registry sweep caught
+#      boundary divergences, hence positions 1-2; bpe oracle BIGINT
+#      casts; semdedup/bigram_lm operator internals) and r05 additions
+#      (bpe_tokenize, bpe_tokenize_longest, ann_ivf_trained — first
+#      driver verdict);
 #   2. the r04-continuation additions holding a single (r04) verdict;
 #   3. oldest-verdict entries (r02 then r03), refreshing their verdicts.
 # Every entry pushed out holds an r04 verdict on unchanged code.

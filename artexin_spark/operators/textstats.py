@@ -691,8 +691,8 @@ def _round6_engine_exact(c):
     -0.003928). Hit once in 500k values at sf0.1 (r05 full-scale sweep,
     ngram_classifier doc 581). Semantics at exact midpoints: half-up
     toward +inf; every op here (multiply, add, floor, divide) is a
-    single deterministic IEEE op, leaving engines no discretion."""
-    c = F.col(c) if isinstance(c, str) else c
+    single deterministic IEEE op, leaving engines no discretion.
+    Takes a Column expression (all call sites pass one)."""
     return F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
 
 

@@ -28,19 +28,24 @@ addition cannot silently lag here.
 
 from __future__ import annotations
 
+import importlib.util
 import os
-import sys
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "tools")
+# scoped file import (never touches sys.path: inserting tools/ at the
+# front would shadow same-named modules for the whole pytest process)
+_ce_path = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "check_entry.py",
 )
-from check_entry import register_views  # noqa: E402
+_spec = importlib.util.spec_from_file_location("_gate_check_entry", _ce_path)
+_gate = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_gate)
+register_views = _gate.register_views
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
 
