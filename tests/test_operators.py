@@ -2511,6 +2511,34 @@ def test_bigram_lm_score_matches_hand_model(spark):
     assert out[3][1] > out[1][1]
 
 
+def test_bigram_lm_score_persist_path_identical(spark, docs):
+    """persist=True (cache the shared (id, _toks) projection once
+    instead of re-tokenizing per aggregate branch) must be a pure
+    execution-strategy knob: row-for-row identical output, one cache
+    attached and releasable via the operators seam."""
+    from artexin_spark import operators as ops
+
+    d = docs.limit(120).select("doc_id", "text")
+    base = {
+        r.doc_id: (r.n_bigrams, r.mean_logprob)
+        for r in textstats.bigram_lm_score(d).collect()
+    }
+    cached = textstats.bigram_lm_score(d, persist=True)
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logprob) for r in cached.collect()
+    }
+    assert got == base
+    assert ops.release_caches(cached) == 1
+    # released frame releases nothing twice; default path attaches none
+    assert ops.release_caches(cached) == 0
+    assert ops.release_caches(textstats.bigram_lm_score(d)) == 0
+    # the context manager holds the handle across derived transforms
+    with ops.released_after(textstats.bigram_lm_score(d, persist=True)) as ra:
+        assert ra.filter("n_bigrams > 0").count() > 0
+    # handle released on exit even though the body only used a derived df
+    assert ops.release_caches(ra) == 0
+
+
 def test_rrf_fuse_integer_scores_and_order(spark):
     lex = spark.createDataFrame(
         [(10, 1), (20, 2), (30, 3)], "id long, rank int"
