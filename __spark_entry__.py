@@ -1959,6 +1959,27 @@ def q_ann_ivf_trained(spark, sf_dir):
     return out.select("query_id", "centroid_id", "neighbor_id", "rank")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): top-30 raw documents by
+    hashed-bigram importance weight against the English subset as the
+    target distribution — the distribution-matching selection step of a
+    pretraining-data recipe. λ = ln p_target − ln p_raw over 64 md5
+    buckets (add-1 smoothing) quantizes once on the driver to integer
+    micro-units, so each doc's log_w is an exact int64 sum replayed by
+    the oracle from the same integer bucket counts
+    (sampling.dsir_select, mode='topk'). Null-text docs score a null
+    log_w (Spark sorts them past the cut; the oracle's inner join drops
+    them) — equivalent whenever k ≤ the scored-doc count, which the
+    corpus guard in _dsir_lambda implies at every test scale."""
+    from artexin_spark.operators import sampling as sp
+
+    docs = _docs(spark, sf_dir)
+    return sp.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k_docs=30,
+        n=2, n_buckets=64, alpha=1.0,
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (the bucketed scale path next to
     `ann_ivf`): per-table sign-bit bucket join → exact cosine within
@@ -2695,8 +2716,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      oracles repaired after the sf0.1 full-registry sweep caught
 #      boundary divergences, hence positions 1-2; bpe oracle BIGINT
 #      casts; semdedup/bigram_lm operator internals) and r05 additions
-#      (bpe_tokenize, bpe_tokenize_longest, ann_ivf_trained — first
-#      driver verdict);
+#      (bpe_tokenize, bpe_tokenize_longest, ann_ivf_trained, and the
+#      late-r05 dsir_select — first driver verdict);
 #   2. the r04-continuation additions holding a single (r04) verdict;
 #   3. oldest-verdict entries (r02 then r03), refreshing their verdicts.
 # Every entry pushed out holds an r04 verdict on unchanged code.
@@ -2708,6 +2729,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_tokenize",
     "bpe_tokenize_longest",
     "ann_ivf_trained",
+    "dsir_select",
     "semdedup",
     "bigram_lm",
     "ngram_train",
@@ -2750,8 +2772,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_unigrams",
     "token_bigrams",
     "word_counts",
-    "term_df_idf",
 ]
+# term_df_idf rotated out of the 50-entry window to admit dsir_select —
+# it holds r02/r03 driver verdicts on unchanged code (the rotation
+# invariant: every entry pushed out keeps an r02+ verdict).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2768,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_tokenize_longest": q_bpe_tokenize_longest,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "bigram_lm": q_bigram_lm,
         "ngram_train": q_ngram_train,
@@ -4364,6 +4389,42 @@ SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
        floor((1.0 / (1.0 + exp(-raw * 4))) * 1000000.0 + 0.5) / 1000000.0
          AS prob
 FROM s
+"""
+
+# dsir_select: replay the driver-side λ derivation from the same integer
+# bucket counts — ln over identical rational arguments (the unigram_lm
+# ln precedent), floor(λ·1e6 + 0.5) matching sampling.dsir_importance's
+# math.floor quantization bit-for-bit (margin audit-tested in
+# tests/test_operators.py), then the exact int64 per-doc sum and the
+# deterministic (log_w DESC, doc_id ASC) top-30 cut.
+_ORACLES["dsir_select"] = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, lang,
+        (CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])
+          ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t),
+e AS (SELECT doc_id, lang,
+        CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) % 64 AS b
+      FROM (SELECT doc_id, lang, unnest(grams) AS gr FROM g)
+      WHERE gr IS NOT NULL),
+rb AS (SELECT b, count(*) AS c FROM e GROUP BY b),
+tb AS (SELECT b, count(*) AS c FROM e WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM rb) AS tr, (SELECT sum(c) FROM tb) AS tt),
+lam AS (SELECT s.i AS b,
+          CAST(floor((ln((coalesce(tb.c, 0) + 1.0) / (tot.tt + 64.0))
+                    - ln((coalesce(rb.c, 0) + 1.0) / (tot.tr + 64.0)))
+               * 1000000.0 + 0.5) AS BIGINT) AS ilam
+        FROM generate_series(0, 63) s(i)
+        LEFT JOIN tb ON tb.b = s.i LEFT JOIN rb ON rb.b = s.i CROSS JOIN tot),
+ds AS (SELECT e.doc_id, sum(lam.ilam) AS s
+       FROM e JOIN lam ON e.b = lam.b GROUP BY e.doc_id),
+ng AS (SELECT doc_id, len(grams) AS n_grams FROM g)
+SELECT ng.doc_id, CAST(ng.n_grams AS INTEGER) AS n_grams,
+       ds.s / 1000000.0 AS log_w
+FROM ng JOIN ds USING (doc_id)
+ORDER BY log_w DESC, doc_id ASC LIMIT 30
 """
 
 _ORACLES["unigram_lm"] = f"""

@@ -386,3 +386,181 @@ def token_budget_sample(
     if source_col:
         cols.append(F.col("_src").alias(source_col))
     return out.select(*cols, "n_tokens", "cum_tokens")
+
+
+def _dsir_lambda(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+) -> tuple[list[float], list[int]]:
+    """The DSIR bucket log-ratio model: λ[b] = ln p̂_target[b] −
+    ln p̂_raw[b] over md5-hashed n-gram buckets with add-``alpha``
+    smoothing. Each corpus contributes one explode → groupBy(bucket)
+    aggregation (map-side partial combine; only k rows per corpus reach
+    the driver — model state, not data). Returns (λ floats, λ in
+    integer micro-units via floor(λ·1e6 + 0.5) — exposed separately so
+    tests can audit the quantization margin against cross-engine ln
+    ulp drift)."""
+    import math
+
+    from .dedup import shingles_from, tokens_col
+    from .textstats import _ngram_bucket
+
+    if n_buckets < 1 or n < 1:
+        raise ValueError("n and n_buckets must be >= 1")
+    if not alpha > 0:
+        raise ValueError("alpha must be > 0 (smoothing pseudo-count)")
+    k = n_buckets
+
+    def _bucket_counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(tokens_col(text_col).alias("_toks"))
+            .select(F.explode(shingles_from("_toks", n)).alias("_g"))
+            .filter(F.col("_g").isNotNull())  # null text -> [null] shingle
+            .groupBy(_ngram_bucket(F.col("_g"), k).alias("_b"))
+            .agg(F.count("*").alias("_c"))
+            .collect()  # k rows — model state, not data
+        )
+        return {int(r["_b"]): int(r["_c"]) for r in rows}
+
+    ct, cr = _bucket_counts(target), _bucket_counts(raw)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    if tr == 0:
+        raise ValueError("raw corpus has no n-grams")
+    if tt == 0:
+        raise ValueError("target corpus has no n-grams")
+    lam = [
+        math.log((ct.get(b, 0) + alpha) / (tt + alpha * k))
+        - math.log((cr.get(b, 0) + alpha) / (tr + alpha * k))
+        for b in range(k)
+    ]
+    return lam, [math.floor(x * 1_000_000.0 + 0.5) for x in lam]
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    "Data Selection for Language Models via Importance Resampling"):
+    score every ``raw`` document by how much its hashed n-gram
+    distribution looks like ``target``'s (the quality corpus — the
+    paper's Wikipedia/books side) versus ``raw``'s own background. Per
+    document, log w = Σ_g λ[bucket(g)], where λ[b] =
+    ln(p_target[b]) − ln(p_raw[b]) over ``n_buckets`` md5-hashed n-gram
+    buckets with add-``alpha`` smoothing — the paper's bag-of-hashed-
+    ngrams importance estimator, the standard distribution-matching
+    data-selection step between heuristic quality filters and training.
+
+    Engine-exact: λ quantizes ONCE on the driver to integer micro-units
+    (floor(λ·1e6 + 0.5), the `_round6_engine_exact` convention from
+    textstats), so the per-document score is an exact int64 sum —
+    independent of summation order, bit-reproducible in any engine; the
+    DuckDB oracle recomputes λ from the same integer bucket counts (ln
+    of identical rational arguments — the `unigram_lm` precedent) and
+    the quantization margin is audit-tested far above double ulp.
+
+    Scale shape (100 TB raw corpus): each corpus contributes ONE
+    explode → groupBy(bucket) aggregation — map-side partial combine
+    collapses it to ``n_buckets`` rows per partition before the (tiny)
+    shuffle, and only the two k-row count tables ever reach the driver
+    (model state, same seam as ``textstats.hashed_ngram_fit``). Scoring
+    is a PURE projection — the λ vector ships as a literal array inside
+    the plan (zero joins, zero shuffle, zero Python; above ~10^5
+    buckets swap the literal for a weight-table join, the
+    ``hashed_ngram_score_table`` seam). Null/empty texts score through
+    in-band: null text → [null] gram → null log_w, never an error row.
+
+    Returns (id, n_grams int, log_w double), log_w an exact multiple of
+    1e-6."""
+    from .dedup import shingles_from, tokens_col
+    from .textstats import _ngram_bucket
+
+    k = n_buckets
+    _, ilam = _dsir_lambda(
+        raw, target, text_col=text_col, n=n, n_buckets=n_buckets, alpha=alpha
+    )
+    larr = F.array(*[F.lit(v).cast("long") for v in ilam])
+    grams = F.col("_grams")
+    return (
+        raw.withColumn("_toks", tokens_col(text_col))
+        .withColumn("_grams", shingles_from("_toks", n))
+        .select(
+            F.col(id_col),
+            F.size(grams).alias("n_grams"),
+            (
+                F.aggregate(
+                    grams,
+                    F.lit(0).cast("long"),
+                    lambda acc, g: acc
+                    + F.element_at(larr, (_ngram_bucket(g, k) + 1).cast("int")),
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("log_w"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    mode: str = "topk",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Select ``k_docs`` documents from ``raw`` by DSIR importance
+    (``dsir_importance`` above). Two selection rules:
+
+    - ``mode='topk'`` — deterministic top-k by (log_w DESC, id ASC):
+      the greedy distribution-matching cut, exactly SQL-expressible
+      (the oracle-gated path).
+    - ``mode='gumbel'`` — the paper's importance RESAMPLING without
+      replacement via the Gumbel-top-k trick: key = log_w + Gumbel
+      noise, noise derived deterministically from md5(salt|id) (u =
+      (h + 0.5) / 16^15, g = −ln(−ln u), quantized to micro-units), so
+      the "random" sample is content-keyed — identical across reruns,
+      resumes, and engines, like every sampler in this module.
+
+    Scale shape: selection is Spark's TakeOrderedAndProject — each
+    partition keeps its local top-k, only k·P candidate rows move (no
+    global sort of the corpus). k_docs is a driver-materialized result
+    by definition (it's the selected set), so k must be
+    driver-friendly; for billion-row cuts use a threshold filter on
+    log_w instead (approx quantile → filter), documented here as the
+    above-top-k seam."""
+    imp = dsir_importance(
+        raw, target, text_col=text_col, id_col=id_col, n=n,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    if k_docs < 1:
+        raise ValueError("k_docs must be >= 1")
+    if mode == "topk":
+        return imp.orderBy(F.desc("log_w"), F.asc(id_col)).limit(k_docs)
+    if mode != "gumbel":
+        raise ValueError(f"mode must be 'topk' or 'gumbel', not {mode!r}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / float(16**15)
+    gum = F.floor(-F.log(-F.log(u)) * 1_000_000.0 + F.lit(0.5)).cast("long")
+    key = (F.col("log_w") * 1_000_000.0).cast("long") + gum
+    return (
+        imp.withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k_docs)
+        .drop("_key")
+    )

@@ -123,6 +123,7 @@ def long_docs(spark, segments: int, n_docs: int = 400):
 def main() -> None:
     from artexin_spark.operators import bpe as bp
     from artexin_spark.operators import dedup as dd
+    from artexin_spark.operators import sampling as sp
     from artexin_spark.operators import similarity as sim
     from artexin_spark.session import get_spark
 
@@ -190,6 +191,13 @@ def main() -> None:
             # with the corpus here: the WORST case for this op).
             "bpe_train4": lambda d=docs: bp.bpe_train(
                 d, n_merges=4, min_pair_freq=2
+            ).count(),
+            # DSIR: two k-row bucket-count aggs (target + raw, map-side
+            # partial) + one literal-array scoring projection + a
+            # TakeOrderedAndProject top-k — every stage linear in corpus
+            # tokens, nothing keyed on a corpus-sized relation.
+            "dsir_select": lambda d=docs: sp.dsir_select(
+                d, d.filter("doc_id % 5 = 0"), k_docs=30
             ).count(),
         }
         for name, fn in ops.items():

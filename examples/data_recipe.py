@@ -5,12 +5,16 @@ sequences through the engine's curation operators:
    quality scoring, exact dedup and eval-set decontamination into one
    frame (the Bloom variant `bloom_contamination` is the drop-in when
    the eval shingle set outgrows the broadcast).
-2. **Mixture cut**: `token_budget_sample` keeps each source's documents
+2. **Distribution matching**: `dsir_select` ranks the raw pool by DSIR
+   importance against the curated survivors as the target distribution
+   (hashed-bigram log-ratio) — the paper's move for growing a quality
+   corpus from a much larger raw one.
+3. **Mixture cut**: `token_budget_sample` keeps each source's documents
    in deterministic id-hash order until the per-source token budget —
    "N tokens of source X", the data-recipe knob.
-3. **Chunking**: `chunk_documents` slides a bounded overlapping token
+4. **Chunking**: `chunk_documents` slides a bounded overlapping token
    window over the survivors — the sequences a trainer consumes.
-4. **Subword tokenization**: `bpe_train` learns the merge vocabulary on
+5. **Subword tokenization**: `bpe_train` learns the merge vocabulary on
    the curated corpus, `bpe_tokenize` applies it as one vectorized
    Arrow stage (rank-replay; cost flat in merge count) — the final
    text→token-id-ready representation.
@@ -49,6 +53,15 @@ def main() -> None:
         kept.select("doc_id"), "doc_id", "left_semi"
     ).persist()
     print(f"curate gate: {docs.count()} docs -> {survivors.count()} kept")
+
+    # DSIR: pull the raw docs that look most like the curated target —
+    # how a quality corpus grows beyond what the hard gate admits
+    expand = sp.dsir_select(docs, survivors, k_docs=40)
+    already = expand.join(survivors, "doc_id", "left_semi").count()
+    print(
+        f"dsir: top-40 target-like raw docs, {already} already curated, "
+        f"{40 - already} new"
+    )
 
     budget = 500
     cut = sp.token_budget_sample(

@@ -120,6 +120,7 @@ def test_data_recipe_example():
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "curate gate:" in r.stdout
+    assert "dsir: top-40 target-like raw docs," in r.stdout
     assert "token budget (500/source):" in r.stdout
     assert "chunks:" in r.stdout
     assert "bpe: 8 merges learned," in r.stdout

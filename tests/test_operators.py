@@ -2798,3 +2798,71 @@ def test_connected_components_shortcut_solves_long_chains(spark):
         key=str,
     )
     assert plain == jump
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR (sampling.dsir_importance): docs written in the target's
+    style must outrank off-distribution docs — every style-A doc's
+    log_w above every style-B doc's when the target is an A sample."""
+    from artexin_spark.operators import sampling as sp
+
+    a = [f"the quick brown fox jumps over the lazy dog number {i}"
+         for i in range(10)]
+    b = [f"zzz{i} qqq www eee rrr ttt yyy uuu iii ooo" for i in range(10)]
+    raw = spark.createDataFrame(
+        list(enumerate(a + b)), "doc_id long, text string"
+    )
+    tgt = raw.filter("doc_id < 10")
+    imp = sp.dsir_importance(raw, tgt).toPandas().set_index("doc_id")
+    assert imp.loc[0:9, "log_w"].min() > imp.loc[10:19, "log_w"].max()
+    # log_w is an exact micro-unit multiple (int64 sum / 1e6)
+    assert all(
+        abs(v * 1e6 - round(v * 1e6)) < 1e-6 for v in imp["log_w"]
+    )
+
+
+def test_dsir_select_determinism_and_validation(spark, docs):
+    """dsir_select: top-k is partitioning-invariant and sorted by
+    (log_w DESC, id ASC); gumbel mode is content-keyed deterministic;
+    bad args raise."""
+    import pytest as _pytest
+
+    from artexin_spark.operators import sampling as sp
+
+    tgt = docs.filter("lang = 'en'")
+    t1 = sp.dsir_select(docs, tgt, 20).toPandas()
+    t2 = sp.dsir_select(docs.repartition(7), tgt, 20).toPandas()
+    assert t1.equals(t2)
+    assert len(t1) == 20
+    w = list(t1["log_w"])
+    assert w == sorted(w, reverse=True)
+    g1 = sp.dsir_select(docs, tgt, 20, mode="gumbel").toPandas()
+    g2 = sp.dsir_select(docs, tgt, 20, mode="gumbel").toPandas()
+    assert g1.equals(g2)
+    assert set(g1.columns) == set(t1.columns)  # noise never leaks out
+    with _pytest.raises(ValueError):
+        sp.dsir_select(docs, tgt, 0)
+    with _pytest.raises(ValueError):
+        sp.dsir_select(docs, tgt, 5, mode="nope")
+    with _pytest.raises(ValueError):
+        sp.dsir_importance(docs, tgt, alpha=0.0)
+    with _pytest.raises(ValueError):
+        sp.dsir_importance(docs, tgt.filter("doc_id < 0"))  # empty target
+
+
+def test_dsir_lambda_quantization_margin(spark, docs):
+    """The gated query's λ values must sit FAR from their micro-unit
+    rounding boundaries: the driver quantizes with Python libm ln, the
+    oracle with DuckDB ln — a few-ulp disagreement (≈1e-9 at this
+    magnitude) must never flip floor(λ·1e6 + 0.5). Margin ≥ 1e-6 is
+    ~1000 ulps of slack; measured ≥ 1e-3 on the test corpora."""
+    import math
+
+    from artexin_spark.operators import sampling as sp
+
+    lam, ilam = sp._dsir_lambda(docs, docs.filter("lang = 'en'"))
+    assert len(lam) == len(ilam) == 64
+    for x, i in zip(lam, ilam):
+        v = x * 1_000_000.0 + 0.5
+        assert i == math.floor(v)
+        assert min(v - math.floor(v), math.ceil(v) - v) > 1e-6
