@@ -1969,8 +1969,9 @@ def q_dsir_select(spark, sf_dir):
     the oracle from the same integer bucket counts
     (sampling.dsir_select, mode='topk'). Null-text docs score a null
     log_w (Spark sorts them past the cut; the oracle's inner join drops
-    them) — equivalent whenever k ≤ the scored-doc count, which the
-    corpus guard in _dsir_lambda implies at every test scale."""
+    them) — a divergence ONLY if fewer than k=30 docs score, a
+    precondition the testdata corpora satisfy at every scale (zero
+    null-text documents; 50+ docs even at sf0.001)."""
     from artexin_spark.operators import sampling as sp
 
     docs = _docs(spark, sf_dir)

@@ -482,13 +482,13 @@ def dsir_importance(
     Returns (id, n_grams int, log_w double), log_w an exact multiple of
     1e-6."""
     from .dedup import shingles_from, tokens_col
-    from .textstats import _ngram_bucket
 
     k = n_buckets
     _, ilam = _dsir_lambda(
         raw, target, text_col=text_col, n=n, n_buckets=n_buckets, alpha=alpha
     )
-    larr = F.array(*[F.lit(v).cast("long") for v in ilam])
+    from .textstats import _bucket_literal_sum
+
     grams = F.col("_grams")
     return (
         raw.withColumn("_toks", tokens_col(text_col))
@@ -497,12 +497,7 @@ def dsir_importance(
             F.col(id_col),
             F.size(grams).alias("n_grams"),
             (
-                F.aggregate(
-                    grams,
-                    F.lit(0).cast("long"),
-                    lambda acc, g: acc
-                    + F.element_at(larr, (_ngram_bucket(g, k) + 1).cast("int")),
-                ).cast("double")
+                _bucket_literal_sum(grams, ilam, k).cast("double")
                 / 1_000_000.0
             ).alias("log_w"),
         )
@@ -529,10 +524,12 @@ def dsir_select(
       (the oracle-gated path).
     - ``mode='gumbel'`` — the paper's importance RESAMPLING without
       replacement via the Gumbel-top-k trick: key = log_w + Gumbel
-      noise, noise derived deterministically from md5(salt|id) (u =
-      (h + 0.5) / 16^15, g = −ln(−ln u), quantized to micro-units), so
-      the "random" sample is content-keyed — identical across reruns,
-      resumes, and engines, like every sampler in this module.
+      noise, noise derived deterministically from md5(salt|id) (h
+      folded to 50 bits so u = (h + 0.5)/2^50 is an EXACT double
+      strictly inside (0, 1) — no null-ln edge; g = −ln(−ln u),
+      quantized to micro-units), so the "random" sample is
+      content-keyed — identical across reruns, resumes, and engines,
+      like every sampler in this module.
 
     Scale shape: selection is Spark's TakeOrderedAndProject — each
     partition keeps its local top-k, only k·P candidate rows move (no
@@ -541,23 +538,29 @@ def dsir_select(
     driver-friendly; for billion-row cuts use a threshold filter on
     log_w instead (approx quantile → filter), documented here as the
     above-top-k seam."""
+    # validate BEFORE the importance model runs its two corpus aggs —
+    # a typo'd mode must fail instantly, not after a 100 TB scan
+    if k_docs < 1:
+        raise ValueError("k_docs must be >= 1")
+    if mode not in ("topk", "gumbel"):
+        raise ValueError(f"mode must be 'topk' or 'gumbel', not {mode!r}")
     imp = dsir_importance(
         raw, target, text_col=text_col, id_col=id_col, n=n,
         n_buckets=n_buckets, alpha=alpha,
     )
-    if k_docs < 1:
-        raise ValueError("k_docs must be >= 1")
     if mode == "topk":
         return imp.orderBy(F.desc("log_w"), F.asc(id_col)).limit(k_docs)
-    if mode != "gumbel":
-        raise ValueError(f"mode must be 'topk' or 'gumbel', not {mode!r}")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15),
-        16, 10,
-    ).cast("long")
-    u = (h.cast("double") + 0.5) / float(16**15)
+    from .dedup import md5_int60
+
+    # fold the 60-bit hash to 50 bits: x + 0.5 is exact below 2^52 and
+    # u < 1 strictly, so -ln(-ln u) can never hit the null-ln edge
+    h = md5_int60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    u = ((h % F.lit(2**50)).cast("double") + 0.5) / float(2**50)
     gum = F.floor(-F.log(-F.log(u)) * 1_000_000.0 + F.lit(0.5)).cast("long")
-    key = (F.col("log_w") * 1_000_000.0).cast("long") + gum
+    # recover the exact int64 micro-unit sum from log_w with the module's
+    # half-up convention — a bare cast truncates (s/1e6)*1e6 one unit low
+    # for ~2% of values
+    key = F.floor(F.col("log_w") * 1_000_000.0 + F.lit(0.5)).cast("long") + gum
     return (
         imp.withColumn("_key", key)
         .orderBy(F.desc("_key"), F.asc(id_col))

@@ -696,6 +696,22 @@ def _round6_engine_exact(c):
     return F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
 
 
+def _bucket_literal_sum(grams, int_weights: list[int], k: int):
+    """Exact int64 fold Σ_g w[bucket(g)] with the integer weight vector
+    shipped as a plan LITERAL array — the engine-exactness-critical
+    primitive shared by ``hashed_ngram_score`` and
+    ``sampling.dsir_importance`` (one audited implementation: the sum is
+    order-independent int64 arithmetic, so Spark's sequential fold and
+    an oracle's list_sum agree to the bit)."""
+    warr = F.array(*[F.lit(v).cast("long") for v in int_weights])
+    return F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(warr, (_ngram_bucket(g, k) + 1).cast("int")),
+    )
+
+
 def hashed_ngram_score(
     df: DataFrame,
     weights: list[float],
@@ -718,19 +734,9 @@ def hashed_ngram_score(
     # sequential fold and an oracle's pairwise list_sum agree to the bit
     # (a float sum diverges in the 7th decimal and flips round(…, 6))
     iw = [int(round(float(w) * 1_000_000)) for w in weights]
-    warr = F.array(*[F.lit(v).cast("long") for v in iw])
     grams = F.col("_grams")
-    bucket = lambda g: _ngram_bucket(g, k)
     total = F.greatest(F.size(grams), F.lit(1))
-    s = (
-        F.aggregate(
-            grams,
-            F.lit(0).cast("long"),
-            lambda acc, g: acc + F.element_at(warr, (bucket(g) + 1).cast("int")),
-        ).cast("double")
-        / 1_000_000.0
-        / total
-    )
+    s = _bucket_literal_sum(grams, iw, k).cast("double") / 1_000_000.0 / total
     return (
         df.withColumn("_toks", tokens_col(text_col))
         .withColumn("_grams", shingles_from("_toks", n))

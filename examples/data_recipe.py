@@ -7,8 +7,9 @@ sequences through the engine's curation operators:
    the eval shingle set outgrows the broadcast).
 2. **Distribution matching**: `dsir_select` ranks the raw pool by DSIR
    importance against the curated survivors as the target distribution
-   (hashed-bigram log-ratio) — the paper's move for growing a quality
-   corpus from a much larger raw one.
+   (hashed-bigram log-ratio); target-like docs the hard gate rejected
+   join the pool — the paper's move for growing a quality corpus from
+   a much larger raw one.
 3. **Mixture cut**: `token_budget_sample` keeps each source's documents
    in deterministic id-hash order until the per-source token budget —
    "N tokens of source X", the data-recipe knob.
@@ -55,17 +56,22 @@ def main() -> None:
     print(f"curate gate: {docs.count()} docs -> {survivors.count()} kept")
 
     # DSIR: pull the raw docs that look most like the curated target —
-    # how a quality corpus grows beyond what the hard gate admits
+    # how a quality corpus grows beyond what the hard gate admits; the
+    # new finds join the pool every later step consumes
     expand = sp.dsir_select(docs, survivors, k_docs=40)
-    already = expand.join(survivors, "doc_id", "left_semi").count()
+    n_sel = expand.count()
+    new_docs = docs.join(expand.select("doc_id"), "doc_id", "left_semi").join(
+        survivors.select("doc_id"), "doc_id", "left_anti"
+    )
+    pool = survivors.unionByName(new_docs).persist()
     print(
-        f"dsir: top-40 target-like raw docs, {already} already curated, "
-        f"{40 - already} new"
+        f"dsir: top-40 target-like raw docs, {n_sel - new_docs.count()} "
+        f"already curated, {new_docs.count()} new -> pool {pool.count()}"
     )
 
     budget = 500
     cut = sp.token_budget_sample(
-        survivors, budget=budget, source_col="source"
+        pool, budget=budget, source_col="source"
     )
     per_src = (
         cut.groupBy("source")
@@ -77,7 +83,7 @@ def main() -> None:
         print(f"  {r['source']}: {r['docs']} docs, {r['tokens']} tokens")
 
     chunked = sp.chunk_documents(
-        survivors.join(cut.select("doc_id"), "doc_id", "left_semi"),
+        pool.join(cut.select("doc_id"), "doc_id", "left_semi"),
         max_tokens=64,
         stride=48,
     )
@@ -95,8 +101,8 @@ def main() -> None:
     # the inference tokenizer (driver-side model state, one Arrow stage)
     from artexin_spark.operators import bpe as bp
 
-    merges = bp.bpe_train(survivors, n_merges=8, min_pair_freq=2)
-    toked = bp.bpe_tokenize(survivors, merges, mode="merge")
+    merges = bp.bpe_train(pool, n_merges=8, min_pair_freq=2)
+    toked = bp.bpe_tokenize(pool, merges, mode="merge")
     tstats = toked.agg(
         F.sum("n_bpe_tokens").alias("total"),
         F.avg("n_bpe_tokens").alias("av"),
@@ -104,7 +110,7 @@ def main() -> None:
     n_merged = merges.count()
     print(
         f"bpe: {n_merged} merges learned, {tstats['total']} subword "
-        f"tokens over survivors (mean {tstats['av']:.1f}/doc)"
+        f"tokens over the pool (mean {tstats['av']:.1f}/doc)"
     )
     assert tstats["total"] > 0
     spark.stop()
