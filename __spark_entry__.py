@@ -1981,6 +1981,26 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_dsir_threshold(spark, sf_dir):
+    """Fraction-based DSIR cut (sampling.dsir_threshold) — the
+    above-top-k scale path: keep the best 6% of the corpus by
+    importance weight with NO global sort (order-aligned weight
+    histogram → boundary bucket → filter + one bucket-local
+    TakeOrderedAndProject). Output provably equals
+    dsir_select(k=ceil(0.06·N)) — the oracle expresses exactly that via
+    a ranked window — so k scales with the corpus (3 docs at sf0.001,
+    30 at sf0.01, 300 at sf0.1). persist=False: the driver gate
+    materializes once, so the shared-projection cache would only
+    outlive its use."""
+    from artexin_spark.operators import sampling as sp
+
+    docs = _docs(spark, sf_dir)
+    return sp.dsir_threshold(
+        docs, docs.filter(F.col("lang") == "en"), frac=0.06,
+        n=2, n_buckets=64, alpha=1.0, persist=False,
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (the bucketed scale path next to
     `ann_ivf`): per-table sign-bit bucket join → exact cosine within
@@ -2731,6 +2751,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_tokenize_longest",
     "ann_ivf_trained",
     "dsir_select",
+    "dsir_threshold",
     "semdedup",
     "bigram_lm",
     "ngram_train",
@@ -2772,11 +2793,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "date_serialize",
     "token_unigrams",
     "token_bigrams",
-    "word_counts",
 ]
-# term_df_idf rotated out of the 50-entry window to admit dsir_select —
-# it holds r02/r03 driver verdicts on unchanged code (the rotation
-# invariant: every entry pushed out keeps an r02+ verdict).
+# term_df_idf and word_counts rotated out of the 50-entry window to
+# admit dsir_select + dsir_threshold — both hold r02/r03 driver
+# verdicts on unchanged code (the rotation invariant: every entry
+# pushed out keeps an r02+ verdict).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2794,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_longest": q_bpe_tokenize_longest,
         "ann_ivf_trained": q_ann_ivf_trained,
         "dsir_select": q_dsir_select,
+        "dsir_threshold": q_dsir_threshold,
         "semdedup": q_semdedup,
         "bigram_lm": q_bigram_lm,
         "ngram_train": q_ngram_train,
@@ -4427,6 +4449,25 @@ SELECT ng.doc_id, CAST(ng.n_grams AS INTEGER) AS n_grams,
 FROM ng JOIN ds USING (doc_id)
 ORDER BY log_w DESC, doc_id ASC LIMIT 30
 """
+
+# dsir_threshold: the engine's no-global-sort histogram cut equals
+# top-ceil(frac·N) by (weight DESC, id ASC) — the oracle expresses that
+# equivalence directly with a ranked window over the same λ replay
+# (ordering by the exact int sum ds.s, which is monotone-injective to
+# log_w = s/1e6 at these magnitudes).
+_ORACLES["dsir_threshold"] = _ORACLES["dsir_select"].replace(
+    """SELECT ng.doc_id, CAST(ng.n_grams AS INTEGER) AS n_grams,
+       ds.s / 1000000.0 AS log_w
+FROM ng JOIN ds USING (doc_id)
+ORDER BY log_w DESC, doc_id ASC LIMIT 30""",
+    """, sel AS (SELECT ng.doc_id, ng.n_grams, ds.s,
+         row_number() OVER (ORDER BY ds.s DESC, ng.doc_id ASC) AS rn,
+         count(*) OVER () AS nn
+       FROM ng JOIN ds USING (doc_id))
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       s / 1000000.0 AS log_w
+FROM sel WHERE rn <= CAST(ceil(0.06 * nn) AS BIGINT)""",
+)
 
 _ORACLES["unigram_lm"] = f"""
 WITH e AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),

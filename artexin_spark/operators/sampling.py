@@ -535,9 +535,9 @@ def dsir_select(
     partition keeps its local top-k, only k·P candidate rows move (no
     global sort of the corpus). k_docs is a driver-materialized result
     by definition (it's the selected set), so k must be
-    driver-friendly; for billion-row cuts use a threshold filter on
-    log_w instead (approx quantile → filter), documented here as the
-    above-top-k seam."""
+    driver-friendly; for billion-row cuts use ``dsir_threshold`` below
+    — the fraction cut via an order-aligned weight histogram, provably
+    the same set as top-ceil(frac·N) without materializing it."""
     # validate BEFORE the importance model runs its two corpus aggs —
     # a typo'd mode must fail instantly, not after a 100 TB scan
     if k_docs < 1:
@@ -567,3 +567,101 @@ def dsir_select(
         .limit(k_docs)
         .drop("_key")
     )
+
+
+def dsir_threshold(
+    raw: DataFrame,
+    target: DataFrame,
+    frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    weight_buckets: int = 1024,
+    persist: bool = True,
+) -> DataFrame:
+    """Fraction-based DSIR cut — the documented above-top-k seam of
+    ``dsir_select``: keep the top ``frac`` of ``raw`` by importance
+    weight WITHOUT ever sorting the corpus. Output is provably the same
+    set as ``dsir_select(..., k_docs=ceil(frac·N), mode='topk')`` —
+    log_w is s/1e6 for an exact int64 s, the mapping is injective and
+    monotone at these magnitudes, and both paths share the
+    (weight DESC, id ASC) order — pinned by a parity test.
+
+    Scale shape (the reason this exists next to top-k): ``dsir_select``
+    materializes k rows on the driver, fine for k in the thousands but
+    not for "keep the best 10% of 10^10 docs". Here the corpus never
+    globally sorts; the plan is the ``token_budget_sample`` two-phase
+    pattern transposed to weights:
+
+    1. one narrow agg finds (N, min_w, max_w); k = ceil(frac·N);
+    2. weights histogram into ≤ ``weight_buckets`` ORDER-ALIGNED
+       buckets (high bits of max_w − w, so bucket order == weight
+       order) — one map-side-partial agg, ≤ weight_buckets rows, the
+       boundary bucket + exact rank-before found driver-side (bounded
+       model state, like every k-row argmax in the engine);
+    3. everything in strictly-higher buckets passes by pure FILTER;
+       only the ONE boundary bucket (≈ N/weight_buckets rows) pays a
+       TakeOrderedAndProject for its tie-exact trim.
+
+    The three passes over the scored frame share one persisted narrow
+    projection (``persist=True``, released via the
+    ``attach_caches``/``release_caches`` seam — call ``release_caches``
+    on the returned object, or wrap in ``released_after``). Null-text
+    docs (null log_w) are excluded from N and the cut — they cannot
+    rank. Returns (id, n_grams, log_w) like ``dsir_select``."""
+    import math
+
+    from pyspark import StorageLevel
+
+    from . import attach_caches
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], not {frac}")
+    if weight_buckets < 1:
+        raise ValueError("weight_buckets must be >= 1")
+    imp = dsir_importance(
+        raw, target, text_col=text_col, id_col=id_col, n=n,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    scored = imp.filter(F.col("log_w").isNotNull()).withColumn(
+        "_w", F.floor(F.col("log_w") * 1_000_000.0 + F.lit(0.5)).cast("long")
+    )
+    if persist:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    head = scored.agg(
+        F.count("*").alias("n"), F.min("_w").alias("lo"), F.max("_w").alias("hi")
+    ).collect()[0]  # 1 row — model state
+    n_scored = int(head["n"])
+    if n_scored == 0:
+        raise ValueError("no scored documents (all-null text?)")
+    k = min(n_scored, max(1, math.ceil(frac * n_scored)))
+    lo, hi = int(head["lo"]), int(head["hi"])
+    span = hi - lo + 1
+    shift = 0
+    while (span >> shift) > weight_buckets:
+        shift += 1
+    bucket = F.shiftright(F.lit(hi) - F.col("_w"), shift)
+    counts = sorted(
+        (
+            (int(r["_b"]), int(r["c"]))
+            for r in scored.groupBy(bucket.alias("_b"))
+            .agg(F.count("*").alias("c"))
+            .collect()  # <= weight_buckets rows — model state
+        )
+    )
+    cum_before, boundary_b = 0, counts[-1][0]
+    for b, c in counts:
+        if cum_before + c >= k:
+            boundary_b = b
+            break
+        cum_before += c
+    keep_above = scored.filter(bucket < boundary_b)
+    boundary = (
+        scored.filter(bucket == boundary_b)
+        .orderBy(F.desc("_w"), F.asc(id_col))
+        .limit(k - cum_before)
+    )
+    out = keep_above.unionByName(boundary).select(id_col, "n_grams", "log_w")
+    return attach_caches(out, [scored]) if persist else out

@@ -2866,3 +2866,55 @@ def test_dsir_lambda_quantization_margin(spark, docs):
         v = x * 1_000_000.0 + 0.5
         assert i == math.floor(v)
         assert min(v - math.floor(v), math.ceil(v) - v) > 1e-6
+
+
+def test_dsir_threshold_equals_topk_including_tie_boundary(spark, docs):
+    """dsir_threshold (the no-global-sort fraction cut) must return
+    EXACTLY dsir_select's top-ceil(frac*N) set — including when the cut
+    lands inside a run of identical weights (the id-order tie trim) —
+    and must release its shared-projection cache through the
+    attach_caches seam."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from artexin_spark.operators import release_caches
+    from artexin_spark.operators import sampling as sp
+
+    tgt = docs.filter("lang = 'en'")
+    N = docs.count()
+    for frac in (0.06, 0.3, 1.0):
+        th = sp.dsir_threshold(docs, tgt, frac)
+        got = th.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert release_caches(th) == 1  # the persisted scored projection
+        k = min(N, max(1, math.ceil(frac * N)))
+        exp = (
+            sp.dsir_select(docs, tgt, k)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp), frac
+    # tie boundary: 20 identical docs, cut selects 6 -> lowest-id trim
+    rows = [(i, "same same text here") for i in range(20)] + [
+        (100 + i, f"uni{i} word{i} extra{i}") for i in range(4)
+    ]
+    dup = spark.createDataFrame(rows, "doc_id long, text string")
+    dtgt = dup.filter("doc_id < 20")
+    th = sorted(
+        r.doc_id
+        for r in sp.dsir_threshold(dup, dtgt, 0.25, persist=False).collect()
+    )
+    tk = sorted(
+        r.doc_id
+        for r in sp.dsir_select(dup, dtgt, math.ceil(0.25 * 24)).collect()
+    )
+    assert th == tk == [0, 1, 2, 3, 4, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.dsir_threshold(docs, tgt, 0.0)
+    with _pytest.raises(ValueError):
+        sp.dsir_threshold(docs, tgt, 1.5)
+    with _pytest.raises(ValueError):
+        sp.dsir_threshold(docs, tgt, 0.5, weight_buckets=0)
