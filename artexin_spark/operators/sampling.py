@@ -388,6 +388,16 @@ def token_budget_sample(
     return out.select(*cols, "n_tokens", "cum_tokens")
 
 
+def _microunits(col):
+    """Recover the exact int64 micro-unit value from a double that IS
+    s/1e6 for integer s (the module's half-up convention,
+    floor(x·1e6 + 0.5)) — a bare ``cast('long')`` truncates
+    ``(s/1e6)·1e6`` one unit low for ~2% of values. Single source of
+    the quantization idiom for dsir_select's Gumbel key and
+    dsir_threshold's histogram weight."""
+    return F.floor(col * 1_000_000.0 + F.lit(0.5)).cast("long")
+
+
 def _dsir_lambda(
     raw: DataFrame,
     target: DataFrame,
@@ -557,10 +567,7 @@ def dsir_select(
     h = md5_int60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     u = ((h % F.lit(2**50)).cast("double") + 0.5) / float(2**50)
     gum = F.floor(-F.log(-F.log(u)) * 1_000_000.0 + F.lit(0.5)).cast("long")
-    # recover the exact int64 micro-unit sum from log_w with the module's
-    # half-up convention — a bare cast truncates (s/1e6)*1e6 one unit low
-    # for ~2% of values
-    key = F.floor(F.col("log_w") * 1_000_000.0 + F.lit(0.5)).cast("long") + gum
+    key = _microunits(F.col("log_w")) + gum
     return (
         imp.withColumn("_key", key)
         .orderBy(F.desc("_key"), F.asc(id_col))
@@ -603,7 +610,13 @@ def dsir_threshold(
        model state, like every k-row argmax in the engine);
     3. everything in strictly-higher buckets passes by pure FILTER;
        only the ONE boundary bucket (≈ N/weight_buckets rows) pays a
-       TakeOrderedAndProject for its tie-exact trim.
+       TakeOrderedAndProject for its tie-exact trim. Caveat: identical
+       weights always share a bucket no matter how fine the histogram,
+       so a massive tie RUN at the cut (e.g. 20% of the corpus
+       bit-identical boilerplate) makes the boundary bucket — and the
+       trim's k — that large; dedup upstream, or accept the whole tie
+       run with a plain ``log_w >= t`` filter, if exact-k at a tie cliff
+       matters at 10^10 docs.
 
     The three passes over the scored frame share one persisted narrow
     projection (``persist=True``, released via the
@@ -626,7 +639,7 @@ def dsir_threshold(
         n_buckets=n_buckets, alpha=alpha,
     )
     scored = imp.filter(F.col("log_w").isNotNull()).withColumn(
-        "_w", F.floor(F.col("log_w") * 1_000_000.0 + F.lit(0.5)).cast("long")
+        "_w", _microunits(F.col("log_w"))
     )
     if persist:
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
@@ -635,12 +648,15 @@ def dsir_threshold(
     ).collect()[0]  # 1 row — model state
     n_scored = int(head["n"])
     if n_scored == 0:
+        if persist:
+            scored.unpersist()  # the raise must not strand the cache
         raise ValueError("no scored documents (all-null text?)")
     k = min(n_scored, max(1, math.ceil(frac * n_scored)))
     lo, hi = int(head["lo"]), int(head["hi"])
     span = hi - lo + 1
     shift = 0
-    while (span >> shift) > weight_buckets:
+    # max bucket index is (span-1) >> shift — keep it < weight_buckets
+    while ((span - 1) >> shift) >= weight_buckets:
         shift += 1
     bucket = F.shiftright(F.lit(hi) - F.col("_w"), shift)
     counts = sorted(

@@ -2876,8 +2876,6 @@ def test_dsir_threshold_equals_topk_including_tie_boundary(spark, docs):
     attach_caches seam."""
     import math
 
-    from pyspark.sql import functions as F
-
     from artexin_spark.operators import release_caches
     from artexin_spark.operators import sampling as sp
 
@@ -2910,11 +2908,21 @@ def test_dsir_threshold_equals_topk_including_tie_boundary(spark, docs):
         for r in sp.dsir_select(dup, dtgt, math.ceil(0.25 * 24)).collect()
     )
     assert th == tk == [0, 1, 2, 3, 4, 5]
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         sp.dsir_threshold(docs, tgt, 0.0)
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         sp.dsir_threshold(docs, tgt, 1.5)
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         sp.dsir_threshold(docs, tgt, 0.5, weight_buckets=0)
+    # an empty/all-null corpus raises at the lambda stage (before any
+    # persist; the later no-scored-docs guard also unpersists on its
+    # raise path) and must strand no cache either way
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    n_cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with pytest.raises(ValueError, match="no n-grams"):
+        sp.dsir_threshold(nulls, dup, 0.5, persist=True)
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size() == n_cached_before
+    )
