@@ -687,6 +687,30 @@ def _fast_parse(source: str) -> Document:
                         node.end = n
                         pos = n
                 elif tag not in VOID_TAGS:
+                    # fast leaf: "<tag>entity-free text</tag>" folds the text
+                    # run and the matching close into THIS iteration — two
+                    # fewer master-regex dispatches on the most common
+                    # element shape (title/a/p/li leaves). Bails to the
+                    # generic loop on entities, nested markup, case-mixed or
+                    # spaced close tags — those re-scan from `pos` unchanged.
+                    k = find("<", pos)
+                    if k >= pos and startswith("/", k + 1):
+                        cend = k + 2 + len(tag)
+                        if (
+                            source[k + 2 : cend].lower() == tag
+                            and source[cend : cend + 1] == ">"
+                        ):
+                            if k > pos:
+                                run = source[pos:k]
+                                if "&" in run:
+                                    stack.append(node)
+                                    continue
+                                tn = Node(text=run, start=pos, end=k)
+                                tn.parent = node
+                                node.children.append(tn)
+                            node.end = k
+                            pos = cend + 1
+                            continue
                     stack.append(node)
                 continue
             if gi == 5:  # well-formed end tag

@@ -35,13 +35,14 @@ import shutil
 import time
 import uuid
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import storage as sink_io
-from .udfs import _run_extract_batch
+from .preprocess import preps_for
+from .readability import extract_turn
 
 INPUT_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
@@ -150,69 +151,129 @@ class _LineageAccumParam(AccumulatorParam):
 
 
 def _extract_map_iter(batches, acc=None):
-    """mapInPandas body: one Arrow batch in → one extracted batch out,
+    """mapInArrow body: one Arrow batch in → one extracted batch out,
     stamped with its share of wall time. With ``acc`` set, per-bucket
     lineage counters fold task-side into the accumulator — the sink write
     then needs NO read-back of written files and no second input scan
-    (the r01 bench showed that read-back costing ~45% over pure compute)."""
+    (the r01 bench showed that read-back costing ~45% over pure compute).
+
+    Arrow-native on both sides (guide §4.1/§4.2): passthrough columns
+    (conv_id/turn_idx/role/tool/ts/source/part_key) cross back as the
+    INPUT batch's own Arrow buffers — zero pandas materialization — and
+    the nested outputs (spans, images) are assembled as flat offset+child
+    arrays instead of per-row list-of-dict objects. Only ``text`` and
+    ``source`` ever become Python objects (the per-doc extractor needs
+    strings). The previous mapInPandas body paid an Arrow→pandas→Arrow
+    round trip for every column, including a timestamp column converted
+    to datetime64 and back, and pyarrow had to infer struct arrays from
+    4096 freshly-built dicts per batch."""
     local: dict[int, list] = {}
-    for pdf in batches:
+    for rb in batches:
+        nrows = rb.num_rows
+        if nrows == 0:
+            continue
         t0 = time.perf_counter()
-        ex = _run_extract_batch(
-            pdf["text"], pdf["source"], pd.Series([True] * len(pdf))
-        )
-        ms = (time.perf_counter() - t0) * 1000.0
-        n_chars_in = pdf["text"].fillna("").str.len().astype("int64")
-        out = pd.DataFrame(
-            {
-                "conv_id": pdf["conv_id"].values,
-                "turn_idx": pdf["turn_idx"].values,
-                "role": pdf["role"].values,
-                "tool": pdf["tool"].values,
-                "ts": pdf["ts"].values,
-                "source": pdf["source"].values,
-                "part_key": pdf["part_key"].values,
-                "title": ex["title"].values,
-                "extracted_text": ex["extracted_text"].values,
-                "spans": ex["spans"].values,
-                "images": ex["images"].values,
-                "n_images": ex["n_images"].values,
-                "error": ex["error"].values,
-                "n_chars_in": n_chars_in.astype("int32").values,
-                "batch_ms": ms / max(1, len(pdf)),
-            }
-        )
-        if acc is not None and len(pdf):
-            per_key = (
-                pd.DataFrame(
-                    {
-                        "k": pdf["part_key"].values,
-                        "rows": 1,
-                        "errs": ex["error"].notna().astype("int64").values,
-                        "cin": n_chars_in.values,
-                        "cout": ex["extracted_text"]
-                        .fillna("")
-                        .str.len()
-                        .astype("int64")
-                        .values,
-                    }
-                )
-                .groupby("k")
-                .sum()
+        names = rb.schema.names
+        col = {name: rb.column(i) for i, name in enumerate(names)}
+        texts = col["text"].to_pylist()
+        sources = col["source"].to_pylist()
+        titles: list[str] = []
+        out_texts: list[str] = []
+        span_starts: list[int] = []
+        span_ends: list[int] = []
+        span_offsets = [0]
+        img_values: list[str] = []
+        img_offsets = [0]
+        n_images: list[int] = []
+        errors: list[str | None] = []
+        n_chars_in: list[int] = []
+        prep_cache: dict[str, list] = {}
+        for html, src in zip(texts, sources):
+            src = src if isinstance(src, str) else ""
+            # '' dispatches too (catch-all fixheaders) — preprocess.preps_for
+            preps = prep_cache.get(src)
+            if preps is None:
+                preps = prep_cache[src] = preps_for(src)
+            res = extract_turn(
+                html,
+                base_url=src,
+                do_extract=True,
+                preprocessors=preps,
+                with_html=False,  # text+spans output only; skip the render
             )
-            ms_per_row = ms / len(pdf)
-            for k, r in per_key.iterrows():
-                add = [
-                    int(r["rows"]),
-                    int(r["errs"]),
-                    int(r["cin"]),
-                    int(r["cout"]),
-                    float(r["rows"]) * ms_per_row,
-                ]
-                cur = local.get(int(k))
-                local[int(k)] = (
-                    add if cur is None else [x + y for x, y in zip(cur, add)]
-                )
+            titles.append(res.title)
+            out_texts.append(res.text)
+            for s, e in res.spans:
+                span_starts.append(s)
+                span_ends.append(e)
+            span_offsets.append(len(span_starts))
+            img_values.extend(res.images)
+            img_offsets.append(len(img_values))
+            n_images.append(res.n_images)
+            errors.append(res.error)
+            n_chars_in.append(len(html) if html is not None else 0)
+        ms = (time.perf_counter() - t0) * 1000.0
+        ms_per_row = ms / nrows
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(span_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(span_starts, pa.int32()), pa.array(span_ends, pa.int32())],
+                names=["start", "end"],
+            ),
+        )
+        images_arr = pa.ListArray.from_arrays(
+            pa.array(img_offsets, pa.int32()), pa.array(img_values, pa.string())
+        )
+        out = pa.RecordBatch.from_arrays(
+            [
+                col["conv_id"],
+                col["turn_idx"],
+                col["role"],
+                col["tool"],
+                col["ts"],
+                col["source"],
+                col["part_key"],
+                pa.array(titles, pa.string()),
+                pa.array(out_texts, pa.string()),
+                spans_arr,
+                images_arr,
+                pa.array(n_images, pa.int32()),
+                pa.array(errors, pa.string()),
+                pa.array(n_chars_in, pa.int32()),
+                pa.array([ms_per_row] * nrows, pa.float64()),
+            ],
+            names=[
+                "conv_id",
+                "turn_idx",
+                "role",
+                "tool",
+                "ts",
+                "source",
+                "part_key",
+                "title",
+                "extracted_text",
+                "spans",
+                "images",
+                "n_images",
+                "error",
+                "n_chars_in",
+                "batch_ms",
+            ],
+        )
+        if acc is not None:
+            keys = col["part_key"].to_pylist()
+            for i, k in enumerate(keys):
+                err_i = 1 if errors[i] is not None else 0
+                cout_i = len(out_texts[i])
+                cur = local.get(k)
+                if cur is None:
+                    local[k] = [1, err_i, n_chars_in[i], cout_i, ms_per_row]
+                else:
+                    cur[0] += 1
+                    cur[1] += err_i
+                    cur[2] += n_chars_in[i]
+                    cur[3] += cout_i
+                    cur[4] += ms_per_row
         yield out
     if acc is not None and local:
         acc.add(local)
@@ -238,7 +299,19 @@ def prepare_input(df: DataFrame, n_buckets: int, source_col: str | None) -> Data
             "source_col %r not in input columns (%s)"
             % (source_col, ", ".join(df.columns))
         )
-    cols = [F.col(c) for c in INPUT_COLS]
+    # cast to the canonical DDL types (free in codegen): the Arrow-native
+    # extraction stage passes these columns through VERBATIM, so its output
+    # batches must already carry the declared types — mapInPandas used to
+    # coerce a long turn_idx / ntz timestamp silently, mapInArrow does not
+    types = dict(
+        conv_id="string",
+        turn_idx="int",
+        role="string",
+        text="string",
+        tool="string",
+        ts="timestamp",
+    )
+    cols = [F.col(c).cast(types[c]).alias(c) for c in INPUT_COLS]
     cols.append(
         (F.col(source_col) if source_col and source_col in df.columns else F.lit(""))
         .cast("string")
@@ -263,7 +336,7 @@ def _extract_prepared(
         # would silently pack ~B/200 buckets into one task — unbounded task
         # size, the exact thing the bucket key exists to bound
         prepared = prepared.repartition(n_buckets, "part_key")
-    extracted = prepared.mapInPandas(
+    extracted = prepared.mapInArrow(
         lambda batches: _extract_map_iter(batches, acc), _EXTRACT_OUT_SCHEMA
     )
     return extracted.withColumn(

@@ -612,7 +612,8 @@ def extract_turn(
     ``.error`` (pack.py:205-213 semantics)."""
     result = ExtractResult()
     try:
-        if html is None or not html.strip():
+        if html is None or not html or html.isspace():
+            # isspace() twin of `not html.strip()` — no full-string copy
             result.error = "empty_payload"
             return result
         if pdfx.is_pdf(html):

@@ -117,11 +117,11 @@ def test_rerun_is_idempotent(spark, corpus_pdf, tmp_path):
 
 def test_physical_plan_is_vectorized(spark, corpus_pdf):
     """No row-at-a-time Python: the plan must contain Arrow nodes
-    (MapInPandas / ArrowEvalPython) and no BatchEvalPython."""
+    (MapInArrow / ArrowEvalPython) and no BatchEvalPython."""
     df = spark.createDataFrame(corpus_pdf.head(50))
     plan = extract_df(spark, df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert ("MapInPandas" in plan) or ("ArrowEvalPython" in plan)
+    assert ("MapInArrow" in plan) or ("ArrowEvalPython" in plan)
 
     plan2 = (
         with_extraction(spark.createDataFrame(corpus_pdf.head(50)), source_col="source")

@@ -3,7 +3,7 @@
 These pin the properties that make the pipeline viable at 1000 executors:
 filters and column pruning reach the parquet scan, small dimensions
 broadcast instead of shuffling the fact side, the extraction stage crosses
-JVM→Python exactly once per batch (one MapInPandas, zero per-row
+JVM→Python exactly once per batch (one MapInArrow, zero per-row
 BatchEvalPython), and no driver-side collect feeds an operator. A plan
 regression here is a scale bug even when row counts still match.
 """
@@ -43,8 +43,8 @@ def test_extraction_is_single_arrow_crossing(spark, tmp_path):
     synth_transcripts(spark, n_convs=5, seed=42).write.parquet(src)
     out = extract_df(spark, spark.read.parquet(src))
     plan = _plan(out)
-    # count tree nodes ("MapInPandas (N)"), not the duplicate detail lines
-    assert plan.count("MapInPandas (") == 1, plan
+    # count tree nodes ("MapInArrow (N)"), not the duplicate detail lines
+    assert plan.count("MapInArrow (") == 1, plan
     assert "BatchEvalPython" not in plan, plan  # no per-row Python anywhere
     # the scan under the extraction stage reads only the transcript columns
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
@@ -145,14 +145,14 @@ def test_no_query_uses_per_row_python(spark):
         # executes once at cache materialization (substring_dedup's occ
         # frame). A genuine double-eval instantiates SEPARATE physical
         # nodes — distinct ids — and is still caught.
-        n_py = len(set(re.findall(r"(?:ArrowEvalPython|MapInPandas) \((\d+)\)", plan)))
+        n_py = len(set(re.findall(r"(?:ArrowEvalPython|MapInPandas|MapInArrow) \((\d+)\)", plan)))
         assert n_py <= allowed.get(name, 1), (name, n_py, plan)
 
 
 def test_streaming_inner_plan_is_vectorized(spark, tmp_path):
     """The streaming path's REAL micro-batch plan (captured inside
     foreachBatch, the frame the engine actually executes): exactly one
-    MapInPandas crossing, no per-row Python — closing the gate the batch
+    MapInArrow crossing, no per-row Python — closing the gate the batch
     check above can't see (r01 VERDICT item 9)."""
     from artexin_spark.corpus import synth_transcripts
     from artexin_spark.pipeline import TRANSCRIPT_DDL, extract_df
@@ -174,7 +174,7 @@ def test_streaming_inner_plan_is_vectorized(spark, tmp_path):
     # an ExistingRDD — the Python stage runs upstream, in this plan)
     full = q._jsq.explainInternal(True)
     plan = full.split("== Physical Plan ==", 1)[1]
-    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("MapInArrow") == 1, plan
     assert "BatchEvalPython" not in plan, plan
 
 
@@ -370,7 +370,11 @@ def test_pipeline_e2e_single_arrow_crossing(spark):
     # count tree NODES ("ArrowEvalPython (N)"), not detail-section repeats;
     # the union of base+planted branches may instantiate the UDF once per
     # branch — each ROW still crosses into Python exactly once
-    n_python = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
+    n_python = (
+        plan.count("ArrowEvalPython (")
+        + plan.count("MapInPandas (")
+        + plan.count("MapInArrow (")
+    )
     assert 1 <= n_python <= 2, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
