@@ -162,10 +162,24 @@ def banded_sigs(
     bands: int = 4,
     max_bucket: int = 1000,
     carry_sig: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id[, sig], band_idx, band_key) — one row per (doc, band).
     ``max_bucket`` drops degenerate buckets (boilerplate shingle storms)
-    before any quadratic pairing step."""
+    before any quadratic pairing step.
+
+    ``checkpoint=True`` local-checkpoints the banded relation before it
+    fans out: it is consumed by THREE subtrees (the bucket-size agg and
+    both sides of the LSH self-join), and Spark's runtime exchange reuse
+    does not fire across them (measured: the executed minhash_dedup plan
+    held 4 separate signature pipelines — scan → shingle explode → md5 →
+    16-way min agg — with zero ReusedExchange nodes). The checkpoint
+    materializes the narrow (id, sig[k], band) relation once per CALL —
+    per-RDD, so repeated invocations recompute from the parquet inputs
+    (nothing is memoized across runs) — at ~(8+8k+40)·bands B/doc of
+    executor MEMORY_AND_DISK storage, the standard persist-signatures
+    trade (Lee et al. §4 pipelines do the same). Pass False to keep the
+    fully-lazy plan (e.g. when composing into a larger one-pass query)."""
     cols = [F.col(id_col)] + ([F.col("sig")] if carry_sig else [])
     # balanced band boundaries floor(b·k/bands) cover EVERY signature slot
     # (an integer width k//bands silently dropped the trailing k%bands
@@ -192,6 +206,8 @@ def banded_sigs(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_key)
         ).alias("band_idx", "band_key"),
     )
+    if checkpoint:
+        banded = banded.localCheckpoint(eager=False)
     sizes = banded.groupBy("band_idx", "band_key").count()
     return banded.join(
         sizes.filter(F.col("count") <= max_bucket).drop("count"),
@@ -213,25 +229,33 @@ def lsh_pairs_jaccard(
     the (wide) signature relation."""
     banded = banded_sigs(sigs, id_col, bands, max_bucket, carry_sig=True)
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a." + id_col) < F.col("b." + id_col)),
-        )
-        .groupBy(
-            F.col("a." + id_col).alias("id_a"), F.col("b." + id_col).alias("id_b")
-        )
-        .agg(
-            F.first(F.col("a.sig")).alias("sig_a"),
-            F.first(F.col("b.sig")).alias("sig_b"),
-        )
-    )
+    # signature agreement computed per MATCHED-BAND row, before the pair
+    # dedup: every band match of one pair yields the identical value, so
+    # first() over the scalar is the same number — but grouping on a
+    # double instead of two array<long> columns keeps the dedup a partial
+    # map-side HashAggregate (the array-valued first() forced a full Sort
+    # + two SortAggregates of the joined relation; plan diff in
+    # plans/r06/q_minhash_dedup_*.txt). ≤ ``bands`` extra zip_with
+    # evaluations per pair, k comparisons each — noise next to a sort.
     eq = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
     )
-    return pairs.select("id_a", "id_b", (eq / F.size("sig_a")).alias("jaccard_est"))
+    matched = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a." + id_col) < F.col("b." + id_col)),
+    ).select(
+        F.col("a." + id_col).alias("id_a"),
+        F.col("b." + id_col).alias("id_b"),
+        (eq / F.size(F.col("a.sig"))).alias("_jac"),
+    )
+    return matched.groupBy("id_a", "id_b").agg(
+        F.first("_jac").alias("jaccard_est")
+    )
 
 
 def lsh_candidate_pairs(
@@ -1143,13 +1167,20 @@ def incremental_minhash_dedup(
             f"signatures but this run asked for k={k} — use the committed "
             "k (signature spec evolution requires a table rewrite)"
         )
-    a = banded_sigs(inc_sigs, id_col, bands, max_bucket).alias("a")
-    b_hist = banded_sigs(hist, id_col, bands, max_bucket).withColumn(
-        "is_hist", F.lit(True)
+    # checkpoint=False: these sides band PRECOMPUTED narrow signatures
+    # (history from the committed parquet, the small increment), so there
+    # is no expensive pipeline to share — and the lazy plan keeps the
+    # history scan's narrow ReadSchema visible (plan-gated: history text
+    # is never re-read)
+    a = banded_sigs(inc_sigs, id_col, bands, max_bucket, checkpoint=False).alias(
+        "a"
     )
-    b_inc = banded_sigs(inc_sigs, id_col, bands, max_bucket).withColumn(
-        "is_hist", F.lit(False)
-    )
+    b_hist = banded_sigs(
+        hist, id_col, bands, max_bucket, checkpoint=False
+    ).withColumn("is_hist", F.lit(True))
+    b_inc = banded_sigs(
+        inc_sigs, id_col, bands, max_bucket, checkpoint=False
+    ).withColumn("is_hist", F.lit(False))
     b = b_hist.unionByName(b_inc).alias("b")
     pairs = a.join(
         b,

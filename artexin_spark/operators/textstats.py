@@ -417,9 +417,14 @@ def curate(
 
     Plan shape (100 TB): quality, language, and the content key are ALL
     column expressions, so they compute in ONE projection over one scan —
-    never N self-joins of the corpus. The only shuffles are the keep-first
-    hash-agg on the 32-char content key and contamination's count agg;
-    the eval shingle set broadcasts. Filter-THEN-dedup order: the group
+    never N self-joins of the corpus. The keep-first representative comes
+    straight out of the hash-agg via ``min_by(struct(...), id)`` (the
+    exact_dedup_rows idiom), so the gated projection runs ONCE: the
+    previous groupBy-min + semi-join shape evaluated the quality/lang/md5
+    projection over the corpus twice (no runtime exchange reuse; plan
+    diff in plans/r06/q_curate_*.txt). The only shuffles are that agg on
+    the 32-char content key and contamination's count agg; the eval
+    shingle set broadcasts. Filter-THEN-dedup order: the group
     representative is the min id among PASSING copies — picking it before
     the gate would drop a content group entirely whenever its global-min
     copy happens to fail quality/lang while another copy passes."""
@@ -437,15 +442,20 @@ def curate(
     passing = base.filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(langs))
     )
-    reps = passing.groupBy("content_key").agg(F.min(id_col).alias(id_col))
+    reps = (
+        passing.groupBy("content_key")
+        .agg(
+            F.min_by(
+                F.struct(F.col(id_col), F.col("quality"), F.col("pred_lang")),
+                F.col(id_col),
+            ).alias("_row")
+        )
+        .select("_row.*")
+    )
     bad = contamination(
         df, eval_df, text_col, id_col, n=n, min_overlap=min_overlap
     ).select(F.col(id_col))
-    return (
-        passing.join(reps.select(id_col), id_col, "left_semi")
-        .join(bad, id_col, "left_anti")
-        .select(id_col, "quality", "pred_lang")
-    )
+    return reps.join(bad, id_col, "left_anti").select(id_col, "quality", "pred_lang")
 
 
 def repetition_stats(
