@@ -327,18 +327,31 @@ def prepare_input(df: DataFrame, n_buckets: int, source_col: str | None) -> Data
 def _extract_prepared(
     prepared: DataFrame, n_buckets: int, acc=None, repartition: bool = True
 ) -> DataFrame:
-    """Shared tail of the plan: bucket repartition → fused Arrow stage →
-    content hash. ``acc`` threads the lineage accumulator into the task."""
+    """Shared tail of the plan: fused Arrow stage → bucket repartition →
+    content hash. ``acc`` threads the lineage accumulator into the task.
+
+    The bucket exchange sits AFTER extraction (guide §2.3, shuffle fewer
+    bytes): the extracted row is ~25-30% narrower than the raw HTML row
+    (extracted_text ≈ 2/3 of the payload; boilerplate and markup are
+    gone), and the ``source`` column — dropped by the sink — gets pruned
+    before the exchange instead of riding it. Extraction parallelism is
+    bounded by the input splits (parquet splits at maxPartitionBytes, so
+    task size stays bounded at any layout); the write side stays
+    bucket-bounded by the explicit repartition. Lineage caveat: the
+    extraction stage is now a shuffle-map stage, so a lost-shuffle
+    recompute re-adds its counters — the same documented window as
+    speculative attempts (_LineageAccumParam), counters are ops evidence,
+    the data write stays exactly-once either way."""
+    extracted = prepared.mapInArrow(
+        lambda batches: _extract_map_iter(batches, acc), _EXTRACT_OUT_SCHEMA
+    )
     if repartition:
         # explicit partition count: repartition("part_key") alone keeps
         # spark.sql.shuffle.partitions partitions, so a large B (the 10^12-
         # turn story picks B = 2^17 for executor-memory-sized buckets)
         # would silently pack ~B/200 buckets into one task — unbounded task
         # size, the exact thing the bucket key exists to bound
-        prepared = prepared.repartition(n_buckets, "part_key")
-    extracted = prepared.mapInArrow(
-        lambda batches: _extract_map_iter(batches, acc), _EXTRACT_OUT_SCHEMA
-    )
+        extracted = extracted.repartition(n_buckets, "part_key")
     return extracted.withColumn(
         "content_hash",
         F.md5(
