@@ -18,6 +18,33 @@ math genuinely wants numpy.
 """
 
 
+def spread_scan(df, multiple: int = 2):
+    """Round-robin repartition a frame whose scan parallelism is below the
+    session's core budget — the guide's input-skew fix (§2.5): a corpus
+    that lives in one small parquet file scans as ONE task, serializing
+    every downstream per-row compute (shingle md5, quality regexes,
+    embedding matmuls) on a single core while the rest of the cluster
+    idles. No-op when the plan already carries >= cores partitions (any
+    production many-file table), when the frame is streaming, or when the
+    partition count cannot be derived; when it does fire, the shuffle
+    moves only this frame's own (ideally pre-projected) columns once.
+    ``multiple`` spreads to multiple×cores partitions so stragglers
+    backfill. Deterministic for every consumer here: the operators using
+    it are per-row projections or key aggregations whose results are
+    partitioning-independent (keyless repartition keeps Spark's
+    sort-before-repartition retry determinism)."""
+    try:
+        if df.isStreaming:
+            return df
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= cores:
+        return df
+    return df.repartition(multiple * cores)
+
+
 def attach_caches(result, cached):
     """Record the intermediate frames an operator persisted on behalf of
     ``result`` so the caller can release them via ``release_caches``

@@ -134,12 +134,17 @@ def minhash_signatures(
     (a_i * md5_60bit(shingle) + b_i) mod P — a classic universal-hash
     min-hash, one md5 per shingle instead of k. Single shuffle:
     explode → groupBy(id) with k min() aggregates (partial map-side)."""
+    from . import spread_scan
+
     base = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
         % MINHASH_P
     )
+    # input-skew guard (guide §2.5): the shingle-md5 explode below is the
+    # expensive leg — a single-file corpus must not run it on one core
     ex = (
-        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens_col(text_col).alias("_toks"))
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles_from("_toks", n))).alias("sh"),
@@ -588,7 +593,10 @@ def contamination(
     to the corpus → distinct eval shingles BROADCAST into a hash join
     against the exploded corpus shingles; one partial+final count agg.
     No shuffle of the corpus beyond the agg on (id)."""
-    doc_sh = df.select(
+    from . import spread_scan
+
+    # §2.5 input-skew guard for the corpus-side shingle explode
+    doc_sh = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens_col(text_col).alias("_toks")
     ).select(
         F.col(id_col),

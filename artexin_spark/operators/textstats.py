@@ -428,8 +428,13 @@ def curate(
     representative is the min id among PASSING copies — picking it before
     the gate would drop a content group entirely whenever its global-min
     copy happens to fail quality/lang while another copy passes."""
+    from . import spread_scan
     from .dedup import contamination, norm_md5
 
+    # one spread serves both consumers below (base projection and the
+    # contamination shingle pass) — §2.5 input-skew guard, no-op on
+    # already-wide layouts
+    df = spread_scan(df.select(id_col, text_col))
     best = best_lang_struct(text_col)
     base = df.select(
         F.col(id_col),
