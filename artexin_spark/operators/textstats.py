@@ -26,9 +26,16 @@ CJK_RE = r"[一-鿿]"
 STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "on", "with"]
 
 
-def lang_scores(text_col: str = "text"):
-    """Struct of per-language marker-hit ratios + cjk density."""
-    toks = tokens_col(text_col)
+def lang_scores(text_col: str = "text", tokens=None):
+    """Struct of per-language marker-hit ratios + cjk density.
+
+    ``tokens`` names a pre-projected ``array<string>`` tokens Column to
+    use instead of re-splitting ``text_col`` — the same no-CSE-with-
+    lambdas seam as shingles_from: every reference to an inline
+    tokens_col() re-runs the regex split per row (lambda variables make
+    textually-identical trees non-semantically-equal, and `when`
+    branches exclude them from codegen subexpression elimination)."""
+    toks = tokens if tokens is not None else tokens_col(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
     fields = [
         (
@@ -44,11 +51,11 @@ def lang_scores(text_col: str = "text"):
     return F.struct(*fields, cjk)
 
 
-def best_lang_struct(text_col: str = "text"):
+def best_lang_struct(text_col: str = "text", tokens=None):
     """struct<score, lang> of the argmax language: Spark compares structs
     lexicographically, so greatest(struct(score, lang)) picks the
     best-scoring language with a deterministic lang tie-break."""
-    scores = lang_scores(text_col)
+    scores = lang_scores(text_col, tokens)
     langs = list(LANG_MARKERS.keys()) + ["zh"]
     return F.greatest(
         *[
@@ -61,25 +68,35 @@ def best_lang_struct(text_col: str = "text"):
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    best = best_lang_struct(text_col)
-    score = best.getField("score")
-    return df.select(
+    # stage the split tokens AND the argmax struct as real columns: the
+    # final select references _best three times, and an inline expression
+    # would re-run the whole marker-intersect battery (plus its token
+    # split) once per reference — CollapseProject keeps a multiply-
+    # referenced non-cheap projection in its own stage, so each computes
+    # once per row (same fix as the shingles_from pattern)
+    staged = df.withColumn("_toks", tokens_col(text_col)).select(
+        F.col(id_col),
+        best_lang_struct(text_col, tokens=F.col("_toks")).alias("_best"),
+    )
+    score = F.col("_best").getField("score")
+    return staged.select(
         F.col(id_col),
         # zero evidence = no prediction: with every score tied at 0 the
         # lexicographic tie-break would confidently label unknown/empty
         # documents as the max lang STRING ('zh'), skewing any language
         # mixture built on pred_lang
-        F.when(score > 0, best.getField("lang")).alias("pred_lang"),
+        F.when(score > 0, F.col("_best").getField("lang")).alias("pred_lang"),
         score.alias("lang_score"),
     )
 
 
-def quality_features(text_col: str = "text"):
+def quality_features(text_col: str = "text", tokens=None):
     """The standard cheap quality signals (C4/Gopher-style rules):
     length, word stats, punctuation/uppercase/digit ratios, stopword
-    ratio, mean word length — every one a native expression."""
+    ratio, mean word length — every one a native expression. ``tokens``:
+    see lang_scores (pre-projected tokens column seam)."""
     text = F.col(text_col)
-    toks = tokens_col(text_col)
+    toks = tokens if tokens is not None else tokens_col(text_col)
     n_chars = F.length(text)
     n_words = F.size(toks)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
@@ -105,11 +122,11 @@ def quality_features(text_col: str = "text"):
     }
 
 
-def quality_expr(text_col: str = "text"):
+def quality_expr(text_col: str = "text", tokens=None):
     """The composite [0,1] quality score as a single column expression:
     length sweet-spot, word-length plausibility, punctuation presence,
-    not-all-caps, low digit noise."""
-    f = quality_features(text_col)
+    not-all-caps, low digit noise. ``tokens``: see lang_scores."""
+    f = quality_features(text_col, tokens)
     score = (
         F.when(f["n_words"] >= 10, F.lit(0.25)).otherwise(f["n_words"] / 40.0)
         + F.when(
@@ -123,10 +140,35 @@ def quality_expr(text_col: str = "text"):
     return F.round(score, 6)
 
 
+def _quality_from_feature_cols():
+    """quality_expr rebuilt over the ALREADY-PROJECTED feature columns —
+    bitwise the same floats (the feature columns ARE those expressions),
+    but the when-branches reference cheap attributes instead of
+    re-deriving token splits and regex counts per branch."""
+    score = (
+        F.when(F.col("n_words") >= 10, F.lit(0.25)).otherwise(
+            F.col("n_words") / 40.0
+        )
+        + F.when(
+            (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10),
+            F.lit(0.25),
+        ).otherwise(F.lit(0.0))
+        + F.least(F.col("punct_ratio") * 5, F.lit(0.25))
+        + F.when(
+            (F.col("upper_ratio") < 0.3) & (F.col("digit_ratio") < 0.3),
+            F.lit(0.25),
+        ).otherwise(F.lit(0.0))
+    )
+    return F.round(score, 6)
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    f = quality_features(text_col)
+    # two-stage projection: tokens once, features once, then the composite
+    # score from the feature COLUMNS (identical floats, zero re-derivation)
+    f = quality_features(text_col, tokens=F.col("_toks"))
     cols = [F.col(id_col)] + [v.alias(k) for k, v in f.items()]
-    return df.select(*cols, quality_expr(text_col).alias("quality"))
+    base = df.withColumn("_toks", tokens_col(text_col)).select(*cols)
+    return base.withColumn("quality", _quality_from_feature_cols())
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -435,14 +477,23 @@ def curate(
     # contamination shingle pass) — §2.5 input-skew guard, no-op on
     # already-wide layouts
     df = spread_scan(df.select(id_col, text_col))
-    best = best_lang_struct(text_col)
-    base = df.select(
+    # one token split + one argmax-lang struct per row, staged as columns
+    # (the no-CSE-with-lambdas seam — see lang_scores/lang_id)
+    staged = df.withColumn("_toks", tokens_col(text_col)).select(
         F.col(id_col),
-        quality_expr(text_col).alias("quality"),
+        quality_expr(text_col, tokens=F.col("_toks")).alias("quality"),
+        best_lang_struct(text_col, tokens=F.col("_toks")).alias("_best"),
+        norm_md5(text_col).alias("content_key"),
+    )
+    base = staged.select(
+        F.col(id_col),
+        F.col("quality"),
         # same zero-evidence guard as lang_id: a marker-free document must
         # not pass a langs=("zh",) gate on the tie-break artifact
-        F.when(best.getField("score") > 0, best.getField("lang")).alias("pred_lang"),
-        norm_md5(text_col).alias("content_key"),
+        F.when(
+            F.col("_best").getField("score") > 0, F.col("_best").getField("lang")
+        ).alias("pred_lang"),
+        F.col("content_key"),
     )
     passing = base.filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(langs))
