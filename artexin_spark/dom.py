@@ -25,6 +25,13 @@ VOID_TAGS = frozenset(
 
 _ESCAPE = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
 
+#: Shared attrs dict for TEXT nodes only (tag is None): text nodes are
+#: created in bulk during parsing and none of the tree code ever reads or
+#: writes `.attrs` on a text node (every consumer checks `.tag`/`.is_text`
+#: first), so they can share one immutable-by-convention empty dict instead
+#: of allocating ~40% of all per-parse dicts. Elements always get their own.
+_NO_ATTRS: dict = {}
+
 
 class Node:
     """Element or text node. ``tag is None`` marks a text node."""
@@ -33,7 +40,9 @@ class Node:
 
     def __init__(self, tag=None, attrs=None, text="", start=-1, end=-1):
         self.tag = tag
-        self.attrs = attrs if attrs is not None else {}
+        self.attrs = (
+            attrs if attrs is not None else (_NO_ATTRS if tag is None else {})
+        )
         self.children: list[Node] = []
         self.parent: Node | None = None
         self.text = text
@@ -257,11 +266,18 @@ class Node:
 
 
 class Document(Node):
-    __slots__ = ("source",)
+    __slots__ = ("source", "tags_seen")
 
     def __init__(self, source: str):
         super().__init__(tag="[document]")
         self.source = source
+        # Element names seen AT PARSE TIME (both parser paths fill it).
+        # An over-approximation under later mutation: decompose/unwrap only
+        # remove elements, so absence from this set still proves absence
+        # from the tree — consumers may use it ONLY for "tag never present"
+        # early-exits (pp_fixheaders, the links/images walk), never for
+        # positive lookups (preprocessors may add h1/p later).
+        self.tags_seen: set = set()
 
     @property
     def body(self) -> Node:
@@ -345,6 +361,7 @@ class _Parser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         self._flush_text(self._abs())
         node = Node(tag=tag, attrs=dict(attrs), start=self._abs())
+        self.doc.tags_seen.add(tag)
         self._append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
@@ -352,6 +369,7 @@ class _Parser(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         self._flush_text(self._abs())
         node = Node(tag=tag, attrs=dict(attrs), start=self._abs())
+        self.doc.tags_seen.add(tag)
         self._append(node)
 
     def handle_endtag(self, tag):
@@ -534,6 +552,7 @@ def _decode_run(source, pos, run, in_pass2, final):
 
 def _fast_parse(source: str) -> Document:
     doc = Document(source)
+    seen_add = doc.tags_seen.add
     stack = [doc]
     n = len(source)
     pos = 0
@@ -657,6 +676,7 @@ def _fast_parse(source: str) -> Document:
                 flush_at(lt)
                 tname, a_src, selfclose = m.group(2, 3, 4)
                 tag = tname.lower()
+                seen_add(tag)
                 if a_src:
                     attrs = {}
                     for an, av in attr_findall(a_src):
@@ -779,6 +799,7 @@ def _fast_parse(source: str) -> Document:
                 continue
             nm = _TAGFIND.match(source, lt + 1)
             tag = nm.group(1).lower()
+            seen_add(tag)
             k = nm.end()
             attrs = {}
             # '<tag>': no attrs, no junk — skip the attr regex and the

@@ -31,6 +31,14 @@ def pp_fixheaders(doc: dom.Document) -> None:
     levels shift by the same amount. No-op when h1 already exists.
     Reference: preprocessors.py:28-56 (doctest-pinned).
     """
+    # parse-time tag presence: when the document never contained ANY
+    # heading, the walk below is a guaranteed no-op — and the only prep
+    # that ADDS headings (pp_wikipedia) adds h1, for which fixheaders is
+    # also a no-op (adjust = 0). tags_seen only ever over-approximates
+    # (mutations remove), so the skip can never fire wrongly.
+    seen = getattr(doc, "tags_seen", None)
+    if seen is not None and not seen.intersection(HEADING_TAGS):
+        return
     # ONE document walk instead of one find_all per level (this runs on
     # every document via the catch-all dispatch — 6 walks was ~8% of
     # per-turn wall). Renames only ever move tags to already-processed
