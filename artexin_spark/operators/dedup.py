@@ -1899,6 +1899,7 @@ def entity_blocking_pairs(
     max_df: int = 50,
     min_cbs: int = 2,
     shingle_n: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Entity-resolution candidate generation via blocking + CBS-weighted
     meta-blocking (the SparkER pattern, EDBT 2019 — see PAPERS.md):
@@ -1921,6 +1922,11 @@ def entity_blocking_pairs(
         )
         .distinct()  # block membership, not term frequency
     )
+    if checkpoint:
+        # the posting index feeds THREE subtrees (df sizes + both self-
+        # join sides) and exchange reuse does not fire across them — same
+        # materialize-the-narrow-index-once trade as banded_sigs
+        posting = posting.localCheckpoint(eager=False)
     sizes = posting.groupBy("tok").agg(F.count("*").alias("df"))
     blocks = posting.join(
         F.broadcast(
