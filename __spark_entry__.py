@@ -4468,6 +4468,13 @@ SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
        s / 1000000.0 AS log_w
 FROM sel WHERE rn <= CAST(ceil(0.06 * nn) AS BIGINT)""",
 )
+# guard the replace actually fired: if the dsir_select tail ever drifts,
+# str.replace silently no-ops and the threshold oracle degenerates into an
+# identical top-30 query that still PASSES at the sf0.01 gate
+# (ceil(0.06*500)=30), masking the regression until an sf0.1 run
+assert _ORACLES["dsir_threshold"] != _ORACLES["dsir_select"], (
+    "dsir_threshold oracle construction no-oped — dsir_select tail drifted"
+)
 
 _ORACLES["unigram_lm"] = f"""
 WITH e AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
