@@ -553,6 +553,10 @@ def _decode_run(source, pos, run, in_pass2, final):
 def _fast_parse(source: str) -> Document:
     doc = Document(source)
     seen_add = doc.tags_seen.add
+    # one C-level scan up front: a document with no '&' anywhere (the
+    # common case for machine-generated corpora) can skip every per-run
+    # entity check and decode call below
+    has_amp = "&" in source
     stack = [doc]
     n = len(source)
     pos = 0
@@ -646,6 +650,10 @@ def _fast_parse(source: str) -> Document:
             if gi == 1:  # text run (maximal, so never self-adjacent)
                 end_ = m.end()
                 g1 = m.group(1)
+                if not has_amp:  # no '&' in the whole document: raw == text
+                    emit_text(g1, pos, end_)
+                    pos = end_
+                    continue
                 if "&#" not in g1 and end_ != n:  # the hot path
                     emit_text(_decode(g1), pos, end_)
                     pos = end_
@@ -722,7 +730,7 @@ def _fast_parse(source: str) -> Document:
                         ):
                             if k > pos:
                                 run = source[pos:k]
-                                if "&" in run:
+                                if has_amp and "&" in run:
                                     stack.append(node)
                                     continue
                                 tn = Node(text=run, start=pos, end=k)

@@ -244,9 +244,16 @@ def _strip_collect_count(doc: dom.Document):
                 continue
         if tag in ("p", "td", "pre", "div"):
             cands.append(node)
-        stack.append((node, True))
-        for kid in reversed(node.children):
-            stack.append((kid, False))
+        # post-visit frames only for nodes with ELEMENT children: a node
+        # whose kids are all text contributes counts[id] = 0, which the
+        # parent's .get(id, 0) already yields for an absent entry — most
+        # elements are text-only leaves, so most post frames are skipped
+        kids = node.children
+        if kids:
+            if any(k.tag is not None for k in kids):
+                stack.append((node, True))
+            for kid in reversed(kids):
+                stack.append((kid, False))
     # the root itself is a scorable parent (top-level <p> under a fragment)
     total = 0
     for kid in doc.children:
